@@ -1,0 +1,234 @@
+"""Config system tests — schema defaults, _base_ chains, profile expansion,
+stage merge, overrides (contract modeled on reference tests/unit/test_hydra_config.py)."""
+
+import textwrap
+
+import pytest
+
+from pytorch_connectomics_tpu.config import (
+    Config,
+    ConfigError,
+    build_dataclass,
+    config_hash,
+    load_config,
+    to_dict,
+)
+
+
+def write(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(textwrap.dedent(text))
+    return p
+
+
+MINIMAL = """
+experiment_name: mini
+default:
+  model:
+    arch: {type: monai_unet}
+    in_channels: 1
+    out_channels: 1
+    input_size: [16, 32, 32]
+    loss:
+      losses:
+        - {function: DiceLoss, weight: 1.0, pred_slice: "0:1", target_slice: "0:1"}
+  data:
+    train: {image: "random://t/im", label: "random://t/lb"}
+    dataloader: {batch_size: 2, patch_size: [16, 32, 32]}
+train:
+  optimization:
+    max_epochs: 1
+    n_steps_per_epoch: 2
+    optimizer: {name: AdamW, lr: 1e-4}
+"""
+
+
+def test_defaults():
+    cfg = build_dataclass(Config, {})
+    assert cfg.model.in_channels == 1
+    assert cfg.system.seed == 42
+    assert cfg.model.output_size == cfg.model.input_size
+
+
+def test_unknown_key_rejected():
+    with pytest.raises(ConfigError):
+        build_dataclass(Config, {"model": {"bogus_key": 1}})
+
+
+def test_minimal_roundtrip(tmp_path):
+    p = write(tmp_path, "mini.yaml", MINIMAL)
+    cfg = load_config(p, mode="train")
+    assert cfg.experiment_name == "mini"
+    assert cfg.model.input_size == [16, 32, 32]
+    assert cfg.optimization.max_epochs == 1
+    assert cfg.data.dataloader.batch_size == 2
+    assert cfg.model.loss.losses[0].function == "DiceLoss"
+
+
+def test_stage_merge_train_vs_test(tmp_path):
+    p = write(
+        tmp_path,
+        "s.yaml",
+        MINIMAL
+        + """
+test:
+  data:
+    test: {image: "random://t/test_im"}
+  optimization:
+    max_epochs: 7
+""",
+    )
+    cfg_train = load_config(p, mode="train")
+    cfg_test = load_config(p, mode="test")
+    assert cfg_train.optimization.max_epochs == 1
+    assert cfg_test.optimization.max_epochs == 7
+    assert cfg_test.data.test.image == "random://t/test_im"
+
+
+def test_base_inheritance(tmp_path):
+    write(tmp_path, "base.yaml", "experiment_name: base\nsave_path: outputs/base\n")
+    p = write(
+        tmp_path,
+        "child.yaml",
+        """
+_base_: [base.yaml]
+experiment_name: child
+""" + MINIMAL.replace("experiment_name: mini\n", ""),
+    )
+    cfg = load_config(p, mode="train")
+    assert cfg.experiment_name == "child"
+    assert cfg.save_path == "outputs/base"
+
+
+def test_profile_expansion_pipeline_binary(tmp_path):
+    p = write(
+        tmp_path,
+        "prof.yaml",
+        """
+experiment_name: prof
+default:
+  pipeline_profile: binary
+  model:
+    arch: {type: rsunet}
+    input_size: [16, 32, 32]
+  data:
+    train: {image: "random://p/im", label: "random://p/lb"}
+    dataloader: {patch_size: [16, 32, 32]}
+train:
+  optimization: {max_epochs: 1}
+""",
+    )
+    cfg = load_config(p, mode="train")
+    assert cfg.model.out_channels == 1
+    fns = [t.function for t in cfg.model.loss.losses]
+    assert "WeightedBCEWithLogitsLoss" in fns and "DiceLoss" in fns
+
+
+def test_pipeline_profile_aff9_decoding_template(tmp_path):
+    p = write(
+        tmp_path,
+        "aff.yaml",
+        """
+experiment_name: aff
+default:
+  pipeline_profile: aff9
+  model:
+    arch: {type: rsunet}
+    input_size: [16, 32, 32]
+  data:
+    train: {image: "random://a/im", label: "random://a/lb"}
+    dataloader: {patch_size: [16, 32, 32]}
+train:
+  optimization: {max_epochs: 1}
+""",
+    )
+    cfg = load_config(p, mode="train")
+    assert cfg.model.out_channels == 9
+    assert cfg.data.label_transform.targets[0].name == "affinity"
+    assert cfg.decoding.steps[0].name == "waterz"
+    assert cfg.inference.test_time_augmentation.ensemble_mode == "min"
+
+
+def test_explicit_value_beats_profile(tmp_path):
+    p = write(
+        tmp_path,
+        "over.yaml",
+        """
+experiment_name: over
+default:
+  pipeline_profile: binary
+  model:
+    arch: {type: rsunet}
+    out_channels: 2
+    input_size: [16, 32, 32]
+  data:
+    train: {image: "random://o/im", label: "random://o/lb"}
+    dataloader: {patch_size: [16, 32, 32]}
+train:
+  optimization: {max_epochs: 1}
+""",
+    )
+    cfg = load_config(p, mode="train")
+    assert cfg.model.out_channels == 2
+
+
+def test_cli_overrides(tmp_path):
+    p = write(tmp_path, "mini.yaml", MINIMAL)
+    cfg = load_config(p, mode="train", overrides=["optimization.max_epochs=9", "system.seed=7"])
+    assert cfg.optimization.max_epochs == 9
+    assert cfg.system.seed == 7
+
+
+def test_optimizer_profile(tmp_path):
+    p = write(
+        tmp_path,
+        "opt.yaml",
+        MINIMAL.replace(
+            "  optimization:",
+            "  optimization:\n    profile: warmup_cosine_lr",
+        ),
+    )
+    cfg = load_config(p, mode="train")
+    assert cfg.optimization.scheduler.name == "WarmupCosineLR"
+    # explicit lr wins over profile default
+    assert cfg.optimization.optimizer.lr == pytest.approx(1e-4)
+
+
+def test_config_hash_stable(tmp_path):
+    p = write(tmp_path, "mini.yaml", MINIMAL)
+    a = config_hash(load_config(p, mode="train"))
+    b = config_hash(load_config(p, mode="train"))
+    assert a == b and len(a) == 16
+    c = config_hash(load_config(p, mode="train", overrides=["system.seed=9"]))
+    assert c != a
+
+
+def test_to_dict_roundtrip(tmp_path):
+    p = write(tmp_path, "mini.yaml", MINIMAL)
+    cfg = load_config(p, mode="train")
+    d = to_dict(cfg)
+    assert d["model"]["input_size"] == [16, 32, 32]
+
+
+def test_validation_errors(tmp_path):
+    p = write(tmp_path, "bad.yaml", MINIMAL.replace("[16, 32, 32]", "[16, 32]", 1))
+    with pytest.raises(ConfigError):
+        load_config(p, mode="train")
+
+
+def test_num_gpus_alias(tmp_path):
+    p = write(tmp_path, "mini.yaml", MINIMAL + "\nsystem: {num_gpus: 1}\n")
+    cfg = load_config(p, mode="train")
+    assert cfg.system.num_devices == 1
+
+
+def test_reference_minimal_tutorial_loads():
+    """Our loader consumes the reference's own minimal tutorial YAML."""
+    import pathlib
+
+    ref = pathlib.Path("/root/reference/tutorials/minimal.yaml")
+    if not ref.exists():
+        pytest.skip("reference not mounted")
+    cfg = load_config(ref, mode="train")
+    assert cfg.model.arch.type == "monai_unet"
+    assert cfg.data.dataloader.patch_size == [32, 64, 64]
