@@ -1,0 +1,108 @@
+"""Instance segmentation -> affinity map targets.
+
+Reference: ``connectomics/data/processing/affinity.py`` (offset parsing :203,
+seg_to_affinity :408, valid mask :369, crop-pad math :275).
+
+Offsets are ``(dz, dy, dx)`` triples; string form ``"dz-dy-dx"`` as used by
+the reference label profiles. An affinity channel is 1 where the voxel and
+its offset neighbor share the same nonzero instance id.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple, Union
+
+import numpy as np
+
+Offset = Tuple[int, int, int]
+
+
+def parse_offsets(offsets: Sequence[Union[str, Sequence[int]]]) -> List[Offset]:
+    out: List[Offset] = []
+    for off in offsets:
+        if isinstance(off, str):
+            parts = off.replace("_", "-").split("-")
+            vals = [int(p) for p in parts if p != ""]
+            # handle negative components written as "--1" style (rare)
+            out.append(tuple(vals))  # type: ignore[arg-type]
+        else:
+            out.append(tuple(int(v) for v in off))  # type: ignore[arg-type]
+    return [o if len(o) == 3 else (0,) * (3 - len(o)) + o for o in out]
+
+
+def _shifted_pair(seg: np.ndarray, off: Offset) -> Tuple[np.ndarray, np.ndarray]:
+    """Views of (seg, seg shifted by off) over the overlapping region, plus
+    the slices locating that region in the full array."""
+    sl_a = []
+    sl_b = []
+    for d, o in enumerate(off):
+        n = seg.shape[d]
+        if o >= 0:
+            sl_a.append(slice(o, n))
+            sl_b.append(slice(0, n - o))
+        else:
+            sl_a.append(slice(0, n + o))
+            sl_b.append(slice(-o, n))
+    return seg[tuple(sl_a)], seg[tuple(sl_b)]
+
+
+def seg_to_affinity(
+    seg: np.ndarray,
+    offsets: Sequence[Union[str, Sequence[int]]],
+    affinity_mode: str = "deepem",
+    dtype=np.float32,
+) -> np.ndarray:
+    """Compute affinity channels, one per offset; shape ``(C, Z, Y, X)``.
+
+    ``deepem`` mode: affinity at voxel p for offset o is defined at position p
+    (the "high" end) and requires both endpoints nonzero and equal.
+    """
+    seg = np.asarray(seg)
+    if seg.ndim == 4:
+        seg = seg[0]
+    offs = parse_offsets(offsets)
+    aff = np.zeros((len(offs),) + seg.shape, dtype=dtype)
+    for c, off in enumerate(offs):
+        a, b = _shifted_pair(seg, off)
+        match = (a == b) & (a > 0)
+        sl_a = []
+        for d, o in enumerate(off):
+            n = seg.shape[d]
+            sl_a.append(slice(o, n) if o >= 0 else slice(0, n + o))
+        aff[(c,) + tuple(sl_a)] = match.astype(dtype)
+    return aff
+
+
+def affinity_valid_mask(
+    shape: Sequence[int], offsets: Sequence[Union[str, Sequence[int]]], dtype=np.float32
+) -> np.ndarray:
+    """Per-channel mask of positions where the offset neighbor exists
+    (reference ``affinity.py:369``)."""
+    offs = parse_offsets(offsets)
+    mask = np.zeros((len(offs),) + tuple(shape), dtype=dtype)
+    for c, off in enumerate(offs):
+        sl = []
+        for d, o in enumerate(off):
+            n = shape[d]
+            sl.append(slice(o, n) if o >= 0 else slice(0, n + o))
+        mask[(c,) + tuple(sl)] = 1.0
+    return mask
+
+
+def max_offset_pad(offsets: Sequence[Union[str, Sequence[int]]]) -> Tuple[int, int, int]:
+    """Per-axis maximum |offset| — the context margin needed so long-range
+    affinities at patch borders are correct (reference crop-pad math
+    ``affinity.py:275-344``)."""
+    offs = parse_offsets(offsets)
+    return tuple(int(max(abs(o[d]) for o in offs)) for d in range(3))  # type: ignore[return-value]
+
+
+def affinity_channel_groups(offsets: Sequence[Union[str, Sequence[int]]]) -> List[List[int]]:
+    """Group channel indices by offset magnitude (short/mid/long range),
+    used for visualization and ensemble configuration."""
+    offs = parse_offsets(offsets)
+    mags = [max(abs(v) for v in o) for o in offs]
+    groups: dict = {}
+    for i, m in enumerate(mags):
+        groups.setdefault(m, []).append(i)
+    return [groups[m] for m in sorted(groups)]

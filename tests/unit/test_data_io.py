@@ -1,0 +1,111 @@
+import numpy as np
+import pytest
+
+from pytorch_connectomics_tpu.data import (
+    RejectConfig,
+    VolumeDataset,
+    normalize_volume,
+    probe_volume,
+    read_volume,
+    save_volume,
+    split_volume,
+    synthetic_volume,
+)
+
+
+def test_h5_roundtrip(tmp_path):
+    vol = (np.random.rand(8, 16, 16) * 255).astype(np.uint8)
+    p = str(tmp_path / "v.h5")
+    save_volume(p, vol)
+    back = read_volume(p)
+    np.testing.assert_array_equal(vol, back)
+    shape, dtype = probe_volume(p)
+    assert shape == vol.shape and dtype == vol.dtype
+
+
+def test_h5_roi_read(tmp_path):
+    vol = np.arange(4 * 8 * 8, dtype=np.uint16).reshape(4, 8, 8)
+    p = str(tmp_path / "v.h5")
+    save_volume(p, vol)
+    roi = (slice(1, 3), slice(0, 4), slice(2, 6))
+    np.testing.assert_array_equal(read_volume(p, roi=roi), vol[roi])
+
+
+def test_h5_internal_path(tmp_path):
+    import h5py
+
+    p = str(tmp_path / "multi.h5")
+    with h5py.File(p, "w") as f:
+        f.create_dataset("vol_a", data=np.ones((2, 2, 2)))
+        f.create_dataset("vol_b", data=np.zeros((2, 2, 2)))
+    assert read_volume(p + ":vol_b").sum() == 0
+
+
+def test_zarr_roundtrip(tmp_path):
+    vol = np.random.rand(8, 16, 16).astype(np.float32)
+    p = str(tmp_path / "v.zarr")
+    save_volume(p, vol)
+    np.testing.assert_allclose(read_volume(p), vol)
+    shape, dtype = probe_volume(p)
+    assert shape == vol.shape
+
+
+def test_tiff_roundtrip(tmp_path):
+    vol = (np.random.rand(4, 16, 16) * 255).astype(np.uint8)
+    p = str(tmp_path / "v.tif")
+    save_volume(p, vol)
+    np.testing.assert_array_equal(read_volume(p), vol)
+
+
+def test_synthetic_deterministic():
+    a = synthetic_volume("foo", (8, 16, 16))
+    b = synthetic_volume("foo", (8, 16, 16))
+    np.testing.assert_array_equal(a, b)
+    lbl = synthetic_volume("foo_label", (8, 16, 16))
+    assert lbl.dtype == np.uint32
+
+
+def test_normalize_methods():
+    v = (np.random.rand(4, 8, 8) * 255).astype(np.uint8)
+    out = normalize_volume(v, "smart")
+    assert out.dtype == np.float32 and out.max() <= 1.0
+    z = normalize_volume(v, "zscore")
+    assert abs(float(z.mean())) < 1e-4
+
+
+def test_volume_dataset_sampling():
+    ds = VolumeDataset(
+        "random://ds/im?shape=32x64x64",
+        "random://ds/label?shape=32x64x64",
+        patch_size=(16, 32, 32),
+    )
+    rng = np.random.default_rng(0)
+    item = ds.sample(rng)
+    assert item["image"].shape == (1, 16, 32, 32)
+    assert item["label"].shape == (1, 16, 32, 32)
+    assert item["image"].dtype == np.float32
+
+
+def test_volume_dataset_pads_small_volume():
+    ds = VolumeDataset("random://small/im?shape=8x16x16", patch_size=(16, 32, 32))
+    item = ds.center()
+    assert item["image"].shape == (1, 16, 32, 32)
+
+
+def test_rejection_sampling_prefers_foreground():
+    ds = VolumeDataset(
+        "random://rej/im?shape=32x64x64",
+        "random://rej/label?shape=32x64x64",
+        patch_size=(8, 16, 16),
+        reject=RejectConfig(enabled=True, min_fg_ratio=0.01, max_attempts=50, prob=1.0),
+    )
+    rng = np.random.default_rng(1)
+    ratios = [(ds.sample(rng)["label"] > 0).mean() for _ in range(10)]
+    assert np.mean(ratios) > 0.005
+
+
+def test_split_volume():
+    vol = np.arange(100).reshape(100, 1, 1)
+    tr, va = split_volume(vol, axis=0, train_range=[0.0, 0.8])
+    assert tr.shape[0] == 80 and va.shape[0] == 20
+    assert va[0, 0, 0] == 80
