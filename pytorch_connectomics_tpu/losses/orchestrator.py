@@ -1,0 +1,191 @@
+"""Loss orchestrator: compiles the unified ``model.loss.losses`` list into a
+jit-safe callable with channel routing, spatial weights, masks, deep
+supervision, and multi-task balancing.
+
+Reference: ``connectomics/training/losses/orchestrator.py:54`` (channel
+routing :302-473, auto pos_weight :129-198, deep supervision :764-843) and
+``losses/plan.py:59-280`` slice selectors.
+
+All slicing is static (resolved at trace time from config strings), so the
+whole loss stack fuses into the backward pass under jit.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config.schema import LossConfig, LossTermConfig
+from ..utils.slicing import slice_channels
+from .zoo import auto_pos_weight, get_loss
+
+_PAIR_LOSSES = {"ContourDTConsistency"}  # losses taking (pred, pred2)
+
+
+@dataclass
+class CompiledTerm:
+    name: str
+    fn: Callable
+    weight: float
+    pred_slice: Optional[str]
+    target_slice: Optional[str]
+    pred2_slice: Optional[str]
+    mask_slice: Optional[str]
+    head: Optional[str]
+    auto_pos: bool
+    use_valid_mask: bool
+    kwargs: Dict[str, Any]
+
+
+class LossOrchestrator:
+    """Builds once from config; ``__call__(outputs, targets, mask, weight)``
+    returns ``(total, per_term_dict)`` — fully traceable."""
+
+    def __init__(self, loss_cfg: LossConfig):
+        self.cfg = loss_cfg
+        self.terms: List[CompiledTerm] = []
+        for i, t in enumerate(loss_cfg.losses):
+            kwargs = dict(t.kwargs or {})
+            extra = getattr(t, "extra", None) or {}
+            kwargs.update({k: v for k, v in extra.items()})
+            auto_pos = t.pos_weight == "auto"
+            if t.pos_weight is not None and not auto_pos:
+                kwargs["pos_weight"] = float(t.pos_weight)
+            self.terms.append(
+                CompiledTerm(
+                    name=f"{t.function}_{i}",
+                    fn=get_loss(t.function),
+                    weight=float(t.weight),
+                    pred_slice=t.pred_slice,
+                    target_slice=t.target_slice,
+                    pred2_slice=t.pred2_slice,
+                    mask_slice=t.mask_slice,
+                    head=t.head,
+                    auto_pos=auto_pos,
+                    use_valid_mask=t.use_valid_mask,
+                    kwargs=kwargs,
+                )
+            )
+        self.ds_weights = loss_cfg.ds_weights
+        self.ds_clamp = loss_cfg.ds_clamp
+
+    # -- single-scale ------------------------------------------------------
+
+    def _term_loss(self, term: CompiledTerm, pred, target, mask=None, weight=None):
+        p = slice_channels(pred, term.pred_slice)
+        t = slice_channels(target, term.target_slice)
+        m = None
+        if mask is not None:
+            m = mask if mask.shape[-1] == 1 else slice_channels(mask, term.pred_slice)
+        if term.mask_slice is not None:
+            m2 = slice_channels(target, term.mask_slice)
+            m = m2 if m is None else m * m2
+        w = None
+        if weight is not None:
+            w = weight if weight.shape[-1] == 1 else slice_channels(weight, term.pred_slice)
+        kwargs = dict(term.kwargs)
+        if term.auto_pos:
+            kwargs["pos_weight"] = auto_pos_weight(t, m)
+        if term.fn.__name__ in ("contour_consistency",) or "pred2_slice" == term.name:
+            p2 = slice_channels(pred, term.pred2_slice)
+            return term.fn(p, p2, weight=w, mask=m, **kwargs)
+        if term.pred2_slice is not None:
+            p2 = slice_channels(pred, term.pred2_slice)
+            return term.fn(p, p2, weight=w, mask=m, **kwargs)
+        return term.fn(p, t, weight=w, mask=m, **kwargs)
+
+    def compute(
+        self,
+        outputs: Any,
+        targets: Any,
+        mask: Optional[jnp.ndarray] = None,
+        weight: Optional[jnp.ndarray] = None,
+        balancer_params: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """``outputs``: array or dict (multi-head and/or ds_*);
+        ``targets``: array or dict keyed by head name."""
+        logs: Dict[str, jnp.ndarray] = {}
+        main_out, ds_outs = self._split_outputs(outputs)
+        term_losses = []
+        for term in self.terms:
+            pred = main_out[term.head] if (isinstance(main_out, dict)) else main_out
+            tgt = targets[term.head] if (isinstance(targets, dict) and term.head in targets) else (
+                targets["label"] if isinstance(targets, dict) else targets
+            )
+            value = self._term_loss(term, pred, tgt, mask, weight)
+            value = jnp.nan_to_num(value, nan=0.0, posinf=1e4, neginf=-1e4)
+            logs[f"loss_{term.name}"] = value
+            term_losses.append(value)
+
+        if balancer_params is not None and len(term_losses) > 1:
+            # Kendall uncertainty weighting: sum exp(-s_i) L_i + s_i
+            s = balancer_params[: len(term_losses)]
+            total = sum(
+                jnp.exp(-s[i]) * term.weight * L + 0.5 * s[i]
+                for i, (term, L) in enumerate(zip(self.terms, term_losses))
+            )
+        else:
+            total = sum(term.weight * L for term, L in zip(self.terms, term_losses))
+
+        if ds_outs:
+            ds_total = self._deep_supervision_loss(ds_outs, targets, mask, weight, logs)
+            total = total + ds_total
+        logs["loss_total"] = total
+        return total, logs
+
+    __call__ = compute
+
+    # -- deep supervision --------------------------------------------------
+
+    def _split_outputs(self, outputs):
+        if not isinstance(outputs, dict):
+            return outputs, {}
+        ds = {k: v for k, v in outputs.items() if k.startswith("ds_")}
+        main = {k: v for k, v in outputs.items() if not k.startswith("ds_")}
+        if set(main) == {"out"}:
+            return main["out"], ds
+        return main, ds
+
+    def _downsample_target(self, target, spatial):
+        """Average-pool targets to a DS scale (trace-safe, shapes static)."""
+        factors = [t // s for t, s in zip(target.shape[1:4], spatial)]
+        window = (1, *factors, 1)
+        summed = jax.lax.reduce_window(
+            target.astype(jnp.float32), 0.0, jax.lax.add, window, window, "VALID"
+        )
+        return summed / float(factors[0] * factors[1] * factors[2])
+
+    def _deep_supervision_loss(self, ds_outs, targets, mask, weight, logs):
+        """Multi-scale loss with per-scale weights (reference
+        ``orchestrator.py:764-843``); default weights 1/2^k, optional clamp."""
+        tgt = targets["label"] if isinstance(targets, dict) else targets
+        total = 0.0
+        keys = sorted(ds_outs, key=lambda k: int(k.split("_")[1]))
+        for k_i, key in enumerate(keys):
+            out = ds_outs[key]
+            w = (
+                self.ds_weights[k_i]
+                if self.ds_weights and k_i < len(self.ds_weights)
+                else 0.5 ** (k_i + 1)
+            )
+            t_small = self._downsample_target(tgt, out.shape[1:4])
+            m_small = self._downsample_target(mask, out.shape[1:4]) if mask is not None else None
+            scale_loss = 0.0
+            for term in self.terms:
+                if term.head is not None:
+                    continue  # per-head terms only on full-res heads
+                value = self._term_loss(term, out, t_small, m_small, None)
+                value = jnp.nan_to_num(value, nan=0.0, posinf=1e4, neginf=-1e4)
+                scale_loss = scale_loss + term.weight * value
+            if self.ds_clamp is not None:
+                scale_loss = jnp.clip(scale_loss, 0.0, self.ds_clamp)
+            logs[f"loss_{key}"] = scale_loss
+            total = total + w * scale_loss
+        return total
+
+    @property
+    def num_terms(self) -> int:
+        return len(self.terms)

@@ -1,0 +1,34 @@
+"""Model construction dispatch (reference ``models/build.py:24``)."""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.schema import ModelConfig
+from .registry import get_architecture
+
+# architecture modules self-register on import
+from . import rsunet as _rsunet  # noqa: F401
+from . import mednext as _mednext  # noqa: F401
+from . import unet3d as _unet3d  # noqa: F401
+
+
+def build_model(model_cfg: ModelConfig):
+    """ModelConfig -> flax Module."""
+    return get_architecture(model_cfg.arch.type)(model_cfg)
+
+
+def init_model(model, model_cfg: ModelConfig, rng: jax.Array, batch: int = 1):
+    """Initialize params with a dummy NDHWC input patch."""
+    z, y, x = model_cfg.input_size
+    dummy = jnp.zeros((batch, z, y, x, model_cfg.in_channels), jnp.float32)
+    # jit the whole init: one XLA program instead of per-op eager compiles
+    return jax.jit(model.init)(rng, dummy)
+
+
+def param_count(params) -> int:
+    return int(sum(np.prod(p.shape) for p in jax.tree.leaves(params)))

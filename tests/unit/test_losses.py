@@ -1,0 +1,166 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_connectomics_tpu.config.schema import LossConfig, build_dataclass
+from pytorch_connectomics_tpu.losses import LossOrchestrator, get_loss
+from pytorch_connectomics_tpu.losses.zoo import (
+    auto_pos_weight,
+    bce_with_logits,
+    dice_loss,
+    per_channel_bce,
+    smooth_l1_loss,
+    soft_cldice_loss,
+)
+from pytorch_connectomics_tpu.utils.slicing import parse_slice, slice_channels
+
+
+def rnd(shape, seed=0):
+    return jax.random.normal(jax.random.PRNGKey(seed), shape)
+
+
+SHAPE = (2, 4, 8, 8, 3)  # NDHWC
+
+
+def test_parse_slice():
+    assert parse_slice("0:1") == slice(0, 1)
+    assert parse_slice(":") == slice(None)
+    assert parse_slice("-1:") == slice(-1, None)
+    assert parse_slice("2") == slice(2, 3)
+    x = np.zeros((1, 2, 2, 2, 5))
+    assert slice_channels(x, "1:3").shape[-1] == 2
+    assert slice_channels(x, "-1:").shape[-1] == 1
+
+
+def test_bce_perfect_prediction_low():
+    t = jnp.ones((1, 2, 4, 4, 1))
+    good = bce_with_logits(jnp.full_like(t, 10.0), t)
+    bad = bce_with_logits(jnp.full_like(t, -10.0), t)
+    assert good < 1e-3 < bad
+
+
+def test_bce_pos_weight():
+    t = jnp.zeros((1, 2, 4, 4, 1)).at[0, 0, 0, 0, 0].set(1.0)
+    pw = auto_pos_weight(t)
+    assert pw > 1.0
+    l_w = bce_with_logits(jnp.zeros_like(t), t, pos_weight=pw)
+    l_nw = bce_with_logits(jnp.zeros_like(t), t)
+    assert l_w > l_nw
+
+
+def test_dice_bounds():
+    t = (rnd(SHAPE, 1) > 0).astype(jnp.float32)
+    perfect = dice_loss(t * 20.0 - 10.0, t, sigmoid=True)
+    assert perfect < 0.01
+    worst = dice_loss(-(t * 20.0 - 10.0), t, sigmoid=True)
+    assert worst > 0.9
+
+
+def test_masked_loss_ignores_invalid():
+    t = jnp.ones((1, 2, 4, 4, 1))
+    pred = jnp.full_like(t, 10.0)
+    # corrupt half the target but mask it out
+    t_bad = t.at[:, 0].set(0.0)
+    mask = jnp.ones_like(t).at[:, 0].set(0.0)
+    assert bce_with_logits(pred, t_bad, mask=mask) < 1e-3
+
+
+def test_per_channel_bce_runs():
+    p, t = rnd(SHAPE), (rnd(SHAPE, 2) > 0.5).astype(jnp.float32)
+    v = per_channel_bce(p, t)
+    assert jnp.isfinite(v)
+
+
+def test_smooth_l1_tanh():
+    p = rnd(SHAPE)
+    t = jnp.tanh(p)
+    assert smooth_l1_loss(p, t, tanh=True) < 1e-6
+
+
+def test_soft_cldice_runs():
+    t = (rnd((1, 4, 8, 8, 1), 3) > 0.3).astype(jnp.float32)
+    v = soft_cldice_loss(t * 10 - 5, t, num_iters=2)
+    assert jnp.isfinite(v)
+
+
+def make_orch(losses):
+    cfg = build_dataclass(LossConfig, {"losses": losses})
+    return LossOrchestrator(cfg)
+
+
+def test_orchestrator_channel_routing():
+    orch = make_orch(
+        [
+            {"function": "WeightedBCEWithLogitsLoss", "weight": 1.0, "pred_slice": "0:1", "target_slice": "0:1"},
+            {"function": "WeightedMSELoss", "weight": 2.0, "kwargs": {"tanh": True}, "pred_slice": "2:3", "target_slice": "2:3"},
+        ]
+    )
+    pred = rnd(SHAPE)
+    tgt = (rnd(SHAPE, 5) > 0).astype(jnp.float32)
+    total, logs = orch(pred, tgt)
+    assert jnp.isfinite(total)
+    assert len([k for k in logs if k.startswith("loss_")]) == 3  # 2 terms + total
+
+
+def test_orchestrator_auto_pos_weight():
+    orch = make_orch(
+        [{"function": "WeightedBCEWithLogitsLoss", "pos_weight": "auto", "weight": 1.0}]
+    )
+    tgt = jnp.zeros((1, 4, 8, 8, 1)).at[0, 0, 0, 0, 0].set(1.0)
+    total, _ = orch(jnp.zeros_like(tgt), tgt)
+    assert jnp.isfinite(total)
+
+
+def test_orchestrator_deep_supervision():
+    orch = make_orch([{"function": "DiceLoss", "weight": 1.0, "kwargs": {"sigmoid": True}}])
+    out = {
+        "out": rnd((1, 8, 8, 8, 1)),
+        "ds_0": rnd((1, 4, 4, 4, 1), 7),
+    }
+    tgt = (rnd((1, 8, 8, 8, 1), 8) > 0).astype(jnp.float32)
+    total, logs = orch(out, tgt)
+    assert "loss_ds_0" in logs
+    assert jnp.isfinite(total)
+
+
+def test_orchestrator_multihead():
+    orch = make_orch(
+        [
+            {"function": "WeightedBCEWithLogitsLoss", "weight": 1.0, "head": "mask"},
+            {"function": "WeightedMSELoss", "weight": 1.0, "head": "sdt"},
+        ]
+    )
+    out = {"mask": rnd((1, 4, 8, 8, 1)), "sdt": rnd((1, 4, 8, 8, 1), 2)}
+    tgt = {
+        "mask": (rnd((1, 4, 8, 8, 1), 3) > 0).astype(jnp.float32),
+        "sdt": rnd((1, 4, 8, 8, 1), 4),
+    }
+    total, logs = orch(out, tgt)
+    assert jnp.isfinite(total)
+
+
+def test_orchestrator_jit_and_grad():
+    orch = make_orch([{"function": "DiceLoss", "kwargs": {"sigmoid": True}}])
+    tgt = (rnd(SHAPE, 9) > 0).astype(jnp.float32)
+
+    @jax.jit
+    def f(p):
+        return orch(p, tgt)[0]
+
+    g = jax.grad(f)(rnd(SHAPE))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_uncertainty_balancing():
+    orch = make_orch(
+        [
+            {"function": "WeightedBCEWithLogitsLoss", "weight": 1.0},
+            {"function": "DiceLoss", "weight": 1.0, "kwargs": {"sigmoid": True}},
+        ]
+    )
+    pred = rnd(SHAPE)
+    tgt = (rnd(SHAPE, 5) > 0).astype(jnp.float32)
+    s = jnp.zeros(2)
+    total, _ = orch(pred, tgt, balancer_params=s)
+    assert jnp.isfinite(total)

@@ -1,0 +1,107 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_connectomics_tpu.config.schema import ModelConfig, build_dataclass
+from pytorch_connectomics_tpu.models import build_model, init_model, list_architectures, param_count
+
+
+def make_cfg(arch, **kw):
+    d = {"arch": {"type": arch}, "in_channels": 1, "out_channels": 2, "input_size": [16, 32, 32]}
+    d.update(kw)
+    return build_dataclass(ModelConfig, d)
+
+
+def run_forward(cfg, shape=(1, 16, 32, 32, 1)):
+    model = build_model(cfg)
+    params = init_model(model, cfg, jax.random.PRNGKey(0))
+    x = jnp.zeros(shape, jnp.float32)
+    out = jax.jit(model.apply)(params, x)
+    return out, params
+
+
+def test_registry_lists_archs():
+    archs = list_architectures()
+    for name in ("rsunet", "mednext", "monai_unet", "monai_basic_unet", "monai_unetr"):
+        assert name in archs
+
+
+def test_rsunet_forward():
+    out, params = run_forward(make_cfg("rsunet", rsunet={"width": [8, 16, 32]}))
+    assert out.shape == (1, 16, 32, 32, 2)
+    assert out.dtype == jnp.float32
+    assert param_count(params) > 1000
+
+
+def test_rsunet_anisotropic_factors():
+    cfg = make_cfg("rsunet", rsunet={"width": [8, 16, 32], "down_factors": [[1, 2, 2], [2, 2, 2]]})
+    out, _ = run_forward(cfg)
+    assert out.shape == (1, 16, 32, 32, 2)
+
+
+def test_mednext_s_forward():
+    cfg = make_cfg("mednext", mednext={"size": "S", "kernel_size": 3})
+    out, params = run_forward(cfg)
+    assert out.shape == (1, 16, 32, 32, 2)
+
+
+def test_mednext_deep_supervision():
+    cfg = make_cfg(
+        "mednext",
+        mednext={"size": "custom", "base_channels": 8, "exp_ratio": 2, "block_counts": [1,1,1,1,1,1,1,1,1]},
+        loss={"deep_supervision": True, "losses": [{"function": "DiceLoss"}]},
+    )
+    out, _ = run_forward(cfg)
+    assert isinstance(out, dict)
+    assert out["out"].shape == (1, 16, 32, 32, 2)
+    assert "ds_0" in out and out["ds_0"].shape[1] == 8  # half resolution
+
+
+def test_mednext_multihead():
+    cfg = make_cfg(
+        "mednext",
+        mednext={
+            "size": "custom", "base_channels": 8, "exp_ratio": 2,
+            "block_counts": [1, 1, 1, 1, 1, 1, 1, 1, 1],
+            "heads": [
+                {"name": "mask", "out_channels": 1, "num_blocks": 1},
+                {"name": "aff", "out_channels": 3, "num_blocks": 1},
+            ],
+        },
+    )
+    out, _ = run_forward(cfg)
+    assert set(out) == {"mask", "aff"}
+    assert out["mask"].shape[-1] == 1 and out["aff"].shape[-1] == 3
+
+
+def test_monai_unet_forward():
+    cfg = make_cfg("monai_unet", monai={"filters": [8, 16, 32], "num_res_units": 1})
+    out, _ = run_forward(cfg)
+    assert out.shape == (1, 16, 32, 32, 2)
+
+
+def test_basic_unet_forward():
+    cfg = make_cfg("monai_basic_unet", monai={"features": [8, 8, 16, 32, 64, 8]})
+    out, _ = run_forward(cfg)
+    assert out.shape == (1, 16, 32, 32, 2)
+
+
+def test_unetr_forward():
+    cfg = make_cfg(
+        "monai_unetr",
+        input_size=[32, 32, 32],
+        monai={"patch_size": [16, 16, 16], "hidden_size": 64, "mlp_dim": 128, "num_heads": 4, "num_layers": 4, "feature_size": 8},
+    )
+    out, _ = run_forward(cfg, shape=(1, 32, 32, 32, 1))
+    assert out.shape == (1, 32, 32, 32, 2)
+
+
+def test_forward_is_jittable():
+    cfg = make_cfg("rsunet", rsunet={"width": [8, 16]})
+    model = build_model(cfg)
+    params = init_model(model, cfg, jax.random.PRNGKey(0))
+    fwd = jax.jit(lambda p, x: model.apply(p, x))
+    out = fwd(params, jnp.ones((2, 16, 32, 32, 1)))
+    assert out.shape == (2, 16, 32, 32, 2)
+    assert np.isfinite(np.asarray(out)).all()
