@@ -1,0 +1,197 @@
+"""Host data pipeline: config -> batched train/val iterators.
+
+Replaces the reference's torch DataLoader + worker processes
+(``training/lightning/data_factory.py:351``) with a threaded prefetch
+pipeline: numpy crop -> augment -> target-gen in a small thread pool, batches
+assembled NDHWC and handed to the training loop for ``device_put`` with the
+mesh sharding. Determinism: each step's sample draws from a
+``np.random.Generator`` seeded by ``(seed, step, slot)``.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ..config.schema import Config, DatasetSplitConfig
+from .augment import build_augmentation_fn
+from .datasets import (
+    LazyVolumeDataset,
+    RejectConfig,
+    VolumeDataset,
+)
+from .split import split_volume
+from .targets import build_target_fn
+
+
+def _reject_from_cfg(block) -> Optional[RejectConfig]:
+    if not block:
+        return None
+    return RejectConfig(
+        enabled=bool(block.get("enabled", True)),
+        min_fg_ratio=float(block.get("min_fg_ratio", 0.0)),
+        max_attempts=int(block.get("max_attempts", 20)),
+        prob=float(block.get("prob", 0.95)),
+    )
+
+
+def build_dataset(cfg: Config, split_cfg: DatasetSplitConfig, train: bool = True):
+    dl = cfg.data.dataloader
+    patch = tuple(dl.patch_size)
+    use_cache = dl.use_preloaded_cache_train if train else dl.use_preloaded_cache_val
+    reject = _reject_from_cfg(dl.reject_sampling)
+    if dl.use_lazy_zarr or not use_cache:
+        return LazyVolumeDataset(
+            split_cfg.image, split_cfg.label, patch,
+            normalize=cfg.data.preprocessing.normalize, reject=reject,
+        )
+    return VolumeDataset(
+        split_cfg.image,
+        split_cfg.label,
+        split_cfg.mask,
+        patch_size=patch,
+        normalize=cfg.data.preprocessing.normalize,
+        reject=reject,
+        transpose=split_cfg.transpose,
+    )
+
+
+def make_train_val_datasets(cfg: Config):
+    """Build train/val datasets, applying the axis-range split when val paths
+    are absent (reference ``data/datasets/split.py`` behavior)."""
+    train_ds = build_dataset(cfg, cfg.data.train, train=True)
+    if cfg.data.val.image:
+        val_ds = build_dataset(cfg, cfg.data.val, train=False)
+    elif cfg.data.split.enabled and isinstance(train_ds, VolumeDataset):
+        s = cfg.data.split
+        imgs, lbls = [], []
+        v_imgs, v_lbls = [], []
+        for i in range(train_ds.num_volumes):
+            t_im, v_im = split_volume(train_ds.images[i], s.axis, s.train_range, s.val_range)
+            imgs.append(t_im)
+            v_imgs.append(v_im)
+            if train_ds.labels[i] is not None:
+                t_lb, v_lb = split_volume(train_ds.labels[i], s.axis, s.train_range, s.val_range)
+                lbls.append(t_lb)
+                v_lbls.append(v_lb)
+        train_ds.images, train_ds.labels = imgs, lbls or [None] * len(imgs)
+        import copy
+
+        val_ds = copy.copy(train_ds)
+        val_ds.images, val_ds.labels = v_imgs, v_lbls or [None] * len(v_imgs)
+    else:
+        val_ds = None
+    return train_ds, val_ds
+
+
+class PatchPipeline:
+    """Assembles batches: sample -> augment -> target-gen -> NDHWC stack."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        seed: int = 0,
+        augment_cfg=None,
+        target_cfg=None,
+        num_threads: int = 4,
+        prefetch: int = 2,
+        train: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.seed = seed
+        self.train = train
+        self.augment = build_augmentation_fn(
+            augment_cfg if train else None,
+            sample_other=lambda rng: self.dataset.sample(rng),
+        )
+        self.target_fn = build_target_fn(target_cfg)
+        self.num_threads = max(1, num_threads)
+        self.prefetch = prefetch
+
+    def _make_sample(self, step: int, slot: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, 0 if self.train else 1, step, slot])
+        )
+        s = self.dataset.sample(rng)
+        if self.augment is not None:
+            s = self.augment(s, rng)
+        if self.target_fn is not None and "label" in s:
+            s["label"] = self.target_fn(s["label"])
+        return s
+
+    def make_batch(self, step: int) -> Dict[str, np.ndarray]:
+        samples = [self._make_sample(step, i) for i in range(self.batch_size)]
+        return self.collate(samples)
+
+    @staticmethod
+    def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+        """Stack and convert (C,Z,Y,X) -> (N,Z,Y,X,C)."""
+        out: Dict[str, np.ndarray] = {}
+        for k in samples[0]:
+            arr = np.stack([s[k] for s in samples])  # (N,C,Z,Y,X)
+            out[k] = np.ascontiguousarray(np.moveaxis(arr, 1, -1)).astype(np.float32)
+        return out
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self.iterate()
+
+    def iterate(self, start_step: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        """Threaded prefetch iterator: batches for steps start_step, ..."""
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            step = start_step
+            while not stop.is_set():
+                try:
+                    batch = self.make_batch(step)
+                except Exception as e:  # surfaces in consumer
+                    q.put(e)
+                    return
+                q.put(batch)
+                step += 1
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def build_pipelines(cfg: Config):
+    """Config -> (train PatchPipeline, val PatchPipeline | None)."""
+    train_ds, val_ds = make_train_val_datasets(cfg)
+    dl = cfg.data.dataloader
+    train_pipe = PatchPipeline(
+        train_ds,
+        dl.batch_size,
+        seed=cfg.system.seed,
+        augment_cfg=cfg.data.augmentation,
+        target_cfg=cfg.data.label_transform,
+        num_threads=cfg.system.num_workers,
+        prefetch=dl.prefetch,
+        train=True,
+    )
+    val_pipe = None
+    if val_ds is not None:
+        val_pipe = PatchPipeline(
+            val_ds,
+            dl.val_batch_size or dl.batch_size,
+            seed=cfg.system.seed,
+            augment_cfg=None,
+            target_cfg=cfg.data.label_transform,
+            num_threads=1,
+            prefetch=1,
+            train=False,
+        )
+    return train_pipe, val_pipe

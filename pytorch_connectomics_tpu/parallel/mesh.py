@@ -1,0 +1,48 @@
+"""Device mesh and sharding helpers.
+
+The reference's parallelism surface (SURVEY §2.11) maps to JAX as:
+- DDP training            -> batch sharded over the ``data`` mesh axis;
+                             XLA inserts the gradient psum over ICI.
+- TTA-variant sharding    -> variants split over ``data`` axis (tta.py).
+- Window-grid sharding    -> window batches sharded over ``data`` (window.py).
+- Independent shards      -> no mesh at all (runtime/sharding.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(mesh_axes: Optional[Dict[str, int]] = None, devices=None) -> Mesh:
+    """Build a Mesh from ``{axis: size}`` (e.g. ``{"data": 8}``)."""
+    devices = devices if devices is not None else jax.devices()
+    mesh_axes = dict(mesh_axes or {"data": len(devices)})
+    sizes = list(mesh_axes.values())
+    total = int(np.prod(sizes))
+    if total > len(devices):
+        raise ValueError(f"mesh {mesh_axes} needs {total} devices, have {len(devices)}")
+    dev_array = np.array(devices[:total]).reshape(sizes)
+    return Mesh(dev_array, tuple(mesh_axes))
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard leading (batch) dim over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data"):
+    """device_put a host batch with batch-dim sharding."""
+    s = batch_sharding(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m

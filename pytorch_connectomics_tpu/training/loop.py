@@ -1,0 +1,247 @@
+"""Trainer: the config-driven training engine.
+
+Replaces PyTorch Lightning (reference ``training/lightning/model.py:74`` +
+``trainer.py:38``) with a jitted train loop over a device mesh:
+- one XLA program per step (forward+loss+backward+optim+EMA),
+- batch sharded over the ``data`` mesh axis (DDP-equivalent, grads psum'd
+  over ICI by XLA),
+- host-side: threaded data pipeline, NaN detection, checkpoint top-k,
+  early stopping, ReduceLROnPlateau scale, JSONL metrics.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.loader import config_hash
+from ..config.schema import Config
+from ..data.pipeline import build_pipelines
+from ..losses.orchestrator import LossOrchestrator
+from ..models import build_model, init_model, param_count
+from ..parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
+from ..utils.logging import MetricsLogger
+from .checkpoint import CheckpointManager, apply_state_resets, check_config_hash
+from .optim import build_optimizer
+from .state import TrainState, create_train_state, make_train_step, make_val_step
+
+logger = logging.getLogger(__name__)
+
+
+class NaNError(RuntimeError):
+    pass
+
+
+class Trainer:
+    def __init__(self, cfg: Config, run_dir: str | Path = "outputs/run", mesh=None):
+        self.cfg = cfg
+        self.run_dir = Path(run_dir)
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.system.mesh)
+        self.model = build_model(cfg.model)
+        self.orchestrator = LossOrchestrator(cfg.model.loss)
+        self.steps_per_epoch = cfg.optimization.n_steps_per_epoch or 100
+        self.tx, self.schedule = build_optimizer(cfg.optimization, self.steps_per_epoch)
+        self.cfg_hash = config_hash(cfg)
+
+        rng = jax.random.PRNGKey(cfg.system.seed)
+        variables = init_model(self.model, cfg.model, rng)
+        params = variables["params"]
+        logger.info(
+            "model %s: %.2fM params", cfg.model.arch.type, param_count(params) / 1e6
+        )
+        balancing = cfg.model.loss.balancing.method
+        self.state = create_train_state(
+            params,
+            self.tx,
+            ema=cfg.monitor.ema.enabled,
+            num_balancer_terms=(self.orchestrator.num_terms if balancing == "uncertainty" else 0),
+        )
+        # shardings: state replicated, batch split on data axis
+        self._state_sharding = jax.tree.map(lambda _: replicated(self.mesh), self.state)
+        self._train_step = jax.jit(
+            make_train_step(
+                self.model.apply,
+                self.orchestrator,
+                self.tx,
+                ema_decay=cfg.monitor.ema.decay if cfg.monitor.ema.enabled else None,
+            ),
+            donate_argnums=(0,),
+        )
+        self._val_step = jax.jit(
+            make_val_step(self.model.apply, self.orchestrator, use_ema=cfg.monitor.ema.use_for_val)
+        )
+        self.ckpt = CheckpointManager(
+            self.run_dir / "checkpoints",
+            save_top_k=cfg.monitor.checkpoint.save_top_k,
+            monitor=cfg.monitor.checkpoint.monitor,
+            mode=cfg.monitor.checkpoint.mode,
+            save_last=cfg.monitor.checkpoint.save_last,
+        )
+        self.metrics_logger = MetricsLogger(self.run_dir, cfg.monitor.logging.backend)
+        self._plateau = cfg.optimization.scheduler.name == "ReduceLROnPlateau"
+        self._plateau_best = math.inf
+        self._plateau_bad = 0
+        self._es_best = math.inf if cfg.monitor.early_stopping.mode == "min" else -math.inf
+        self._es_bad = 0
+
+    # -- checkpoint resume -------------------------------------------------
+
+    def restore(
+        self,
+        path: str | Path,
+        reset_optimizer: bool = False,
+        reset_epoch: bool = False,
+    ) -> None:
+        fresh = self.state
+        restored = self.ckpt.restore(path, fresh)
+        meta = CheckpointManager.read_metadata(path)
+        check_config_hash(meta, self.cfg_hash)
+        self.state = apply_state_resets(restored, fresh, reset_optimizer, reset_epoch)
+        logger.info("restored checkpoint from %s (step %s)", path, int(self.state.step))
+
+    # -- training ----------------------------------------------------------
+
+    def fit(self, max_epochs: Optional[int] = None) -> Dict[str, float]:
+        cfg = self.cfg
+        max_epochs = max_epochs or cfg.optimization.max_epochs
+        train_pipe, val_pipe = build_pipelines(cfg)
+        scalar_every = int((cfg.monitor.logging.scalar or {}).get("loss_every_n_steps", 50))
+        b_shard = batch_sharding(self.mesh)
+        start_step = int(self.state.step)
+        start_epoch = start_step // self.steps_per_epoch
+        epoch_metrics: Dict[str, float] = {}
+        it = train_pipe.iterate(start_step)
+        last_t = time.time()
+        for epoch in range(start_epoch, max_epochs):
+            losses = []
+            for _ in range(self.steps_per_epoch):
+                batch = next(it)
+                batch = shard_batch(batch, self.mesh)
+                self.state, logs = self._train_step(self.state, batch)
+                step = int(self.state.step)
+                if step % scalar_every == 0 or step == 1:
+                    host_logs = {k: float(v) for k, v in logs.items()}
+                    self._check_finite(host_logs, step)
+                    now = time.time()
+                    host_logs["steps_per_sec"] = scalar_every / max(1e-6, now - last_t)
+                    host_logs["lr"] = float(self.schedule(step)) * float(self.state.lr_scale)
+                    last_t = now
+                    self.metrics_logger.log(step, host_logs, prefix="train_")
+                    logger.info(
+                        "epoch %d step %d loss %.4f (%.2f it/s)",
+                        epoch, step, host_logs.get("loss_total", float("nan")),
+                        host_logs["steps_per_sec"],
+                    )
+                    losses.append(host_logs.get("loss_total", float("nan")))
+                else:
+                    losses.append(None)
+            # epoch end: compute epoch loss from logged values
+            logged = [l for l in losses if l is not None]
+            epoch_loss = float(np.mean(logged)) if logged else float("nan")
+            epoch_metrics = {"train_loss_total_epoch": epoch_loss, "epoch": epoch}
+
+            if val_pipe is not None and (epoch + 1) % cfg.optimization.check_val_every_n_epoch == 0:
+                val_logs = self.validate(val_pipe)
+                epoch_metrics.update(val_logs)
+                self._plateau_update(val_logs.get("val_loss", epoch_loss))
+                if self._early_stop_update(val_logs):
+                    logger.info("early stopping at epoch %d", epoch)
+                    self._save_epoch(epoch, epoch_metrics)
+                    break
+            self.metrics_logger.log(int(self.state.step), epoch_metrics)
+            self._save_epoch(epoch, epoch_metrics)
+        return epoch_metrics
+
+    def _save_epoch(self, epoch: int, metrics: Dict[str, float]):
+        self.ckpt.save(
+            self.state,
+            epoch,
+            metrics,
+            metadata={"config_hash": self.cfg_hash, "step": int(self.state.step)},
+        )
+
+    def validate(self, val_pipe, num_batches: Optional[int] = None) -> Dict[str, float]:
+        cfg = self.cfg
+        n = num_batches or int(cfg.optimization.limit_val_batches or 4)
+        agg: Dict[str, list] = {}
+        # deterministic per-epoch val sampling (reference ValidationReseeding)
+        for i in range(n):
+            batch = val_pipe.make_batch(10_000_000 + i)
+            batch = shard_batch(batch, self.mesh)
+            logs = self._val_step(self.state, batch)
+            for k, v in logs.items():
+                agg.setdefault(k, []).append(float(v))
+        out = {k: float(np.mean(v)) for k, v in agg.items()}
+        self.metrics_logger.log(int(self.state.step), out)
+        logger.info("validation: %s", {k: round(v, 4) for k, v in out.items()})
+        return out
+
+    # -- host-side control logic -------------------------------------------
+
+    def _check_finite(self, logs: Dict[str, float], step: int):
+        """NaN/Inf guard (reference ``NaNDetectionCallback``,
+        ``callbacks.py:522-712``)."""
+        if not self.cfg.monitor.nan_detection:
+            return
+        bad = {k: v for k, v in logs.items() if not math.isfinite(v)}
+        if bad:
+            dump = self.run_dir / f"nan_diagnostics_step{step}.txt"
+            lines = [f"step {step}: non-finite {bad}"]
+            for path, leaf in jax.tree_util.tree_flatten_with_path(self.state.params)[0]:
+                arr = np.asarray(leaf)
+                if not np.isfinite(arr).all():
+                    lines.append(f"param {jax.tree_util.keystr(path)}: non-finite")
+            dump.write_text("\n".join(lines))
+            raise NaNError(f"non-finite loss at step {step}: {bad} (diagnostics: {dump})")
+
+    def _plateau_update(self, metric: float):
+        if not self._plateau:
+            return
+        s = self.cfg.optimization.scheduler
+        if metric < self._plateau_best - 1e-8:
+            self._plateau_best = metric
+            self._plateau_bad = 0
+        else:
+            self._plateau_bad += 1
+            if self._plateau_bad > s.patience:
+                self.state = self.state.replace(
+                    lr_scale=self.state.lr_scale * s.factor
+                )
+                self._plateau_bad = 0
+                logger.info("plateau: lr_scale -> %.2e", float(self.state.lr_scale))
+
+    def _early_stop_update(self, val_logs: Dict[str, float]) -> bool:
+        es = self.cfg.monitor.early_stopping
+        if not es.enabled:
+            return False
+        metric = val_logs.get(es.monitor)
+        if metric is None:
+            return False
+        if es.check_finite and not math.isfinite(metric):
+            return True
+        better = (
+            metric < self._es_best - es.min_delta
+            if es.mode == "min"
+            else metric > self._es_best + es.min_delta
+        )
+        if better:
+            self._es_best = metric
+            self._es_bad = 0
+            return False
+        self._es_bad += 1
+        return self._es_bad >= es.patience
+
+    @property
+    def inference_params(self):
+        """EMA params when enabled, else raw model params."""
+        if self.state.ema_params is not None and self.cfg.monitor.ema.use_for_val:
+            return self.state.ema_params
+        return self.state.params["model"]

@@ -1,0 +1,124 @@
+"""Train state pytree and the jitted train/val step factories.
+
+The whole step — forward, loss orchestration, backward, optimizer update,
+EMA — is one XLA program. Under a multi-device mesh the batch is sharded on
+the ``data`` axis and XLA inserts the gradient all-reduce over ICI (the
+DDP-equivalent; reference ``trainer.py:231-256``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..losses.orchestrator import LossOrchestrator
+from ..metrics.binary import binary_accuracy, dice_coefficient, jaccard_index
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Optional[Any] = None
+    lr_scale: jnp.ndarray = struct.field(default_factory=lambda: jnp.ones(()))
+    balancer: Optional[jnp.ndarray] = None
+
+
+def create_train_state(
+    params: Any,
+    tx: optax.GradientTransformation,
+    ema: bool = False,
+    num_balancer_terms: int = 0,
+) -> TrainState:
+    wrapped = {"model": params}
+    if num_balancer_terms:
+        wrapped["balancer"] = jnp.zeros((num_balancer_terms,), jnp.float32)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=wrapped,
+        opt_state=tx.init(wrapped),
+        ema_params=jax.tree.map(jnp.copy, params) if ema else None,
+        lr_scale=jnp.ones(()),
+        balancer=None,
+    )
+
+
+def make_train_step(
+    apply_fn: Callable,
+    orchestrator: LossOrchestrator,
+    tx: optax.GradientTransformation,
+    ema_decay: Optional[float] = None,
+) -> Callable:
+    """Returns ``train_step(state, batch) -> (state, logs)`` (pure, jittable).
+
+    ``batch``: {"image": NDHWC, "label": NDHWC, optional "mask"/"weight"}.
+    """
+
+    def loss_fn(params, batch):
+        out = apply_fn({"params": params["model"]}, batch["image"], train=True)
+        total, logs = orchestrator(
+            out,
+            batch.get("label"),
+            mask=batch.get("mask"),
+            weight=batch.get("weight"),
+            balancer_params=params.get("balancer"),
+        )
+        return total, logs
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        # host-controlled plateau factor multiplies the whole update
+        updates = jax.tree.map(lambda u: u * state.lr_scale, updates)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None and ema_decay is not None:
+            ema = jax.tree.map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                ema,
+                params["model"],
+            )
+        logs["grad_norm"] = optax.global_norm(grads)
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=params,
+                opt_state=opt_state,
+                ema_params=ema,
+            ),
+            logs,
+        )
+
+    return train_step
+
+
+def make_val_step(
+    apply_fn: Callable,
+    orchestrator: LossOrchestrator,
+    use_ema: bool = False,
+) -> Callable:
+    """Returns ``val_step(state, batch) -> logs`` with loss + binary metrics
+    (reference val metric set, ``model.py:916-987``)."""
+
+    def val_step(state: TrainState, batch) -> Dict[str, jnp.ndarray]:
+        params = state.ema_params if (use_ema and state.ema_params is not None) else state.params["model"]
+        out = apply_fn({"params": params}, batch["image"], train=False)
+        total, logs = orchestrator(
+            out, batch.get("label"), mask=batch.get("mask"), weight=batch.get("weight")
+        )
+        main = out["out"] if isinstance(out, dict) and "out" in out else out
+        if not isinstance(main, dict) and "label" in batch:
+            t = batch["label"]
+            c = min(main.shape[-1], t.shape[-1])
+            logs["val_jaccard"] = jaccard_index(main[..., :c], t[..., :c])
+            logs["val_dice"] = dice_coefficient(main[..., :c], t[..., :c])
+            logs["val_accuracy"] = binary_accuracy(main[..., :c], t[..., :c])
+        logs["val_loss"] = total
+        return logs
+
+    return val_step
