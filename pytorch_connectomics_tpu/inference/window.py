@@ -1,0 +1,337 @@
+"""Sliding-window inference engine — the TPU rewrite of the reference's
+``EagerSlidingWindowEngine`` (``connectomics/inference/window.py:530-683``).
+
+Design: the whole pass is ONE jitted XLA program per volume shape —
+value+weight accumulators live in HBM, window extraction is
+``dynamic_slice``, the model runs on ``sw_batch_size`` windows at a time
+(vmapped batch), and blended contributions are scattered back with
+read-modify-write ``dynamic_update_slice`` inside a ``lax.scan``. No
+host<->device traffic until the final normalized volume is fetched.
+
+Blending importance maps (constant / bump / gaussian / distance) follow
+``window.py:137-199``; dense grid with snap-to-edge follows ``window.py:92``
+and ``schema/inference.py:77``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.schema import SlidingWindowConfig
+
+
+# ---------------------------------------------------------------------------
+# window grid (host, static)
+# ---------------------------------------------------------------------------
+
+
+def compute_grid_1d(size: int, window: int, stride: int, snap: bool = True) -> List[int]:
+    """Window origins covering [0, size) (reference dense grid + snap-to-edge)."""
+    if size <= window:
+        return [0]
+    origins = list(range(0, size - window + 1, stride))
+    last = size - window
+    if origins[-1] != last:
+        if snap:
+            origins.append(last)
+        else:
+            origins.append(origins[-1] + stride)
+    return origins
+
+
+def compute_window_grid(
+    vol_shape: Sequence[int],
+    window: Sequence[int],
+    overlap: float = 0.5,
+    stride: Optional[Sequence[int]] = None,
+    snap: bool = True,
+) -> np.ndarray:
+    """All (z,y,x) window origins, shape (N, 3)."""
+    if stride is None:
+        stride = [max(1, int(round(w * (1.0 - overlap)))) for w in window]
+    axes = [
+        compute_grid_1d(s, w, st, snap)
+        for s, w, st in zip(vol_shape, window, stride)
+    ]
+    grid = np.array(
+        [(z, y, x) for z in axes[0] for y in axes[1] for x in axes[2]],
+        dtype=np.int32,
+    )
+    return grid
+
+
+def importance_map(
+    window: Sequence[int], blending: str = "bump", sigma_scale: float = 0.125
+) -> np.ndarray:
+    """Per-window blending weights (reference ``window.py:137-199``)."""
+    w = tuple(int(x) for x in window)
+    if blending in ("constant", "none"):
+        return np.ones(w, dtype=np.float32)
+    if blending in ("bump", "gaussian"):
+        axes = []
+        for n in w:
+            x = (np.arange(n) - (n - 1) / 2.0) / max(1.0, (n - 1) / 2.0)
+            sigma = max(sigma_scale * 2.0, 1e-3)
+            axes.append(np.exp(-0.5 * (x / sigma) ** 2))
+        m = functools.reduce(np.multiply.outer, axes).astype(np.float32)
+        return np.clip(m, 1e-4, None)
+    if blending == "distance":
+        from scipy import ndimage
+
+        core = np.zeros(w, dtype=np.uint8)
+        core[tuple(slice(1, -1) for _ in w)] = 1
+        d = ndimage.distance_transform_edt(core) + 1.0
+        return (d / d.max()).astype(np.float32)
+    raise ValueError(f"unknown blending '{blending}'")
+
+
+def pad_volume_to_roi(
+    vol: np.ndarray, window: Sequence[int], mode: str = "reflect"
+) -> Tuple[np.ndarray, List[Tuple[int, int]]]:
+    """Grow volume so every axis >= window (reference ``window.py:583-601``).
+    Works on (Z,Y,X) or (Z,Y,X,C)."""
+    spatial = vol.shape[:3]
+    pads = []
+    for s, w in zip(spatial, window):
+        need = max(0, w - s)
+        pads.append((need // 2, need - need // 2))
+    while len(pads) < vol.ndim:
+        pads.append((0, 0))
+    if any(p != (0, 0) for p in pads):
+        np_mode = {"reflect": "reflect", "replicate": "edge", "constant": "constant"}[mode]
+        vol = np.pad(vol, pads, mode=np_mode)
+    return vol, pads[:3]
+
+
+# ---------------------------------------------------------------------------
+# jitted engine
+# ---------------------------------------------------------------------------
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("apply_fn", "window", "sw_batch", "out_channels", "acc_dtype"),
+)
+def _sliding_window_device(
+    params,
+    volume,  # (Z, Y, X, Cin) f32
+    origins,  # (N, 3) int32, N multiple of sw_batch; duplicates allowed
+    imp,  # (wz, wy, wx, 1) f32
+    apply_fn: Callable,
+    window: Tuple[int, int, int],
+    sw_batch: int,
+    out_channels: int,
+    acc_dtype=jnp.float32,
+):
+    """One XLA program: scan over window batches, vmapped forward, blended
+    scatter-add into HBM accumulators."""
+    zyx = volume.shape[:3]
+    value = jnp.zeros(zyx + (out_channels,), acc_dtype)
+    weight = jnp.zeros(zyx + (1,), acc_dtype)
+    wz, wy, wx = window
+    n_batches = origins.shape[0] // sw_batch
+    batched_origins = origins.reshape(n_batches, sw_batch, 3)
+
+    def extract(origin):
+        return jax.lax.dynamic_slice(
+            volume, (origin[0], origin[1], origin[2], 0), (wz, wy, wx, volume.shape[3])
+        )
+
+    def body(carry, batch_orig):
+        value, weight = carry
+        windows = jax.vmap(extract)(batch_orig)  # (B, wz, wy, wx, Cin)
+        preds = apply_fn(params, windows)  # (B, wz, wy, wx, Cout) f32
+        preds = preds.astype(acc_dtype) * imp.astype(acc_dtype)
+
+        def scatter(i, vw):
+            value, weight = vw
+            o = batch_orig[i]
+            idx = (o[0], o[1], o[2], 0)
+            cur_v = jax.lax.dynamic_slice(value, idx, (wz, wy, wx, out_channels))
+            value = jax.lax.dynamic_update_slice(value, cur_v + preds[i], idx)
+            cur_w = jax.lax.dynamic_slice(weight, idx, (wz, wy, wx, 1))
+            weight = jax.lax.dynamic_update_slice(
+                weight, cur_w + imp.astype(acc_dtype), idx
+            )
+            return value, weight
+
+        value, weight = jax.lax.fori_loop(0, sw_batch, scatter, (value, weight))
+        return (value, weight), None
+
+    (value, weight), _ = jax.lax.scan(body, (value, weight), batched_origins)
+    return value, weight
+
+
+class SlidingWindowEngine:
+    """Host wrapper: grid planning, padding, device pass, normalization.
+
+    ``apply_fn(params, batch_ndhwc) -> batch_ndhwc`` is the model forward
+    (already closed over architecture); out_channels probed via eval_shape
+    (reference probe pass, ``window.py:611-630``).
+    """
+
+    def __init__(
+        self,
+        apply_fn: Callable,
+        window: Sequence[int],
+        overlap: float = 0.5,
+        stride: Optional[Sequence[int]] = None,
+        blending: str = "bump",
+        sigma_scale: float = 0.125,
+        sw_batch_size: int = 4,
+        padding_mode: str = "reflect",
+        snap_to_edge: bool = True,
+        border_mask: Optional[Sequence[int]] = None,
+        acc_dtype=jnp.float32,
+    ):
+        self.apply_fn = apply_fn
+        self.window = tuple(int(w) for w in window)
+        self.overlap = overlap
+        self.stride = stride
+        self.blending = blending
+        self.sw_batch = int(sw_batch_size)
+        self.padding_mode = padding_mode
+        self.snap = snap_to_edge
+        self.acc_dtype = acc_dtype
+        imp = importance_map(self.window, blending, sigma_scale)
+        if border_mask:
+            # zero a border band of each window (reference window.py:297)
+            bz, by, bx = border_mask
+            m = np.zeros_like(imp)
+            m[bz : imp.shape[0] - bz or None, by : imp.shape[1] - by or None, bx : imp.shape[2] - bx or None] = 1
+            imp = np.clip(imp * m, 1e-6, None)
+        self.imp = jnp.asarray(imp[..., None])
+
+    def probe_out_channels(self, params, in_channels: int) -> int:
+        x = jax.ShapeDtypeStruct((1, *self.window, in_channels), jnp.float32)
+        out = jax.eval_shape(lambda p, v: self.apply_fn(p, v), params, x)
+        return int(out.shape[-1])
+
+    def __call__(
+        self,
+        params,
+        volume: np.ndarray,
+        out_channels: Optional[int] = None,
+    ) -> np.ndarray:
+        """volume: (Z,Y,X) or (Z,Y,X,Cin) numpy/jnp -> (Z,Y,X,Cout) np.float32."""
+        vol = np.asarray(volume, dtype=np.float32)
+        if vol.ndim == 3:
+            vol = vol[..., None]
+        orig_shape = vol.shape[:3]
+        vol, pads = pad_volume_to_roi(vol, self.window, self.padding_mode)
+        grid = compute_window_grid(
+            vol.shape[:3], self.window, self.overlap, self.stride, self.snap
+        )
+        if out_channels is None:
+            out_channels = self.probe_out_channels(params, vol.shape[-1])
+        # pad origin list to sw_batch multiple with duplicate windows —
+        # idempotent thanks to weight normalization? no: duplicates add twice
+        # to both value and weight, so normalization still yields the mean.
+        n = grid.shape[0]
+        n_pad = _round_up(n, self.sw_batch)
+        if n_pad != n:
+            grid = np.concatenate([grid, np.repeat(grid[-1:], n_pad - n, axis=0)])
+        value, weight = _sliding_window_device(
+            params,
+            jnp.asarray(vol),
+            jnp.asarray(grid),
+            self.imp,
+            apply_fn=self.apply_fn,
+            window=self.window,
+            sw_batch=self.sw_batch,
+            out_channels=out_channels,
+            acc_dtype=self.acc_dtype,
+        )
+        out = (value / jnp.maximum(weight, 1e-8)).astype(jnp.float32)
+        out_np = np.asarray(out)
+        # remove grow-to-roi padding
+        sl = tuple(
+            slice(p[0], p[0] + s) for p, s in zip(pads, orig_shape)
+        )
+        return out_np[sl]
+
+    def predict_sharded(
+        self,
+        params,
+        volume: np.ndarray,
+        mesh,
+        out_channels: Optional[int] = None,
+    ) -> np.ndarray:
+        """Multi-device variant: shard the window grid over the ``data`` mesh
+        axis; each device accumulates its windows into replica-local
+        accumulators which are psum'd — the TPU equivalent of the reference's
+        rank-sharded windows + reduce-to-rank-0
+        (``inference/lazy.py:1104-1110``, ``lazy_distributed.py:78-160``)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        vol = np.asarray(volume, dtype=np.float32)
+        if vol.ndim == 3:
+            vol = vol[..., None]
+        orig_shape = vol.shape[:3]
+        vol, pads = pad_volume_to_roi(vol, self.window, self.padding_mode)
+        grid = compute_window_grid(
+            vol.shape[:3], self.window, self.overlap, self.stride, self.snap
+        )
+        if out_channels is None:
+            out_channels = self.probe_out_channels(params, vol.shape[-1])
+        n_dev = mesh.devices.size
+        n = grid.shape[0]
+        n_pad = _round_up(n, self.sw_batch * n_dev)
+        if n_pad != n:
+            grid = np.concatenate([grid, np.repeat(grid[-1:], n_pad - n, axis=0)])
+
+        apply_fn = self.apply_fn
+        window = self.window
+        sw_batch = self.sw_batch
+        acc_dtype = self.acc_dtype
+        imp = self.imp
+
+        def per_device(params, volume, origins):
+            value, weight = _sliding_window_device(
+                params, volume, origins, imp,
+                apply_fn=apply_fn, window=window, sw_batch=sw_batch,
+                out_channels=out_channels, acc_dtype=acc_dtype,
+            )
+            value = jax.lax.psum(value, "data")
+            weight = jax.lax.psum(weight, "data")
+            return value, weight
+
+        from jax import shard_map
+
+        sharded = shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P(), P(), P("data")),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+        value, weight = jax.jit(sharded)(params, jnp.asarray(vol), jnp.asarray(grid))
+        out = np.asarray((value / jnp.maximum(weight, 1e-8)).astype(jnp.float32))
+        sl = tuple(slice(p[0], p[0] + s) for p, s in zip(pads, orig_shape))
+        return out[sl]
+
+
+def make_engine(apply_fn, cfg: SlidingWindowConfig, input_size: Sequence[int]):
+    window = cfg.window_size or list(input_size)
+    return SlidingWindowEngine(
+        apply_fn,
+        window=window,
+        overlap=cfg.overlap,
+        stride=cfg.stride,
+        blending=cfg.blending,
+        sigma_scale=cfg.sigma_scale,
+        sw_batch_size=cfg.sw_batch_size,
+        padding_mode=cfg.padding_mode,
+        snap_to_edge=cfg.snap_to_edge,
+        border_mask=cfg.border_mask,
+    )

@@ -1,0 +1,208 @@
+"""Inference engine tests: window grid, blending, engine correctness with an
+identity model (reference technique: ``tests/benchmarks/..._identity_forward``),
+TTA variants, chunked-vs-whole equivalence oracle
+(reference ``tests/unit/test_chunked_inference.py:118``)."""
+
+import numpy as np
+import pytest
+
+from pytorch_connectomics_tpu.chunked import ResumeManifest, build_chunk_grid
+from pytorch_connectomics_tpu.config.schema import ChunkedConfig, TTAConfig, build_dataclass
+from pytorch_connectomics_tpu.inference import (
+    LazyVolumeAccessor,
+    SlidingWindowEngine,
+    TTAPredictor,
+    apply_channel_activations,
+    compute_window_grid,
+    ensemble,
+    enumerate_tta_variants,
+    run_chunked_inference,
+)
+from pytorch_connectomics_tpu.inference.window import importance_map
+
+
+def identity_apply(params, windows):
+    return windows  # (B,z,y,x,C) -> same
+
+
+def smooth_apply(params, windows):
+    # channel-expanding deterministic function: [x, 1-x]
+    import jax.numpy as jnp
+
+    return jnp.concatenate([windows, 1.0 - windows], axis=-1)
+
+
+def test_window_grid_covers_volume():
+    grid = compute_window_grid((10, 20, 20), (4, 8, 8), overlap=0.5)
+    assert grid.min() >= 0
+    # ensure last window reaches the edge (snap-to-edge)
+    assert (grid[:, 0] + 4).max() == 10
+    assert (grid[:, 1] + 8).max() == 20
+
+
+def test_importance_maps():
+    for mode in ("constant", "bump", "distance"):
+        m = importance_map((4, 8, 8), mode)
+        assert m.shape == (4, 8, 8)
+        assert m.min() > 0
+    bump = importance_map((5, 9, 9), "bump")
+    assert bump[2, 4, 4] == bump.max()  # centered peak
+
+
+def test_identity_engine_reconstructs_volume():
+    rng = np.random.default_rng(0)
+    vol = rng.random((12, 24, 24), dtype=np.float32)
+    eng = SlidingWindowEngine(identity_apply, (8, 16, 16), overlap=0.5, sw_batch_size=2)
+    out = eng(None, vol, out_channels=1)
+    assert out.shape == (12, 24, 24, 1)
+    np.testing.assert_allclose(out[..., 0], vol, atol=1e-5)
+
+
+def test_engine_pads_small_volume():
+    vol = np.random.rand(4, 8, 8).astype(np.float32)
+    eng = SlidingWindowEngine(identity_apply, (8, 16, 16), sw_batch_size=1)
+    out = eng(None, vol, out_channels=1)
+    assert out.shape == (4, 8, 8, 1)
+    np.testing.assert_allclose(out[..., 0], vol, atol=1e-5)
+
+
+def test_engine_multichannel_output():
+    vol = np.random.rand(8, 16, 16).astype(np.float32)
+    eng = SlidingWindowEngine(smooth_apply, (8, 16, 16), sw_batch_size=1)
+    out = eng(None, vol)
+    assert out.shape == (8, 16, 16, 2)
+    np.testing.assert_allclose(out[..., 0], vol, atol=1e-5)
+    np.testing.assert_allclose(out[..., 1], 1 - vol, atol=1e-5)
+
+
+def test_sharded_engine_matches_single():
+    from pytorch_connectomics_tpu.parallel import make_mesh
+
+    mesh = make_mesh({"data": 8})
+    vol = np.random.rand(12, 24, 24).astype(np.float32)
+    eng = SlidingWindowEngine(identity_apply, (8, 16, 16), overlap=0.5, sw_batch_size=1)
+    single = eng(None, vol, out_channels=1)
+    sharded = eng.predict_sharded(None, vol, mesh, out_channels=1)
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
+def test_tta_variant_enumeration():
+    vs = enumerate_tta_variants("all", rotation90=False)
+    assert len(vs) == 8
+    vs2 = enumerate_tta_variants(None)
+    assert len(vs2) == 1
+    vs3 = enumerate_tta_variants("xy")
+    assert len(vs3) == 4
+
+
+def test_tta_invertibility():
+    from pytorch_connectomics_tpu.inference.tta import apply_variant, invert_variant
+
+    vol = np.random.rand(4, 8, 8, 2).astype(np.float32)
+    for v in enumerate_tta_variants("all", rotation90=True):
+        if v["rot"] and vol.shape[1] != vol.shape[2]:
+            continue
+        np.testing.assert_allclose(invert_variant(apply_variant(vol, v), v), vol)
+
+
+def test_tta_predictor_identity_consistency():
+    """TTA over an equivariant (identity) model must equal the plain pass."""
+    vol = np.random.rand(8, 16, 16).astype(np.float32)
+    eng = SlidingWindowEngine(identity_apply, (8, 16, 16), sw_batch_size=1)
+    tta_cfg = build_dataclass(TTAConfig, {"enabled": True, "flip_axes": "all"})
+    pred = TTAPredictor(eng, tta_cfg).predict(None, vol, out_channels=1)
+    np.testing.assert_allclose(pred[..., 0], vol, atol=1e-4)
+
+
+def test_channel_activations():
+    x = np.array([[[[[0.0, 0.0]]]]], dtype=np.float32)
+    out = apply_channel_activations(x, [{"channels": "0:1", "activation": "sigmoid"},
+                                        {"channels": "1:2", "activation": "tanh"}])
+    assert out[0, 0, 0, 0, 0] == pytest.approx(0.5)
+    assert out[0, 0, 0, 0, 1] == pytest.approx(0.0)
+
+
+def test_ensemble_per_slice_modes():
+    a = np.zeros((2, 2, 2, 3)) + 1
+    b = np.zeros((2, 2, 2, 3)) + 3
+    out = ensemble([a, b], [["0:1", "min"], ["1:2", "max"], ["2:3", "mean"]])
+    assert out[0, 0, 0, 0] == 1 and out[0, 0, 0, 1] == 3 and out[0, 0, 0, 2] == 2
+
+
+def test_lazy_accessor_padded_reads(tmp_path):
+    from pytorch_connectomics_tpu.data.io import save_volume
+
+    vol = (np.random.rand(8, 16, 16) * 255).astype(np.uint8)
+    p = str(tmp_path / "v.h5")
+    save_volume(p, vol)
+    acc = LazyVolumeAccessor(p, pad=(2, 2, 2))
+    assert acc.shape == (12, 20, 20)
+    win = acc.read((slice(0, 4), slice(0, 4), slice(0, 4)))
+    assert win.shape == (4, 4, 4)
+    # center region matches normalized source
+    np.testing.assert_allclose(win[2:, 2:, 2:], vol[:2, :2, :2] / 255.0, atol=1e-6)
+
+
+def test_chunk_grid_and_manifest(tmp_path):
+    chunks = build_chunk_grid((10, 20, 20), (8, 16, 16), halo=(2, 2, 2))
+    assert len(chunks) == 2 * 2 * 2
+    c = chunks[0]
+    assert c.read_start == (0, 0, 0)
+    assert c.read_stop == (10, 18, 18)
+    m = ResumeManifest(tmp_path / "m.json", {"cfg": 1})
+    m.mark_done(c.key)
+    m2 = ResumeManifest(tmp_path / "m.json", {"cfg": 1})
+    assert m2.is_done(c.key)
+    m3 = ResumeManifest(tmp_path / "m.json", {"cfg": 2})  # signature change
+    assert not m3.is_done(c.key)
+
+
+def test_chunked_matches_whole_volume(tmp_path):
+    """Equivalence oracle: chunked+halo result == whole-volume result
+    (reference test_chunked_inference.py:118)."""
+    from pytorch_connectomics_tpu.data.io import read_volume, save_volume
+
+    rng = np.random.default_rng(1)
+    vol = (rng.random((12, 32, 32)) * 255).astype(np.uint8)
+    src = str(tmp_path / "src.h5")
+    save_volume(src, vol)
+
+    eng = SlidingWindowEngine(identity_apply, (8, 16, 16), overlap=0.5, sw_batch_size=1)
+    pred_whole = TTAPredictor(eng).predict(None, vol / 255.0, out_channels=1)
+
+    acc = LazyVolumeAccessor(src)
+    out_path = run_chunked_inference(
+        TTAPredictor(eng),
+        None,
+        acc,
+        tmp_path / "pred.h5",
+        build_dataclass(ChunkedConfig, {"enabled": True, "chunk_size": [8, 16, 16], "halo": [2, 4, 4]}),
+        out_channels=1,
+    )
+    pred_chunked = read_volume(str(out_path))
+    assert pred_chunked.shape == (1, 12, 32, 32)
+    np.testing.assert_allclose(pred_chunked[0], pred_whole[..., 0], atol=1e-4)
+
+
+def test_chunked_resume_skips_done(tmp_path):
+    from pytorch_connectomics_tpu.data.io import save_volume
+
+    vol = (np.random.rand(8, 16, 16) * 255).astype(np.uint8)
+    src = str(tmp_path / "s.h5")
+    save_volume(src, vol)
+    eng = SlidingWindowEngine(identity_apply, (8, 16, 16), sw_batch_size=1)
+    cfg = build_dataclass(ChunkedConfig, {"enabled": True, "chunk_size": [8, 16, 16]})
+    pred = TTAPredictor(eng)
+    run_chunked_inference(pred, None, LazyVolumeAccessor(src), tmp_path / "o.h5", cfg, out_channels=1)
+    manifest = ResumeManifest(tmp_path / "o.h5.manifest.json", {})
+    assert len(manifest.completed) == 1
+
+
+def test_shard_chunk_selection():
+    from pytorch_connectomics_tpu.inference import select_chunks_for_shard
+
+    chunks = build_chunk_grid((16, 16, 16), (8, 8, 8))
+    s0 = select_chunks_for_shard(chunks, 0, 2)
+    s1 = select_chunks_for_shard(chunks, 1, 2)
+    assert len(s0) + len(s1) == len(chunks)
+    assert {c.key for c in s0} | {c.key for c in s1} == {c.key for c in chunks}
