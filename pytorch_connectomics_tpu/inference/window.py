@@ -313,7 +313,7 @@ class SlidingWindowEngine:
             mesh=mesh,
             in_specs=(P(), P(), P("data")),
             out_specs=(P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
         value, weight = jax.jit(sharded)(params, jnp.asarray(vol), jnp.asarray(grid))
         out = np.asarray((value / jnp.maximum(weight, 1e-8)).astype(jnp.float32))
