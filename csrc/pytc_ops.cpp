@@ -179,9 +179,11 @@ int64_t affinity_cc(const float* aff, int64_t Z, int64_t Y, int64_t X,
   const int64_t n = Z * Y * X;
   UnionFind uf(n);
   std::vector<uint8_t> fg(n, 0);
-  const float* az = aff;
+  // channel order follows the standard offset list [(0,0,1),(0,1,0),(1,0,0)]:
+  // aff[0] = x-edges, aff[1] = y-edges, aff[2] = z-edges (deepem high-end).
+  const float* ax = aff;
   const float* ay = aff + n;
-  const float* ax = aff + 2 * n;
+  const float* az = aff + 2 * n;
   for (int64_t z = 0; z < Z; ++z)
     for (int64_t y = 0; y < Y; ++y)
       for (int64_t x = 0; x < X; ++x) {
@@ -233,9 +235,11 @@ int64_t agglomerate_mean(const uint32_t* fragments, const float* aff,
     Edge& e = rag[((uint64_t)a << 32) | b];
     e.sum += v; e.cnt += 1;
   };
-  const float* az = aff;
+  // channel order follows the standard offset list [(0,0,1),(0,1,0),(1,0,0)]:
+  // aff[0] = x-edges, aff[1] = y-edges, aff[2] = z-edges (deepem high-end).
+  const float* ax = aff;
   const float* ay = aff + n;
-  const float* ax = aff + 2 * n;
+  const float* az = aff + 2 * n;
   for (int64_t z = 0; z < Z; ++z)
     for (int64_t y = 0; y < Y; ++y)
       for (int64_t x = 0; x < X; ++x) {

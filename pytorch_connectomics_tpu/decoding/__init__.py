@@ -1,0 +1,6 @@
+from .registry import get_decoder, list_decoders, register_decoder, run_graph, run_steps  # noqa: F401
+from . import decoders  # noqa: F401
+from .postprocess import apply_postprocessing, cc_instance_filter, remove_small_instances  # noqa: F401
+from .qc import QCReport, StreamingQCAccumulator, scan_affinity_quality  # noqa: F401
+from .stage import run_decoding_stage  # noqa: F401
+from .streamed import streamed_affinity_cc_decode  # noqa: F401

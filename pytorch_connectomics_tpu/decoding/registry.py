@@ -1,0 +1,106 @@
+"""Decoder registry + linear steps pipeline + DAG graph evaluator.
+
+Reference: ``connectomics/decoding/registry.py:41-176`` (name->fn registry),
+``decoding/pipeline.py:106-176`` (steps), ``decoding/graph.py`` (DAG).
+Decoders take ``(prediction (C,Z,Y,X) float32, **kwargs) -> labels (Z,Y,X)``
+or intermediate arrays; binary graph ops combine two inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+_DECODERS: Dict[str, Callable] = {}
+_GRAPH_OPS: Dict[str, Callable] = {}
+
+
+def register_decoder(name: str):
+    def deco(fn):
+        _DECODERS[name] = fn
+        return fn
+
+    return deco
+
+
+def register_graph_op(name: str):
+    def deco(fn):
+        _GRAPH_OPS[name] = fn
+        return fn
+
+    return deco
+
+
+def get_decoder(name: str) -> Callable:
+    if name not in _DECODERS:
+        raise KeyError(f"unknown decoder '{name}'; available: {sorted(_DECODERS)}")
+    return _DECODERS[name]
+
+
+def list_decoders() -> List[str]:
+    return sorted(_DECODERS)
+
+
+def run_steps(prediction: np.ndarray, steps: List[Any]) -> np.ndarray:
+    """Linear pipeline: each step's output feeds the next
+    (reference ``pipeline.py:106-176``)."""
+    out = prediction
+    for step in steps:
+        name = step.name if hasattr(step, "name") else step["name"]
+        kwargs = dict(getattr(step, "kwargs", None) or step.get("kwargs", {}) or {})
+        extra = getattr(step, "extra", None) or {}
+        kwargs.update({k: v for k, v in extra.items() if k not in ("name", "kwargs")})
+        out = get_decoder(name)(out, **kwargs)
+    return out
+
+
+def run_graph(inputs: Dict[str, np.ndarray], graph: Dict[str, Any]) -> np.ndarray:
+    """DAG evaluator: nodes {name: {op, inputs: [...], kwargs}} with one
+    ``output`` node name (reference ``decoding/graph.py``)."""
+    nodes = graph["nodes"]
+    output = graph.get("output") or list(nodes)[-1]
+    cache: Dict[str, np.ndarray] = dict(inputs)
+
+    def evaluate(name: str) -> np.ndarray:
+        if name in cache:
+            return cache[name]
+        spec = nodes[name]
+        op = spec.get("op") or spec.get("name")
+        args = [evaluate(i) for i in spec.get("inputs", [])]
+        kwargs = spec.get("kwargs", {}) or {}
+        fn = _DECODERS.get(op) or _GRAPH_OPS.get(op)
+        if fn is None:
+            raise KeyError(f"unknown graph op '{op}'")
+        cache[name] = fn(*args, **kwargs)
+        return cache[name]
+
+    return evaluate(output)
+
+
+# basic binary graph ops
+@register_graph_op("multiply")
+def _op_mul(a, b, **kw):
+    return a * b
+
+
+@register_graph_op("add")
+def _op_add(a, b, **kw):
+    return a + b
+
+
+@register_graph_op("threshold")
+def _op_threshold(a, threshold=0.5, **kw):
+    return (a > threshold).astype(np.float32)
+
+
+@register_graph_op("select_channels")
+def _op_select(a, channels="0:1", **kw):
+    from ..utils.slicing import parse_slice
+
+    return a[parse_slice(str(channels))]
+
+
+@register_graph_op("mask_apply")
+def _op_mask(a, mask, **kw):
+    return a * (mask > 0)

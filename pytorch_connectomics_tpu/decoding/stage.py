@@ -1,0 +1,50 @@
+"""Decoding stage orchestration for one volume
+(reference ``run_decoding_stage``, ``connectomics/decoding/stage.py:250``):
+QC mask -> steps or graph -> postprocessing."""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..config.schema import DecodingConfig
+from . import decoders  # noqa: F401 - registers built-ins
+from .postprocess import apply_postprocessing
+from .qc import scan_affinity_quality
+from .registry import run_graph, run_steps
+
+logger = logging.getLogger(__name__)
+
+
+def run_decoding_stage(
+    prediction: np.ndarray,
+    cfg: DecodingConfig,
+    extra_inputs: Optional[Dict[str, np.ndarray]] = None,
+) -> np.ndarray:
+    """prediction (C,Z,Y,X) or (Z,Y,X,C) -> decoded labels (Z,Y,X) uint32."""
+    pred = np.asarray(prediction, dtype=np.float32)
+    if pred.ndim == 3:
+        pred = pred[None]
+    elif pred.ndim == 4 and pred.shape[0] > pred.shape[-1]:
+        # assume channel-last input from inference: move to channel-first
+        pred = np.moveaxis(pred, -1, 0)
+    if cfg.qc.enabled:
+        mask, report = scan_affinity_quality(
+            pred, cfg.qc.z_mean_drift, cfg.qc.border_low_intensity
+        )
+        logger.info("QC: %s", report.to_markdown().replace("\n", " | "))
+        pred = pred * mask[None]
+    if cfg.graph:
+        inputs = {"prediction": pred}
+        inputs.update(extra_inputs or {})
+        labels = run_graph(inputs, cfg.graph)
+    elif cfg.steps:
+        labels = run_steps(pred, cfg.steps)
+    else:
+        from .decoders import decode_binary_cc
+
+        labels = decode_binary_cc(pred)
+    labels = apply_postprocessing(labels, cfg.postprocessing)
+    return np.asarray(labels)

@@ -1,0 +1,103 @@
+"""Skeleton construction from instance volumes — TEASAR-flavored
+approximation used for NERL/skeleton metrics when no precomputed skeletons
+exist.
+
+Reference pipeline uses kimimaro TEASAR (``metrics/skeleton_build.py``,
+``data/processing/distance.py:509``); here: subsample instance voxels on a
+stride grid, connect k-nearest neighbours weighted by euclidean distance
+penalized away from the EDT ridge, and keep the minimum spanning tree. This
+captures run-length topology for tube-like neurons, which is what ERL needs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy import ndimage, sparse
+from scipy.sparse.csgraph import minimum_spanning_tree
+
+
+@dataclass
+class Skeleton:
+    nodes: np.ndarray  # (N, 3) float voxel coords (z,y,x)
+    edges: np.ndarray  # (M, 2) int node indices
+
+    @property
+    def total_length(self) -> float:
+        if len(self.edges) == 0:
+            return 0.0
+        d = self.nodes[self.edges[:, 0]] - self.nodes[self.edges[:, 1]]
+        return float(np.linalg.norm(d, axis=1).sum())
+
+
+def skeletonize_instance(
+    mask: np.ndarray,
+    stride: Sequence[int] = (2, 4, 4),
+    anisotropy: Sequence[float] = (1.0, 1.0, 1.0),
+    max_nodes: int = 2000,
+) -> Optional[Skeleton]:
+    """Binary mask -> approximate centerline skeleton (MST over ridge-biased
+    subsamples)."""
+    coords = np.argwhere(mask)
+    if coords.shape[0] == 0:
+        return None
+    # stride-grid subsample, preferring high-EDT (central) voxels per cell
+    d = ndimage.distance_transform_edt(mask, sampling=anisotropy)
+    cell = (coords // np.asarray(stride)).astype(np.int64)
+    key = cell[:, 0] * 1_000_000 + cell[:, 1] * 1_000 + cell[:, 2]
+    order = np.argsort(key, kind="stable")
+    key_sorted = key[order]
+    coords_sorted = coords[order]
+    edt_sorted = d[tuple(coords_sorted.T)]
+    picks = []
+    start = 0
+    for end in np.flatnonzero(np.diff(key_sorted)).tolist() + [len(key_sorted) - 1]:
+        seg = slice(start, end + 1)
+        picks.append(coords_sorted[seg][np.argmax(edt_sorted[seg])])
+        start = end + 1
+    nodes = np.asarray(picks, dtype=np.float64)
+    if nodes.shape[0] > max_nodes:
+        sel = np.linspace(0, nodes.shape[0] - 1, max_nodes).astype(int)
+        nodes = nodes[sel]
+    if nodes.shape[0] == 1:
+        return Skeleton(nodes, np.zeros((0, 2), np.int64))
+    # kNN graph (euclidean, anisotropy-scaled)
+    scaled = nodes * np.asarray(anisotropy)
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(scaled)
+    k = min(8, nodes.shape[0])
+    dist, idx = tree.query(scaled, k=k)
+    rows, cols, vals = [], [], []
+    for i in range(nodes.shape[0]):
+        for j_pos in range(1, k):
+            j = idx[i, j_pos]
+            rows.append(i)
+            cols.append(j)
+            vals.append(dist[i, j_pos] + 1e-9)
+    graph = sparse.coo_matrix((vals, (rows, cols)), shape=(nodes.shape[0],) * 2)
+    mst = minimum_spanning_tree(graph).tocoo()
+    edges = np.stack([mst.row, mst.col], axis=1).astype(np.int64)
+    return Skeleton(nodes, edges)
+
+
+def skeletonize_volume(
+    labels: np.ndarray,
+    stride: Sequence[int] = (2, 4, 4),
+    anisotropy: Sequence[float] = (1.0, 1.0, 1.0),
+    min_voxels: int = 50,
+) -> Dict[int, Skeleton]:
+    """Instance volume -> {id: Skeleton} (kimimaro.skeletonize equivalent)."""
+    out: Dict[int, Skeleton] = {}
+    for iid in np.unique(labels):
+        if iid == 0:
+            continue
+        m = labels == iid
+        if m.sum() < min_voxels:
+            continue
+        sk = skeletonize_instance(m, stride, anisotropy)
+        if sk is not None and len(sk.edges):
+            out[int(iid)] = sk
+    return out

@@ -1,0 +1,165 @@
+"""Decoding + instance metrics tests against constructed fixtures."""
+
+import numpy as np
+import pytest
+
+from pytorch_connectomics_tpu.config.schema import DecodingConfig, build_dataclass
+from pytorch_connectomics_tpu.data.targets import seg_to_affinity
+from pytorch_connectomics_tpu.decoding import (
+    run_decoding_stage,
+    run_steps,
+    streamed_affinity_cc_decode,
+)
+from pytorch_connectomics_tpu.decoding.decoders import (
+    decode_affinity_cc,
+    decode_bcd_watershed,
+    decode_binary_cc,
+    decode_waterz,
+)
+from pytorch_connectomics_tpu.metrics import (
+    adapted_rand,
+    average_precision,
+    compute_nerl,
+    instance_matching,
+    voi,
+)
+
+
+def two_blob_gt(shape=(8, 24, 24)):
+    gt = np.zeros(shape, np.uint32)
+    gt[2:6, 2:10, 2:10] = 1
+    gt[2:6, 14:22, 14:22] = 2
+    return gt
+
+
+def gt_affinities(gt):
+    return seg_to_affinity(gt, ["0-0-1", "0-1-0", "1-0-0"])
+
+
+def test_binary_cc_decode():
+    gt = two_blob_gt()
+    pred = (gt > 0).astype(np.float32)[None]
+    seg = decode_binary_cc(pred, threshold=0.5)
+    assert len(np.unique(seg)) == 3  # bg + 2
+
+
+def test_affinity_cc_perfect_decode():
+    gt = two_blob_gt()
+    seg = decode_affinity_cc(gt_affinities(gt), threshold=0.5)
+    assert adapted_rand(seg, gt) < 1e-6
+
+
+def test_waterz_perfect_decode():
+    gt = two_blob_gt()
+    seg = decode_waterz(gt_affinities(gt), threshold=0.3, fragments="watershed")
+    # both instances recovered separately
+    m = instance_matching(seg, gt, iou_threshold=0.5)
+    assert m["f1"] == pytest.approx(1.0)
+
+
+def test_bcd_watershed_decode():
+    from pytorch_connectomics_tpu.data.targets import (
+        instance_boundary_mask,
+        instance_edt,
+        seg_to_binary,
+    )
+
+    gt = two_blob_gt()
+    pred = np.stack([
+        seg_to_binary(gt),
+        instance_boundary_mask(gt).astype(np.float32),
+        instance_edt(gt),
+    ])
+    seg = decode_bcd_watershed(pred, binary_threshold=0.8, boundary_threshold=0.8, seed_threshold=0.3)
+    m = instance_matching(seg, gt, iou_threshold=0.5)
+    assert m["f1"] == pytest.approx(1.0)
+
+
+def test_decoding_stage_with_steps_config():
+    gt = two_blob_gt()
+    cfg = build_dataclass(
+        DecodingConfig,
+        {
+            "enabled": True,
+            "steps": [{"name": "affinity_cc", "kwargs": {"threshold": 0.5}}],
+            "postprocessing": {"min_instance_size": 10},
+        },
+    )
+    seg = run_decoding_stage(gt_affinities(gt), cfg)
+    assert adapted_rand(seg, gt) < 1e-6
+
+
+def test_decoding_stage_channel_last_input():
+    gt = two_blob_gt()
+    aff_cl = np.moveaxis(gt_affinities(gt), 0, -1)  # (Z,Y,X,C) as inference emits
+    cfg = build_dataclass(
+        DecodingConfig,
+        {"enabled": True, "steps": [{"name": "affinity_cc", "kwargs": {"threshold": 0.5}}]},
+    )
+    seg = run_decoding_stage(aff_cl, cfg)
+    assert adapted_rand(seg, gt) < 1e-6
+
+
+def test_streamed_chunked_decode_matches_whole():
+    gt = two_blob_gt((8, 24, 24))
+    aff = gt_affinities(gt)
+
+    def reader(slices):
+        return aff[(slice(None),) + tuple(slices)]
+
+    whole = decode_affinity_cc(aff, 0.5)
+    stitched = streamed_affinity_cc_decode(reader, gt.shape, (8, 12, 12), threshold=0.5)
+    # same partition
+    assert adapted_rand(stitched, whole) < 1e-6
+
+
+def test_adapted_rand_properties():
+    gt = two_blob_gt()
+    assert adapted_rand(gt, gt) == pytest.approx(0.0, abs=1e-9)
+    merged = (gt > 0).astype(np.uint32)  # everything one instance
+    assert adapted_rand(merged, gt) > 0.2
+    # random labels are very bad
+    rng = np.random.default_rng(0)
+    rand = rng.integers(1, 50, gt.shape).astype(np.uint32)
+    assert adapted_rand(rand, gt) > adapted_rand(merged, gt) * 0.5
+
+
+def test_voi_split_merge_direction():
+    gt = two_blob_gt()
+    merged = (gt > 0).astype(np.uint32)
+    vs, vm = voi(merged, gt)
+    assert vm > 0.5 and vs == pytest.approx(0.0, abs=1e-9)
+    # over-segmentation: split each gt instance in two along z
+    split = gt.copy()
+    split[4:][split[4:] > 0] += 10
+    vs2, vm2 = voi(split, gt)
+    assert vs2 > 0.5 and vm2 == pytest.approx(0.0, abs=1e-9)
+
+
+def test_instance_matching_counts():
+    gt = two_blob_gt()
+    m = instance_matching(gt, gt)
+    assert m["tp"] == 2 and m["fp"] == 0 and m["fn"] == 0
+    assert m["f1"] == 1.0 and m["mean_matched_iou"] == pytest.approx(1.0)
+    missing = gt.copy()
+    missing[missing == 2] = 0
+    m2 = instance_matching(missing, gt)
+    assert m2["tp"] == 1 and m2["fn"] == 1
+
+
+def test_average_precision_perfect():
+    gt = two_blob_gt()
+    assert average_precision(gt, gt) == pytest.approx(1.0)
+
+
+def test_nerl_perfect_vs_split():
+    # a long tube along x
+    gt = np.zeros((4, 8, 64), np.uint32)
+    gt[1:3, 2:6, 4:60] = 1
+    perfect = compute_nerl(gt, gt)
+    assert perfect["nerl"] == pytest.approx(1.0, abs=0.05)
+    # split in the middle -> NERL drops roughly to half
+    split = gt.copy()
+    split[..., 32:][split[..., 32:] > 0] = 2
+    halved = compute_nerl(split, gt)
+    assert 0.2 < halved["nerl"] < 0.75

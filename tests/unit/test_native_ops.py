@@ -69,11 +69,12 @@ def test_watershed_two_basins():
 
 def test_affinity_cc_two_instances():
     # two segments along x joined internally, separated at x=4
+    # channel order: aff[0]=x, aff[1]=y, aff[2]=z (offsets [(0,0,1),(0,1,0),(1,0,0)])
     z, y, x = 2, 2, 8
     aff = np.zeros((3, z, y, x), np.float32)
-    aff[2, :, :, 1:4] = 1.0  # x-affinities inside segment A (voxels 0..3)
-    aff[2, :, :, 5:8] = 1.0  # inside segment B (voxels 4..7)
-    aff[0, 1] = 1.0  # z connectivity everywhere
+    aff[0, :, :, 1:4] = 1.0  # x-affinities inside segment A (voxels 0..3)
+    aff[0, :, :, 5:8] = 1.0  # inside segment B (voxels 4..7)
+    aff[2, 1] = 1.0  # z connectivity everywhere
     aff[1, :, 1] = 1.0  # y connectivity
     seg, n = affinity_connected_components(aff, 0.5)
     assert n == 2
@@ -87,11 +88,11 @@ def test_agglomerate_merges_high_affinity():
     frag[..., :4] = 1
     frag[..., 4:] = 2
     aff = np.ones((3, z, y, x), np.float32)
-    # boundary affinity between frag 1|2 at x=4 (x-channel at high end)
-    aff[2, :, :, 4] = 0.9
+    # boundary affinity between frag 1|2 at x=4 (x-channel 0 at high end)
+    aff[0, :, :, 4] = 0.9
     merged, n = agglomerate(frag, aff, threshold=0.5)
     assert n == 1
-    aff[2, :, :, 4] = 0.1
+    aff[0, :, :, 4] = 0.1
     split, n2 = agglomerate(frag, aff, threshold=0.5)
     assert n2 == 2
 
