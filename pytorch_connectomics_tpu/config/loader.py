@@ -78,14 +78,22 @@ def resolve_stages(raw: Dict[str, Any], mode: str) -> Dict[str, Any]:
     ``mode`` maps tune-test -> test for data purposes; the stage blocks are
     removed from the result.
     """
-    stage = {"train": "train", "test": "test", "tune": "tune", "tune-test": "test", "val": "train"}[mode]
+    # tune modes inherit the test stage's data paths, then the tune overlay
+    # (reference tune data fallback, ``runtime/tune_runner.py``)
+    stages = {
+        "train": ["train"],
+        "val": ["train"],
+        "test": ["test"],
+        "tune": ["test", "tune"],
+        "tune-test": ["test", "tune"],
+    }[mode]
     out = copy.deepcopy(raw)
     default_block = out.pop("default", None) or {}
     stage_blocks = {k: out.pop(k, None) or {} for k in ("train", "test", "tune")}
     top = {k: out.get(k) for k in _STAGE_SECTIONS if k in out}
 
     merged_sections: Dict[str, Any] = {}
-    for block in (default_block, stage_blocks.get(stage, {})):
+    for block in [default_block] + [stage_blocks.get(s, {}) for s in stages]:
         for key, value in block.items():
             if key not in _STAGE_SECTIONS:
                 raise ConfigError(f"unknown stage section '{key}'")

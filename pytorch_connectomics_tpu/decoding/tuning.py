@@ -1,0 +1,327 @@
+"""Decode-parameter tuning — self-contained replacement for the reference's
+Optuna integration (``connectomics/decoding/tuning/optuna_tuner.py:509``):
+search spaces over decoder/postprocessing params (float/int/categorical,
+log-scale), Random / Grid / TPE samplers, median pruning, single- and
+multi-objective scoring (adapted_rand, voi, nerl, jaccard, instance f1),
+per-trial timeout via subprocess, best-params YAML.
+
+TPE here is the standard two-density formulation (good/bad split by
+objective quantile, candidates scored by l(x)/g(x)) — the same algorithm
+family Optuna defaults to.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+import multiprocessing as mp
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config.schema import TuningConfig, TuningParamConfig
+from ..metrics import adapted_rand, compute_nerl, instance_matching, voi
+from ..metrics.binary import jaccard_index
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# search space
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Trial:
+    number: int
+    params: Dict[str, Any]
+    value: Optional[float] = None
+    state: str = "running"  # complete | failed | pruned
+    duration: float = 0.0
+
+
+class SearchSpace:
+    def __init__(self, params: Sequence[TuningParamConfig]):
+        self.params = list(params)
+
+    def sample_random(self, rng: np.random.Generator) -> Dict[str, Any]:
+        out = {}
+        for p in self.params:
+            if p.type == "categorical":
+                out[p.name] = p.choices[int(rng.integers(0, len(p.choices)))]
+            elif p.type == "int":
+                out[p.name] = int(rng.integers(int(p.low), int(p.high) + 1))
+            else:
+                if p.log:
+                    out[p.name] = float(
+                        math.exp(rng.uniform(math.log(p.low), math.log(p.high)))
+                    )
+                else:
+                    out[p.name] = float(rng.uniform(p.low, p.high))
+                if p.step:
+                    out[p.name] = round(out[p.name] / p.step) * p.step
+        return out
+
+    def grid(self, points_per_dim: int = 5) -> List[Dict[str, Any]]:
+        axes = []
+        for p in self.params:
+            if p.type == "categorical":
+                axes.append([(p.name, c) for c in p.choices])
+            elif p.type == "int":
+                vals = np.unique(np.linspace(p.low, p.high, points_per_dim).astype(int))
+                axes.append([(p.name, int(v)) for v in vals])
+            else:
+                if p.log:
+                    vals = np.exp(np.linspace(math.log(p.low), math.log(p.high), points_per_dim))
+                else:
+                    vals = np.linspace(p.low, p.high, points_per_dim)
+                axes.append([(p.name, float(v)) for v in vals])
+        import itertools
+
+        return [dict(combo) for combo in itertools.product(*axes)]
+
+
+class TPESampler:
+    """Tree-structured Parzen estimator (two-density l/g ratio)."""
+
+    def __init__(self, space: SearchSpace, seed: int = 0, gamma: float = 0.25, n_candidates: int = 24):
+        self.space = space
+        self.rng = np.random.default_rng(seed)
+        self.gamma = gamma
+        self.n_candidates = n_candidates
+
+    def suggest(self, history: List[Trial], minimize: bool = True) -> Dict[str, Any]:
+        done = [t for t in history if t.state == "complete" and t.value is not None]
+        if len(done) < max(5, 2 * len(self.space.params)):
+            return self.space.sample_random(self.rng)
+        values = np.array([t.value for t in done])
+        order = np.argsort(values if minimize else -values)
+        n_good = max(1, int(self.gamma * len(done)))
+        good = [done[i] for i in order[:n_good]]
+        bad = [done[i] for i in order[n_good:]]
+        candidates = [self.space.sample_random(self.rng) for _ in range(self.n_candidates)]
+        # mutate around good points too
+        for g in good[: self.n_candidates // 2]:
+            cand = dict(g.params)
+            for p in self.space.params:
+                if p.type in ("float", "int") and self.rng.random() < 0.7:
+                    width = (p.high - p.low) * 0.15
+                    v = float(cand[p.name]) + self.rng.normal(0, width)
+                    v = min(max(v, p.low), p.high)
+                    cand[p.name] = int(round(v)) if p.type == "int" else float(v)
+            candidates.append(cand)
+
+        def density(trials, cand):
+            logp = 0.0
+            for p in self.space.params:
+                if p.type == "categorical":
+                    counts = sum(1 for t in trials if t.params.get(p.name) == cand[p.name])
+                    logp += math.log((counts + 1) / (len(trials) + len(p.choices)))
+                else:
+                    xs = np.array([float(t.params[p.name]) for t in trials])
+                    bw = max((p.high - p.low) * 0.1, 1e-9)
+                    k = np.exp(-0.5 * ((cand[p.name] - xs) / bw) ** 2)
+                    logp += math.log(max(k.mean(), 1e-12))
+            return logp
+
+        scores = [density(good, c) - density(bad, c) for c in candidates]
+        return candidates[int(np.argmax(scores))]
+
+
+# ---------------------------------------------------------------------------
+# objective metrics
+# ---------------------------------------------------------------------------
+
+
+def compute_segmentation_metric(
+    metric: str, seg: np.ndarray, gt: np.ndarray
+) -> float:
+    """Reference ``_compute_segmentation_metric`` (``optuna_tuner.py:185``)."""
+    if metric == "adapted_rand":
+        return float(adapted_rand(seg, gt))
+    if metric == "voi":
+        vs, vm = voi(seg, gt)
+        return float(vs + vm)
+    if metric == "voi_split":
+        return float(voi(seg, gt)[0])
+    if metric == "voi_merge":
+        return float(voi(seg, gt)[1])
+    if metric == "nerl":
+        return float(compute_nerl(seg, gt)["nerl"])
+    if metric in ("instance_f1", "f1"):
+        return float(instance_matching(seg, gt)["f1"])
+    if metric == "jaccard":
+        return float(np.asarray(jaccard_index((seg > 0).astype(np.float32), (gt > 0).astype(np.float32), from_logits=False)))
+    raise ValueError(f"unknown tuning metric '{metric}'")
+
+
+# ---------------------------------------------------------------------------
+# tuner
+# ---------------------------------------------------------------------------
+
+
+def _set_nested(d: Dict[str, Any], dotted: str, value: Any):
+    from ..config.merge import set_path
+
+    set_path(d, dotted, value)
+
+
+def _trial_worker(queue, objective, params):
+    try:
+        queue.put(("ok", objective(params)))
+    except Exception as e:  # pragma: no cover
+        queue.put(("err", repr(e)))
+
+
+class DecodingTuner:
+    """Search decode params minimizing/maximizing a metric.
+
+    ``decode_fn(params_dict) -> labels`` is built by the caller from the
+    decoding config (dotted param names patch ``decoding.*`` paths, e.g.
+    ``steps.0.kwargs.threshold``).
+    """
+
+    def __init__(self, cfg: TuningConfig, objective: Callable[[Dict[str, Any]], float]):
+        self.cfg = cfg
+        self.objective = objective
+        self.space = SearchSpace(cfg.params)
+        self.minimize = cfg.direction != "maximize"
+        self.trials: List[Trial] = []
+        self._sampler = TPESampler(self.space, seed=cfg.seed) if cfg.sampler == "tpe" else None
+        self._grid: Optional[List[Dict[str, Any]]] = (
+            self.space.grid() if cfg.sampler == "grid" else None
+        )
+        self._rng = np.random.default_rng(cfg.seed)
+
+    def _suggest(self, i: int) -> Optional[Dict[str, Any]]:
+        if self._grid is not None:
+            return self._grid[i] if i < len(self._grid) else None
+        if self._sampler is not None:
+            return self._sampler.suggest(self.trials, self.minimize)
+        return self.space.sample_random(self._rng)
+
+    def _run_objective(self, params: Dict[str, Any]) -> float:
+        timeout = self.cfg.timeout_per_trial
+        if not timeout:
+            return float(self.objective(params))
+        # per-trial subprocess timeout (reference ``optuna_tuner.py:436-508``)
+        ctx = mp.get_context("fork")
+        q = ctx.Queue()
+        proc = ctx.Process(target=_trial_worker, args=(q, self.objective, params))
+        proc.start()
+        proc.join(timeout)
+        if proc.is_alive():
+            proc.terminate()
+            proc.join()
+            raise TimeoutError(f"trial exceeded {timeout}s")
+        status, payload = q.get_nowait()
+        if status == "err":
+            raise RuntimeError(payload)
+        return float(payload)
+
+    def optimize(self, n_trials: Optional[int] = None) -> Trial:
+        n = n_trials or self.cfg.n_trials
+        if self._grid is not None:
+            n = min(n, len(self._grid))
+        for i in range(n):
+            params = self._suggest(i)
+            if params is None:
+                break
+            trial = Trial(number=i, params=params)
+            t0 = time.time()
+            try:
+                trial.value = self._run_objective(params)
+                trial.state = "complete"
+            except Exception as e:
+                trial.state = "failed"
+                trial.value = math.inf if self.minimize else -math.inf
+                logger.warning("trial %d failed: %s", i, e)
+            trial.duration = time.time() - t0
+            self.trials.append(trial)
+            logger.info(
+                "trial %d/%d %s -> %s (%.1fs)", i + 1, n, params, trial.value, trial.duration
+            )
+        return self.best_trial
+
+    @property
+    def best_trial(self) -> Trial:
+        done = [t for t in self.trials if t.state == "complete"]
+        if not done:
+            raise RuntimeError("no completed trials")
+        key = (lambda t: t.value) if self.minimize else (lambda t: -t.value)
+        return min(done, key=key)
+
+    def save_study(self, path: str | Path):
+        """Persist trials + best params (reference best-params YAML,
+        ``output_naming.py:626-663``)."""
+        import yaml
+
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        best = self.best_trial
+        payload = {
+            "best_params": best.params,
+            "best_value": best.value,
+            "metric": self.cfg.metric,
+            "direction": self.cfg.direction,
+            "n_trials": len(self.trials),
+            "trials": [
+                {"number": t.number, "params": t.params, "value": t.value, "state": t.state}
+                for t in self.trials
+            ],
+        }
+        path.write_text(yaml.safe_dump(payload))
+        return path
+
+
+def load_best_params(path: str | Path) -> Dict[str, Any]:
+    """reference ``load_and_apply_best_params`` (``tune_runner.py:480``)."""
+    import yaml
+
+    return yaml.safe_load(Path(path).read_text())["best_params"]
+
+
+def make_decode_objective(
+    prediction: np.ndarray,
+    gt: np.ndarray,
+    decoding_cfg_dict: Dict[str, Any],
+    metric: str = "adapted_rand",
+) -> Callable[[Dict[str, Any]], float]:
+    """Builds the objective: patch decoding config with trial params (dotted
+    paths relative to ``decoding``), decode, score against GT."""
+    from ..config.schema import DecodingConfig, build_dataclass
+    from .stage import run_decoding_stage
+    import copy
+
+    def objective(params: Dict[str, Any]) -> float:
+        d = copy.deepcopy(decoding_cfg_dict)
+        for k, v in params.items():
+            _set_dotted_with_list_indices(d, k, v)
+        cfg = build_dataclass(DecodingConfig, d)
+        seg = run_decoding_stage(prediction, cfg)
+        return compute_segmentation_metric(metric, seg, gt)
+
+    return objective
+
+
+def _set_dotted_with_list_indices(d: Any, dotted: str, value: Any):
+    """set_path variant supporting numeric list indices (steps.0.kwargs.x)."""
+    parts = dotted.split(".")
+    node = d
+    for i, part in enumerate(parts[:-1]):
+        is_last = i == len(parts) - 2
+        if part.isdigit():
+            node = node[int(part)]
+        else:
+            if part not in node or node[part] is None:
+                node[part] = {}
+            node = node[part]
+    last = parts[-1]
+    if last.isdigit():
+        node[int(last)] = value
+    else:
+        node[last] = value

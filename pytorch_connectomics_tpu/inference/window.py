@@ -315,7 +315,13 @@ class SlidingWindowEngine:
             out_specs=(P(), P()),
             check_vma=False,
         )
-        value, weight = jax.jit(sharded)(params, jnp.asarray(vol), jnp.asarray(grid))
+        # place inputs on the mesh (params may arrive from a single device,
+        # e.g. right after checkpoint restore)
+        rep = NamedSharding(mesh, P())
+        params = jax.device_put(params, rep)
+        vol_dev = jax.device_put(jnp.asarray(vol), rep)
+        grid_dev = jax.device_put(jnp.asarray(grid), NamedSharding(mesh, P("data")))
+        value, weight = jax.jit(sharded)(params, vol_dev, grid_dev)
         out = np.asarray((value / jnp.maximum(weight, 1e-8)).astype(jnp.float32))
         sl = tuple(slice(p[0], p[0] + s) for p, s in zip(pads, orig_shape))
         return out[sl]

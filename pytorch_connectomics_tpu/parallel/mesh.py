@@ -46,3 +46,14 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data"):
 
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def fit_data_axis_to_batch(mesh_axes: Dict[str, int], batch_size: int, n_devices: int) -> Dict[str, int]:
+    """Shrink the ``data`` axis to the largest divisor of ``batch_size`` that
+    fits the device count, so per-device batches stay uniform (the reference
+    similarly auto-reduces devices vs work items, ``runtime/sharding.py:91``)."""
+    axes = dict(mesh_axes or {"data": n_devices})
+    want = min(axes.get("data", n_devices), n_devices)
+    d = max(k for k in range(1, want + 1) if batch_size % k == 0)
+    axes["data"] = d
+    return axes

@@ -1,0 +1,61 @@
+"""CLI argument parsing + config setup.
+
+Reference: ``parse_args``/``setup_config`` (``connectomics/runtime/cli.py:22,174``)
+— same flag surface: --config, --mode {train,test,tune,tune-test,val},
+--checkpoint, --fast-dev-run, --shard-id/--num-shards, selective resume
+resets, and trailing ``key=value`` overrides applied pre+post stage merge.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import List, Optional, Tuple
+
+from ..config.loader import load_config
+from ..config.schema import Config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="connectomics-tpu",
+        description="TPU-native connectomics: train / test / tune EM segmentation",
+    )
+    p.add_argument("--config", "-c", required=True, help="YAML config path")
+    p.add_argument(
+        "--mode",
+        default="train",
+        choices=["train", "val", "test", "tune", "tune-test"],
+    )
+    p.add_argument("--checkpoint", default=None, help="checkpoint to load/resume")
+    p.add_argument("--fast-dev-run", action="store_true", help="1 epoch x 2 steps smoke run")
+    p.add_argument("--shard-id", type=int, default=None)
+    p.add_argument("--num-shards", type=int, default=None)
+    p.add_argument("--reset-optimizer", action="store_true")
+    p.add_argument("--reset-epoch", action="store_true")
+    p.add_argument("--reset-scheduler", action="store_true")
+    p.add_argument("--reset-early-stopping", action="store_true")
+    p.add_argument("--output-dir", default=None, help="override run output dir")
+    p.add_argument("--best-params", default=None, help="tuned params YAML for tune-test")
+    p.add_argument(
+        "overrides",
+        nargs="*",
+        default=[],
+        help="dotted key=value config overrides",
+    )
+    return p
+
+
+def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
+    return build_parser().parse_args(argv)
+
+
+def setup_config(args: argparse.Namespace) -> Config:
+    cfg = load_config(args.config, overrides=args.overrides, mode=args.mode)
+    if args.shard_id is not None:
+        cfg.system.shard_id = args.shard_id
+        cfg.system.num_shards = args.num_shards or 1
+    if args.fast_dev_run:
+        cfg.optimization.max_epochs = 1
+        cfg.optimization.n_steps_per_epoch = 2
+        cfg.optimization.limit_val_batches = 1
+    return cfg

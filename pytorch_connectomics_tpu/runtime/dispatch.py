@@ -1,0 +1,107 @@
+"""Mode dispatch: build model/trainer, route train/test/tune/tune-test.
+
+Reference: ``dispatch_runtime`` (``connectomics/runtime/dispatch.py:264-406``)
+— run-dir layout (timestamped under save_path for train; checkpoint-derived
+for test/tune, ``checkpoint_dispatch.py``), seed, rank-0 logging.
+"""
+
+from __future__ import annotations
+
+import datetime
+import logging
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+
+from ..config.schema import Config
+from ..models import build_model
+from ..parallel.mesh import make_mesh
+from ..utils.logging import setup_logging
+from .cli import parse_args, setup_config
+from .sharding import detect_rank_world
+from .test_pipeline import run_test_pipeline
+from .tune_runner import apply_best_params, run_tuning
+
+logger = logging.getLogger(__name__)
+
+
+def setup_runtime_directories(cfg: Config, mode: str, args=None) -> Path:
+    """Timestamped ``<save_path>/<ts>/`` for train; ``<ckpt_dir>/../<mode>``
+    for test/tune (reference ``checkpoint_dispatch.py``)."""
+    if args is not None and getattr(args, "output_dir", None):
+        return Path(args.output_dir)
+    if mode == "train":
+        base = Path(cfg.save_path or f"outputs/{cfg.experiment_name}")
+        ts = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+        return base / ts
+    ckpt = getattr(args, "checkpoint", None) if args else None
+    if ckpt:
+        return Path(ckpt).resolve().parent.parent / mode
+    return Path(cfg.save_path or f"outputs/{cfg.experiment_name}") / mode
+
+
+def _load_params_for_inference(cfg: Config, trainer, checkpoint: Optional[str]):
+    if checkpoint:
+        trainer.restore(checkpoint)
+    return trainer.inference_params
+
+
+def dispatch_runtime(args=None) -> Dict[str, Any]:
+    if args is None:
+        args = parse_args()
+    rank, world = detect_rank_world()
+    setup_logging(rank)
+    cfg = setup_config(args)
+    mode = args.mode
+    run_dir = setup_runtime_directories(cfg, mode, args)
+    logger.info("mode=%s run_dir=%s devices=%d", mode, run_dir, jax.device_count())
+
+    from ..training.loop import Trainer
+
+    mesh = make_mesh(cfg.system.mesh)
+    results: Dict[str, Any] = {"mode": mode, "run_dir": str(run_dir)}
+
+    if mode in ("train", "val"):
+        trainer = Trainer(cfg, run_dir=run_dir, mesh=mesh)
+        if args.checkpoint:
+            trainer.restore(
+                args.checkpoint,
+                reset_optimizer=args.reset_optimizer,
+                reset_epoch=args.reset_epoch,
+            )
+        if mode == "train":
+            results["metrics"] = trainer.fit()
+        else:
+            from ..data.pipeline import build_pipelines
+
+            _, val_pipe = build_pipelines(cfg)
+            results["metrics"] = trainer.validate(val_pipe) if val_pipe else {}
+        return results
+
+    # test / tune paths: build model + restore params
+    trainer = Trainer(cfg, run_dir=run_dir, mesh=mesh)
+    params = _load_params_for_inference(cfg, trainer, args.checkpoint)
+    model = trainer.model
+
+    if mode == "test":
+        results["metrics"] = run_test_pipeline(
+            cfg, model, params, run_dir, args.checkpoint, mesh
+        )
+        return results
+    if mode == "tune":
+        results["best_params"] = str(
+            run_tuning(cfg, model, params, run_dir, args.checkpoint, mesh)
+        )
+        return results
+    if mode == "tune-test":
+        study = args.best_params or str(
+            run_tuning(cfg, model, params, run_dir, args.checkpoint, mesh)
+        )
+        cfg2 = apply_best_params(cfg, study)
+        results["metrics"] = run_test_pipeline(
+            cfg2, model, params, run_dir, args.checkpoint, mesh
+        )
+        results["best_params"] = study
+        return results
+    raise ValueError(f"unknown mode {mode}")

@@ -1,0 +1,151 @@
+"""Test pipeline: inference -> decode -> evaluate per test volume, with
+prediction caching and chunked-mode branch.
+
+Reference: ``run_test_step`` (``training/lightning/test_pipeline.py:489-1102``)
+— cache classification (:536), chunked branch (:688), whole-volume TTA
+prediction (:915), save intermediate (:993), decode (:1071), evaluate
+(:1081) — reorganized as a plain function over the jitted inference engines.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..config.loader import config_hash
+from ..config.schema import Config
+from ..data.io import read_volume
+from ..decoding.stage import run_decoding_stage
+from ..evaluation.stage import run_evaluation_stage
+from ..inference import (
+    InferenceManager,
+    LazyVolumeAccessor,
+    apply_prediction_transform,
+    run_chunked_inference,
+    save_prediction,
+    validate_prediction_cache,
+)
+from .output_naming import (
+    decoded_filename,
+    prediction_filename,
+    prediction_tag,
+    volume_name_from_path,
+)
+from .sharding import shard_paths
+
+logger = logging.getLogger(__name__)
+
+
+def _as_list(x):
+    if x is None:
+        return []
+    return list(x) if isinstance(x, (list, tuple)) else [x]
+
+
+def run_test_pipeline(
+    cfg: Config,
+    model,
+    params,
+    output_dir: str | Path,
+    checkpoint: Optional[str] = None,
+    mesh=None,
+    mode: str = "test",
+) -> Dict[str, Dict[str, float]]:
+    """Run inference (+decode +evaluate) over all test volumes.
+
+    Returns {volume_name: metrics}. In ``tune`` mode stops after caching raw
+    predictions (reference ``test_pipeline.py:1044-1056``).
+    """
+    out_dir = Path(output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    images = _as_list(cfg.data.test.image)
+    labels = _as_list(cfg.data.test.label)
+    images = shard_paths(images, cfg.system.shard_id, cfg.system.num_shards)
+    manager = InferenceManager(cfg, model, mesh=mesh)
+    cfg_hash = config_hash(cfg)
+    tag = prediction_tag(
+        checkpoint,
+        tta_passes=manager.predictor.num_variants,
+        head=cfg.inference.model.output_head,
+        channels=cfg.inference.model.select_channel,
+    )
+    all_metrics: Dict[str, Dict[str, float]] = {}
+
+    for vi, image_path in enumerate(images):
+        vol_name = volume_name_from_path(image_path)
+        pred_path = out_dir / prediction_filename(vol_name, tag)
+        dec_path = out_dir / decoded_filename(vol_name, tag)
+        t0 = time.time()
+
+        prediction = None
+        if validate_prediction_cache(pred_path, cfg_hash):
+            logger.info("cache hit: %s", pred_path)
+            prediction = read_volume(str(pred_path))
+            prediction = np.moveaxis(prediction, 0, -1)  # stored (C,Z,Y,X)
+        elif cfg.inference.chunked.enabled:
+            accessor = LazyVolumeAccessor(
+                image_path,
+                transpose=cfg.data.test.transpose,
+                pad=cfg.data.test.pad,
+                normalize=cfg.data.preprocessing.normalize,
+            )
+            run_chunked_inference(
+                manager.predictor,
+                params,
+                accessor,
+                pred_path,
+                cfg.inference.chunked,
+                shard_id=cfg.system.shard_id,
+                num_shards=cfg.system.num_shards,
+                signature={"config_hash": cfg_hash},
+            )
+            prediction = np.moveaxis(read_volume(str(pred_path)), 0, -1)
+        else:
+            from ..data.preprocess import normalize_volume
+
+            vol = read_volume(image_path)
+            if cfg.data.test.transpose:
+                vol = np.transpose(vol, cfg.data.test.transpose)
+            vol = normalize_volume(vol, cfg.data.preprocessing.normalize)
+            prediction = manager.predict(params, vol)  # (Z,Y,X,C)
+            if cfg.inference.output.save_raw:
+                stored = np.moveaxis(
+                    apply_prediction_transform(prediction, cfg.inference.output), -1, 0
+                )
+                save_prediction(
+                    pred_path, stored, cfg_hash, checkpoint or "", tag
+                )
+        infer_s = time.time() - t0
+        voxels = int(np.prod(prediction.shape[:3]))
+        logger.info(
+            "inference[%s]: %.1fs (%.2f Mvox/s)", vol_name, infer_s, voxels / max(infer_s, 1e-9) / 1e6
+        )
+        if mode == "tune":
+            all_metrics[vol_name] = {"cached": 1.0}
+            continue
+
+        decoded = None
+        if cfg.decoding.enabled and (cfg.decoding.steps or cfg.decoding.graph):
+            t1 = time.time()
+            decoded = run_decoding_stage(prediction, cfg.decoding)
+            logger.info("decode[%s]: %.1fs, %d instances", vol_name, time.time() - t1,
+                        len(np.unique(decoded)) - 1)
+            from ..data.io import save_volume
+
+            save_volume(str(dec_path), decoded.astype(np.uint32))
+
+        if cfg.evaluation.enabled and vi < len(labels):
+            gt = read_volume(labels[vi])
+            if cfg.data.test.transpose:
+                gt = np.transpose(gt, cfg.data.test.transpose)
+            metrics = run_evaluation_stage(
+                prediction, decoded, gt, cfg.evaluation, out_dir, vol_name
+            )
+            all_metrics[vol_name] = metrics
+        else:
+            all_metrics[vol_name] = {}
+    return all_metrics

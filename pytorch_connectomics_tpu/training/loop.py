@@ -44,7 +44,21 @@ class Trainer:
         self.cfg = cfg
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
-        self.mesh = mesh if mesh is not None else make_mesh(cfg.system.mesh)
+        if mesh is None:
+            from ..parallel.mesh import fit_data_axis_to_batch
+
+            axes = fit_data_axis_to_batch(
+                cfg.system.mesh, cfg.data.dataloader.batch_size, jax.device_count()
+            )
+            mesh = make_mesh(axes)
+        elif cfg.data.dataloader.batch_size % mesh.devices.size != 0:
+            from ..parallel.mesh import fit_data_axis_to_batch
+
+            axes = fit_data_axis_to_batch(
+                cfg.system.mesh, cfg.data.dataloader.batch_size, mesh.devices.size
+            )
+            mesh = make_mesh(axes)
+        self.mesh = mesh
         self.model = build_model(cfg.model)
         self.orchestrator = LossOrchestrator(cfg.model.loss)
         self.steps_per_epoch = cfg.optimization.n_steps_per_epoch or 100
