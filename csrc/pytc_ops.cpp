@@ -523,4 +523,84 @@ void edt_multilabel(const uint32_t* labels, int64_t Z, int64_t Y, int64_t X,
     out[i] = labels[i] ? std::sqrt(d[i]) : 0.0f;
 }
 
+
+// Constrained MALIS edge weights (Turaga/Funke): Kruskal maximin counting.
+// For each cardinal affinity edge, counts the voxel pairs whose maximin path
+// runs through it: pos_counts = same-GT-segment pairs (computed on the
+// positive-constrained graph min(aff, gt)), neg_counts = different-segment
+// pairs (negative pass max(aff, gt)). The caller applies the constrained
+// affinities itself and calls this twice with `count_pos` toggled.
+// aff: [3][z][y][x] channel order x,y,z (high-end convention);
+// seg: GT labels; out: per-edge pair counts (same layout as aff).
+void malis_counts(const float* aff, const uint32_t* seg, int64_t Z, int64_t Y,
+                  int64_t X, int count_pos, float* out) {
+  const int64_t n = Z * Y * X;
+  struct E { float w; int64_t i, j; int64_t out_idx; };
+  std::vector<E> edges;
+  edges.reserve(3 * n);
+  const float* ax = aff;
+  const float* ay = aff + n;
+  const float* az = aff + 2 * n;
+  for (int64_t z = 0; z < Z; ++z)
+    for (int64_t y = 0; y < Y; ++y)
+      for (int64_t x = 0; x < X; ++x) {
+        const int64_t i = idx3(z, y, x, Y, X);
+        if (x > 0) edges.push_back({ax[i], i, i - 1, i});
+        if (y > 0) edges.push_back({ay[i], i, i - X, n + i});
+        if (z > 0) edges.push_back({az[i], i, i - Y * X, 2 * n + i});
+      }
+  std::sort(edges.begin(), edges.end(),
+            [](const E& a, const E& b) { return a.w > b.w; });
+  UnionFind uf(n);
+  // per-root histogram of GT labels (small-to-large merging)
+  std::vector<std::unordered_map<uint32_t, int64_t>*> hist(n, nullptr);
+  auto get_hist = [&](uint32_t root) -> std::unordered_map<uint32_t, int64_t>* {
+    if (!hist[root]) {
+      hist[root] = new std::unordered_map<uint32_t, int64_t>();
+      (*hist[root])[seg[root]] = 1;
+    }
+    return hist[root];
+  };
+  std::memset(out, 0, 3 * n * sizeof(float));
+  for (auto& e : edges) {
+    uint32_t ra = uf.find((uint32_t)e.i), rb = uf.find((uint32_t)e.j);
+    if (ra == rb) continue;
+    auto* ha = get_hist(ra);
+    auto* hb = get_hist(rb);
+    // count pairs across the two components
+    double pairs = 0.0;
+    if (count_pos) {
+      for (auto& kv : *ha) {
+        if (kv.first == 0) continue;
+        auto it = hb->find(kv.first);
+        if (it != hb->end()) pairs += (double)kv.second * it->second;
+      }
+    } else {
+      int64_t ta = 0, tb = 0;
+      for (auto& kv : *ha) if (kv.first) ta += kv.second;
+      for (auto& kv : *hb) if (kv.first) tb += kv.second;
+      double same = 0.0;
+      for (auto& kv : *ha) {
+        if (kv.first == 0) continue;
+        auto it = hb->find(kv.first);
+        if (it != hb->end()) same += (double)kv.second * it->second;
+      }
+      pairs = (double)ta * tb - same;
+    }
+    out[e.out_idx] = (float)pairs;
+    // merge histograms small-to-large, then keep exactly one map alive
+    uf.unite(ra, rb);
+    uint32_t keep = uf.find(ra);
+    auto* hk = ha;
+    auto* hg = hb;
+    if (hg->size() > hk->size()) std::swap(hk, hg);
+    for (auto& kv : *hg) (*hk)[kv.first] += kv.second;
+    delete hg;
+    hist[ra] = nullptr;
+    hist[rb] = nullptr;
+    hist[keep] = hk;
+  }
+  for (auto* h : hist) delete h;
+}
+
 }  // extern "C"

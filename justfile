@@ -1,0 +1,37 @@
+# Task runner (reference justfile:95-118 recipe surface, TPU edition).
+
+# run the fast test suite
+test:
+    python -m pytest tests/ -x -q
+
+# train a config:  just train tutorials/mito_lucchi.yaml [extra overrides...]
+train config *args:
+    python scripts/main.py --config {{config}} --mode train {{args}}
+
+# test/inference:  just test-model tutorials/mito_lucchi.yaml ckpt [args...]
+test-model config checkpoint *args:
+    python scripts/main.py --config {{config}} --mode test --checkpoint {{checkpoint}} {{args}}
+
+# decode-parameter tuning
+tune config checkpoint *args:
+    python scripts/main.py --config {{config}} --mode tune --checkpoint {{checkpoint}} {{args}}
+
+tune-test config checkpoint *args:
+    python scripts/main.py --config {{config}} --mode tune-test --checkpoint {{checkpoint}} {{args}}
+
+# quick smoke run (1 epoch x 2 steps)
+dev config:
+    python scripts/main.py --config {{config}} --mode train --fast-dev-run
+
+# independent-shard inference across N processes (no comm; reference sharding.py:212)
+shard config checkpoint shard_id num_shards:
+    python scripts/main.py --config {{config}} --mode test --checkpoint {{checkpoint}} \
+        --shard-id {{shard_id}} --num-shards {{num_shards}}
+
+# build the native C++ ops library
+native:
+    g++ -O3 -march=native -shared -fPIC -std=c++17 csrc/pytc_ops.cpp -o csrc/libpytc_ops.so
+
+# benchmark sliding-window throughput on the local chip
+bench:
+    python bench.py

@@ -250,7 +250,14 @@ def gan_loss(pred, target, weight=None, mask=None, mode="lsgan", **kw):
     return bce_with_logits(p, t)
 
 
+def _malis_entry(pred, target, weight=None, mask=None, **kw):
+    from .malis import malis_loss
+
+    return malis_loss(pred, target, weight, mask, **kw)
+
+
 LOSS_REGISTRY: Dict[str, Callable] = {
+    "MalisLoss": _malis_entry,
     "WeightedBCEWithLogitsLoss": bce_with_logits,
     "BCEWithLogitsLoss": bce_with_logits,
     "PerChannelBCEWithLogitsLoss": per_channel_bce,
