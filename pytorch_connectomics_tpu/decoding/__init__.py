@@ -4,3 +4,5 @@ from .postprocess import apply_postprocessing, cc_instance_filter, remove_small_
 from .qc import QCReport, StreamingQCAccumulator, scan_affinity_quality  # noqa: F401
 from .stage import run_decoding_stage  # noqa: F401
 from .streamed import streamed_affinity_cc_decode  # noqa: F401
+from . import branch  # noqa: F401 - registers branch decoders
+from .tuning import DecodingTuner, load_best_params, make_decode_objective  # noqa: F401

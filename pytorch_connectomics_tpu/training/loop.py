@@ -172,7 +172,34 @@ class Trainer:
                     break
             self.metrics_logger.log(int(self.state.step), epoch_metrics)
             self._save_epoch(epoch, epoch_metrics)
+            self._maybe_visualize(epoch, val_pipe or train_pipe)
         return epoch_metrics
+
+    def _maybe_visualize(self, epoch: int, pipe) -> None:
+        """Slice-grid PNG dumps every N epochs (reference
+        ``VisualizationCallback``, ``callbacks.py:167``)."""
+        images_cfg = self.cfg.monitor.logging.images or {}
+        every = int(images_cfg.get("log_every_n_epochs", 0))
+        if not every or (epoch + 1) % every != 0 or pipe is None:
+            return
+        try:
+            from .visualizer import save_visualization
+
+            batch = pipe.make_batch(20_000_000 + epoch)
+            out = self.model.apply(
+                {"params": self.state.params["model"]},
+                jax.device_put(batch["image"]),
+                train=False,
+            )
+            if isinstance(out, dict):
+                out = out.get("out", next(iter(out.values())))
+            save_visualization(
+                self.run_dir, int(self.state.step), batch, np.asarray(out),
+                num_slices=int(images_cfg.get("num_slices", 2)),
+                max_images=int(images_cfg.get("max_images", 4)),
+            )
+        except Exception as e:  # visualization must never kill training
+            logger.warning("visualization failed: %s", e)
 
     def _save_epoch(self, epoch: int, metrics: Dict[str, float]):
         self.ckpt.save(
