@@ -362,6 +362,9 @@ class AugmentationConfig:
 
     profile: Optional[str] = None
     enabled: bool = True
+    # run geometric/intensity/EM-artifact transforms inside the jitted train
+    # step on TPU instead of host threads (ops/augment_jax.py)
+    on_device: bool = False
     flip: Optional[Dict[str, Any]] = None
     rotate: Optional[Dict[str, Any]] = None
     transpose: Optional[Dict[str, Any]] = None

@@ -172,11 +172,14 @@ def build_pipelines(cfg: Config):
     """Config -> (train PatchPipeline, val PatchPipeline | None)."""
     train_ds, val_ds = make_train_val_datasets(cfg)
     dl = cfg.data.dataloader
+    # when augmentation runs on-device inside the train step, the host
+    # pipeline skips it (ops/augment_jax.py)
+    host_aug = None if cfg.data.augmentation.on_device else cfg.data.augmentation
     train_pipe = PatchPipeline(
         train_ds,
         dl.batch_size,
         seed=cfg.system.seed,
-        augment_cfg=cfg.data.augmentation,
+        augment_cfg=host_aug,
         target_cfg=cfg.data.label_transform,
         num_threads=cfg.system.num_workers,
         prefetch=dl.prefetch,

@@ -80,12 +80,31 @@ class Trainer:
         )
         # shardings: state replicated, batch split on data axis
         self._state_sharding = jax.tree.map(lambda _: replicated(self.mesh), self.state)
+        augment_fn = None
+        if cfg.data.augmentation.on_device:
+            # geometric device augs run AFTER host target generation, which is
+            # only sound for isotropic-per-channel targets (binary/EDT/SDT);
+            # affinity/LSD/flow channels change meaning under flips.
+            flip_safe = {"binary", "sdt", "instance_edt", "semantic_edt",
+                         "skeleton_aware_edt", "instance_boundary", "small_object"}
+            targets = {t.name for t in (cfg.data.label_transform.targets or [])}
+            if targets and not targets <= flip_safe:
+                logger.warning(
+                    "on-device augmentation disabled: targets %s are not "
+                    "flip-safe after generation", sorted(targets - flip_safe),
+                )
+            else:
+                from ..ops.augment_jax import build_device_augment_fn
+
+                augment_fn = build_device_augment_fn(cfg.data.augmentation)
         self._train_step = jax.jit(
             make_train_step(
                 self.model.apply,
                 self.orchestrator,
                 self.tx,
                 ema_decay=cfg.monitor.ema.decay if cfg.monitor.ema.enabled else None,
+                augment_fn=augment_fn,
+                seed=cfg.system.seed,
             ),
             donate_argnums=(0,),
         )

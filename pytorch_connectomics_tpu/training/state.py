@@ -53,10 +53,14 @@ def make_train_step(
     orchestrator: LossOrchestrator,
     tx: optax.GradientTransformation,
     ema_decay: Optional[float] = None,
+    augment_fn: Optional[Callable] = None,
+    seed: int = 0,
 ) -> Callable:
     """Returns ``train_step(state, batch) -> (state, logs)`` (pure, jittable).
 
     ``batch``: {"image": NDHWC, "label": NDHWC, optional "mask"/"weight"}.
+    ``augment_fn(batch, key)``: on-device augmentation fused into the step
+    (``ops/augment_jax.py``); keyed deterministically by the step counter.
     """
 
     def loss_fn(params, batch):
@@ -71,6 +75,9 @@ def make_train_step(
         return total, logs
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        if augment_fn is not None:
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+            batch = augment_fn(batch, key)
         (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         # host-controlled plateau factor multiplies the whole update

@@ -1,0 +1,68 @@
+"""Precomputed (neuroglancer) IO + ABISS bridge conventions."""
+
+import numpy as np
+import pytest
+
+from pytorch_connectomics_tpu.data.precomputed import (
+    abiss_affinity_convention,
+    create_precomputed,
+    open_precomputed,
+)
+
+
+def test_precomputed_roundtrip(tmp_path):
+    vol = (np.random.rand(8, 16, 32) * 255).astype(np.uint8)
+    p = tmp_path / "layer"
+    w = create_precomputed(p, vol.shape, np.uint8, chunk_size=(4, 8, 16))
+    w.write((slice(0, 8), slice(0, 16), slice(0, 32)), vol)
+    r = open_precomputed(p)
+    back = r.read((slice(0, 8), slice(0, 16), slice(0, 32)))
+    np.testing.assert_array_equal(back, vol)
+    # partial chunk-aligned read
+    np.testing.assert_array_equal(
+        r.read((slice(0, 4), slice(8, 16), slice(16, 32))), vol[:4, 8:, 16:]
+    )
+
+
+def test_precomputed_multichannel(tmp_path):
+    vol = np.random.rand(3, 4, 8, 8).astype(np.float32)
+    p = tmp_path / "aff"
+    w = create_precomputed(p, vol.shape[1:], np.float32, chunk_size=(4, 8, 8), num_channels=3)
+    w.write((slice(0, 4), slice(0, 8), slice(0, 8)), vol)
+    back = open_precomputed(p).read((slice(0, 4), slice(0, 8), slice(0, 8)))
+    np.testing.assert_allclose(back, vol)
+
+
+def test_abiss_convention_shift_and_reverse():
+    aff = np.zeros((3, 2, 2, 4), np.float32)
+    aff[0, 0, 0, 2] = 1.0  # x-edge at high end x=2 (connects x=1,2)
+    out = abiss_affinity_convention(aff)
+    # x channel moves to index 2 and shifts to the low end (x=1)
+    assert out[2, 0, 0, 1] == 1.0
+    assert out[2, 0, 0, 2] == 0.0
+    assert out[0].sum() == 0  # z channel (was aff[2]) empty
+
+
+def test_abiss_decoder_fallback():
+    from pytorch_connectomics_tpu.runtime.abiss_bridge import decode_abiss
+    from pytorch_connectomics_tpu.data.targets import seg_to_affinity
+
+    seg = np.zeros((4, 8, 8), np.uint32)
+    seg[:, :, :4] = 1
+    seg[:, :, 4:] = 2
+    aff = seg_to_affinity(seg, ["0-0-1", "0-1-0", "1-0-0"])
+    out = decode_abiss(aff, abiss_root=None, agg_threshold=0.3)
+    assert len(np.unique(out)) >= 3  # bg + 2 instances
+
+
+def test_seuron_provenance_replay(tmp_path):
+    import json
+
+    from pytorch_connectomics_tpu.runtime.abiss_bridge import replay_seuron_provenance
+
+    rec = {"processing": [{"method": {"agg_threshold": 0.25, "size_threshold": 500}}]}
+    p = tmp_path / "prov.json"
+    p.write_text(json.dumps(rec))
+    params = replay_seuron_provenance(p)
+    assert params["agg_threshold"] == 0.25
+    assert params["ws_size"] == 500
