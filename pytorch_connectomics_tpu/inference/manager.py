@@ -44,4 +44,32 @@ class InferenceManager:
 
     def predict(self, params, volume: np.ndarray) -> np.ndarray:
         """Full-volume prediction with TTA -> (Z,Y,X,C) float32."""
+        if self.cfg.inference.direct_2d:
+            return self.predict_direct_2d(params, volume)
         return self.predictor.predict(params, volume)
+
+    def predict_direct_2d(self, params, volume: np.ndarray, batch_size: int = 8) -> np.ndarray:
+        """2-D direct mode: each z-section forwarded whole as a 1-deep patch,
+        no sliding window (reference 2D direct mode, ``manager.py:24-119``)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..inference.tta import apply_channel_activations
+
+        vol = np.asarray(volume, np.float32)
+        if vol.ndim == 3:
+            vol = vol[..., None]
+        z = vol.shape[0]
+        fwd = jax.jit(self.apply_fn)
+        outs = []
+        for start in range(0, z, batch_size):
+            sec = vol[start : start + batch_size]  # (B, Y, X, C) -> treat as (B,1,Y,X,C)
+            batch = jnp.asarray(sec[:, None])
+            pad = batch_size - batch.shape[0]
+            if pad:
+                batch = jnp.concatenate([batch, jnp.repeat(batch[-1:], pad, 0)])
+            pred = np.asarray(fwd(params, batch))[: sec.shape[0], 0]
+            outs.append(pred)
+        out = np.concatenate(outs, axis=0)
+        acts = self.predictor.activations
+        return apply_channel_activations(out, acts).astype(np.float32)

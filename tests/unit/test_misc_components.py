@@ -1,0 +1,169 @@
+"""Tests for the aux components: bbox, tiles, nnunet preprocess, swin-unetr,
+experiment log, oracle metrics, auto-config planner, skeleton processor,
+balancing, direct-2d inference."""
+
+import numpy as np
+import pytest
+
+
+def test_bbox_utils():
+    from pytorch_connectomics_tpu.data.bbox import crop_to_foreground, instance_bboxes
+
+    lab = np.zeros((8, 16, 16), np.uint32)
+    lab[2:5, 3:9, 4:10] = 1
+    lab[6:8, 10:14, 10:14] = 2
+    boxes = instance_bboxes(lab)
+    assert boxes[1] == ((2, 5), (3, 9), (4, 10))
+    cropped, sl = crop_to_foreground(lab, lab > 0)
+    assert cropped.shape == (6, 11, 10)
+
+
+def test_tile_volume(tmp_path):
+    from PIL import Image
+
+    from pytorch_connectomics_tpu.data.tiles import TileVolume, write_tile_spec
+
+    rng = np.random.default_rng(0)
+    full = (rng.random((2, 8, 12)) * 255).astype(np.uint8)
+    sections = []
+    for z in range(2):
+        row = []
+        for r in range(2):
+            for c in range(3):
+                tile = full[z, r * 4 : (r + 1) * 4, c * 4 : (c + 1) * 4]
+                name = f"z{z}_r{r}c{c}.png"
+                Image.fromarray(tile).save(tmp_path / name)
+                row.append(name)
+        sections.append(row)
+    spec = write_tile_spec(tmp_path / "spec.json", (4, 4), (2, 3), sections)
+    tv = TileVolume(spec, tmp_path)
+    assert tv.shape == (2, 8, 12)
+    np.testing.assert_array_equal(tv[0:2, 0:8, 0:12], full)
+    np.testing.assert_array_equal(tv[1:2, 2:7, 3:11], full[1:2, 2:7, 3:11])
+
+
+def test_nnunet_preprocess_roundtrip():
+    from pytorch_connectomics_tpu.data.nnunet_preprocess import (
+        nnunet_preprocess,
+        nnunet_restore,
+    )
+
+    img = np.zeros((16, 32, 32), np.float32)
+    img[4:12, 8:24, 8:24] = np.random.rand(8, 16, 16)
+    lbl = (img > 0.5).astype(np.uint8)
+    pim, plb, rec = nnunet_preprocess(img, lbl, source_spacing=(8, 4, 4), target_spacing=(8, 8, 8))
+    assert rec.crop_slices is not None
+    restored = nnunet_restore((plb > 0).astype(np.uint8), rec)
+    assert restored.shape == img.shape
+
+
+def test_swin_unetr_forward():
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_connectomics_tpu.config.schema import ModelConfig, build_dataclass
+    from pytorch_connectomics_tpu.models import build_model, init_model
+
+    cfg = build_dataclass(
+        ModelConfig,
+        {"arch": {"type": "monai_swin_unetr"}, "in_channels": 1, "out_channels": 2,
+         "input_size": [16, 32, 32],
+         "monai": {"feature_size": 8, "depths": [1, 1, 1, 1], "window_size": [2, 4, 4]}},
+    )
+    model = build_model(cfg)
+    params = init_model(model, cfg, jax.random.PRNGKey(0))
+    out = jax.jit(model.apply)(params, jnp.zeros((1, 16, 32, 32, 1)))
+    assert out.shape == (1, 16, 32, 32, 2)
+
+
+def test_experiment_log(tmp_path):
+    from pytorch_connectomics_tpu.decoding.experiment_log import ExperimentLog
+
+    log = ExperimentLog(tmp_path / "exp.jsonl")
+    log.append("decode", "abc", {"threshold": 0.5}, {"adapted_rand": 0.2})
+    log.append("decode", "abc", {"threshold": 0.7}, {"adapted_rand": 0.1})
+    assert len(log.entries()) == 2
+    assert log.best("adapted_rand")["params"]["threshold"] == 0.7
+
+
+def test_oracle_metrics():
+    from pytorch_connectomics_tpu.metrics.oracle import adapted_rand_oracle, oracle_merge
+
+    gt = np.zeros((4, 8, 8), np.uint32)
+    gt[:, :, :4] = 1
+    gt[:, :, 4:] = 2
+    # over-segmented candidate: 4 fragments
+    seg = gt.copy()
+    seg[2:][seg[2:] == 1] = 3
+    seg[2:][seg[2:] == 2] = 4
+    are, oracle_are = adapted_rand_oracle(seg, gt)
+    assert are > 0 and oracle_are == pytest.approx(0.0, abs=1e-9)
+    merged = oracle_merge(seg, gt)
+    # fixture has no background: exactly the two GT ids remain
+    assert len(np.unique(merged)) == 2
+
+
+def test_auto_config_planner():
+    from pytorch_connectomics_tpu.config.auto_config import plan_for_memory
+
+    big = plan_for_memory(hbm_gb=95)
+    small = plan_for_memory(hbm_gb=8)
+    assert np.prod(big.patch_size) * big.batch_size > np.prod(small.patch_size) * small.batch_size
+
+
+def test_skeleton_volume_processor(tmp_path):
+    import h5py
+
+    from pytorch_connectomics_tpu.chunked import SkeletonVolumeProcessor
+
+    lab = np.zeros((8, 32, 32), np.uint32)
+    lab[2:6, 4:28, 14:18] = 1  # a tube along y
+    out = np.zeros_like(lab)
+    proc = SkeletonVolumeProcessor(lab.shape, (8, 32, 32), stride=(1, 2, 2), min_voxels=10)
+    proc.run(reader=lambda sl: lab[sl], writer=out)
+    assert (out == 1).sum() > 5  # rasterized centerline exists
+    assert (out[lab == 0] == 0).mean() > 0.95  # mostly inside the instance
+
+
+def test_gradnorm_weights():
+    import jax.numpy as jnp
+
+    from pytorch_connectomics_tpu.losses.balancing import gradnorm_weights
+
+    init = jnp.array([1.0, 1.0])
+    w = jnp.array([1.0, 1.0])
+    # task 0 is learning fast (low loss), task 1 stuck -> task 1 gains weight
+    for _ in range(50):
+        w = gradnorm_weights([jnp.asarray(0.1), jnp.asarray(1.0)], init, w, lr=0.1)
+    assert float(w[1]) > float(w[0])
+    assert float(w.sum()) == pytest.approx(2.0, rel=1e-3)
+
+
+def test_direct_2d_inference():
+    import jax.numpy as jnp
+
+    from pytorch_connectomics_tpu.config import load_config
+    from pytorch_connectomics_tpu.inference.manager import InferenceManager
+
+    raw = {
+        "model": {
+            "arch": {"type": "monai_unet"},
+            "in_channels": 1, "out_channels": 1,
+            "input_size": [1, 32, 32],
+            "monai": {"filters": [4, 8], "num_res_units": 1, "strides": [[1, 2, 2]]},
+            "loss": {"losses": [{"function": "DiceLoss"}]},
+        },
+        "data": {"train": {"image": "random://d2/im"}, "dataloader": {"patch_size": [1, 32, 32]}},
+        "inference": {"direct_2d": True, "model": {"act": "sigmoid"}},
+    }
+    cfg = load_config(raw_dict=raw, mode="test")
+    import jax
+
+    from pytorch_connectomics_tpu.models import build_model, init_model
+
+    manager = InferenceManager(cfg, build_model(cfg.model))
+    params = init_model(manager_model := build_model(cfg.model), cfg.model, jax.random.PRNGKey(0))["params"]
+    vol = np.random.rand(5, 32, 32).astype(np.float32)
+    out = manager.predict(params, vol)
+    assert out.shape == (5, 32, 32, 1)
+    assert 0.0 <= out.min() and out.max() <= 1.0
