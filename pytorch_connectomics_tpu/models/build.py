@@ -16,6 +16,7 @@ from . import rsunet as _rsunet  # noqa: F401
 from . import mednext as _mednext  # noqa: F401
 from . import unet3d as _unet3d  # noqa: F401
 from . import swin_unetr as _swin  # noqa: F401
+from . import nnunet as _nnunet  # noqa: F401
 
 
 def build_model(model_cfg: ModelConfig):

@@ -1,0 +1,116 @@
+"""nnU-Net v2 checkpoint/plans loader: build a matching Flax U-Net topology
+from an nnU-Net ``plans.json`` configuration and fill it with the trained
+torch weights for inference.
+
+Reference: ``connectomics/models/architectures/nnunet_models.py:49,146``.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import ConvNormAct, UpConv
+from .registry import register_architecture
+
+logger = logging.getLogger(__name__)
+
+
+class PlainConvUNet(nn.Module):
+    """nnU-Net PlainConvUNet topology: per-stage double conv (stride on the
+    first conv of each encoder stage), transposed-conv decoder, optional
+    deep supervision heads."""
+
+    in_channels: int = 1
+    out_channels: int = 2
+    features_per_stage: Sequence[int] = (32, 64, 128, 256)
+    strides: Sequence[Sequence[int]] = ((1, 1, 1), (2, 2, 2), (2, 2, 2), (2, 2, 2))
+    kernel_sizes: Sequence[Sequence[int]] = ((3, 3, 3),) * 4
+    n_conv_per_stage: int = 2
+    norm: str = "instance"
+    act: str = "leaky_relu"
+    deep_supervision: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        skips = []
+        for i, (f, s, k) in enumerate(zip(self.features_per_stage, self.strides, self.kernel_sizes)):
+            x = ConvNormAct(f, tuple(k), strides=tuple(s), norm=self.norm, act=self.act, dtype=self.dtype)(x)
+            for _ in range(self.n_conv_per_stage - 1):
+                x = ConvNormAct(f, tuple(k), norm=self.norm, act=self.act, dtype=self.dtype)(x)
+            skips.append(x)
+        ds = []
+        y = skips[-1]
+        for i in reversed(range(len(self.features_per_stage) - 1)):
+            y = UpConv(self.features_per_stage[i], tuple(self.strides[i + 1]), dtype=self.dtype)(y)
+            y = jnp.concatenate([y, skips[i]], axis=-1)
+            for _ in range(self.n_conv_per_stage):
+                y = ConvNormAct(
+                    self.features_per_stage[i], tuple(self.kernel_sizes[i]),
+                    norm=self.norm, act=self.act, dtype=self.dtype,
+                )(y)
+            if self.deep_supervision and i > 0:
+                ds.append(nn.Conv(self.out_channels, (1, 1, 1), dtype=jnp.float32, name=f"ds_head_{i}")(y))
+        out = nn.Conv(self.out_channels, (1, 1, 1), dtype=jnp.float32, name="head")(y)
+        if self.deep_supervision:
+            res = {"out": out}
+            for kk, d in enumerate(reversed(ds)):
+                res[f"ds_{kk}"] = d
+            return res
+        return out
+
+
+def parse_nnunet_plans(plans_path: str | Path, configuration: str = "3d_fullres") -> Dict[str, Any]:
+    plans = json.loads(Path(plans_path).read_text())
+    cfg = plans["configurations"][configuration]
+    arch = cfg.get("architecture", {})
+    kw = arch.get("arch_kwargs", {})
+    return {
+        "patch_size": cfg.get("patch_size"),
+        "features_per_stage": kw.get("features_per_stage")
+        or cfg.get("UNet_base_num_features") and None,
+        "strides": kw.get("strides"),
+        "kernel_sizes": kw.get("kernel_sizes"),
+        "n_conv_per_stage": (kw.get("n_conv_per_stage") or [2])[0]
+        if isinstance(kw.get("n_conv_per_stage"), list)
+        else kw.get("n_conv_per_stage", 2),
+        "spacing": cfg.get("spacing"),
+        "normalization": cfg.get("normalization_schemes", ["zscore"]),
+    }
+
+
+@register_architecture("nnunet", "nnU-Net v2 plans-defined PlainConvUNet")
+def build_nnunet(model_cfg):
+    n = model_cfg.nnunet
+    kw: Dict[str, Any] = {}
+    if n.plans_path:
+        plans = parse_nnunet_plans(n.plans_path, n.configuration)
+        if plans.get("features_per_stage"):
+            kw["features_per_stage"] = tuple(plans["features_per_stage"])
+        if plans.get("strides"):
+            kw["strides"] = tuple(tuple(s) if isinstance(s, (list, tuple)) else (s,) * 3 for s in plans["strides"])
+        if plans.get("kernel_sizes"):
+            kw["kernel_sizes"] = tuple(tuple(k) if isinstance(k, (list, tuple)) else (k,) * 3 for k in plans["kernel_sizes"])
+        kw["n_conv_per_stage"] = plans.get("n_conv_per_stage", 2)
+    return PlainConvUNet(
+        in_channels=model_cfg.in_channels,
+        out_channels=model_cfg.out_channels,
+        dtype=jnp.dtype(model_cfg.compute_dtype),
+        **kw,
+    )
+
+
+def load_nnunet_checkpoint(flax_params, checkpoint_path: str):
+    """Fill params from an nnU-Net v2 torch checkpoint (shape matcher)."""
+    from ..training.model_weights import load_external_weights
+
+    return load_external_weights(
+        flax_params, checkpoint_path,
+        strip_prefixes=("network.", "module.", "_orig_mod.", "model."),
+    )

@@ -54,6 +54,9 @@ def dispatch_runtime(args=None) -> Dict[str, Any]:
     setup_logging(rank)
     cfg = setup_config(args)
     mode = args.mode
+    from .preflight import preflight_check
+
+    preflight_check(cfg, mode)
     run_dir = setup_runtime_directories(cfg, mode, args)
     logger.info("mode=%s run_dir=%s devices=%d", mode, run_dir, jax.device_count())
 

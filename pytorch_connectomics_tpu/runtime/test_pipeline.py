@@ -128,6 +128,15 @@ def run_test_pipeline(
             all_metrics[vol_name] = {"cached": 1.0}
             continue
 
+        # pre-decode crops: crop_pad + affinity-offset border invalidation
+        # (reference prediction_crops.py)
+        if cfg.inference.output.crop_pad:
+            from ..inference.prediction_crops import apply_prediction_crops
+
+            prediction = apply_prediction_crops(
+                prediction, crop_pad=cfg.inference.output.crop_pad
+            )
+
         decoded = None
         if cfg.decoding.enabled and (cfg.decoding.steps or cfg.decoding.graph):
             t1 = time.time()

@@ -1,0 +1,78 @@
+import json
+
+import numpy as np
+import pytest
+
+
+def test_nnunet_plans_build_and_forward(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_connectomics_tpu.config.schema import ModelConfig, build_dataclass
+    from pytorch_connectomics_tpu.models import build_model, init_model
+
+    plans = {
+        "configurations": {
+            "3d_fullres": {
+                "patch_size": [16, 32, 32],
+                "spacing": [4.0, 1.0, 1.0],
+                "architecture": {
+                    "arch_kwargs": {
+                        "features_per_stage": [8, 16, 32],
+                        "strides": [[1, 1, 1], [2, 2, 2], [2, 2, 2]],
+                        "kernel_sizes": [[3, 3, 3]] * 3,
+                        "n_conv_per_stage": [2, 2, 2],
+                    }
+                },
+            }
+        }
+    }
+    p = tmp_path / "plans.json"
+    p.write_text(json.dumps(plans))
+    cfg = build_dataclass(
+        ModelConfig,
+        {"arch": {"type": "nnunet"}, "in_channels": 1, "out_channels": 2,
+         "input_size": [16, 32, 32], "nnunet": {"plans_path": str(p)}},
+    )
+    model = build_model(cfg)
+    params = init_model(model, cfg, jax.random.PRNGKey(0))
+    out = jax.jit(model.apply)(params, jnp.zeros((1, 16, 32, 32, 1)))
+    assert out.shape == (1, 16, 32, 32, 2)
+
+
+def test_prediction_crops():
+    from pytorch_connectomics_tpu.inference.prediction_crops import (
+        affinity_border_mask,
+        apply_prediction_crops,
+        crop_prediction,
+    )
+
+    pred = np.random.rand(8, 16, 16, 2).astype(np.float32)
+    out = crop_prediction(pred, (1, 2, 2))
+    assert out.shape == (6, 12, 12, 2)
+    mask = affinity_border_mask((8, 16, 16), ["0-0-5", "2-0-0"])
+    assert mask[0, 0, 0] == 0 and mask[1, 8, 8] == 0
+    assert mask[2, 8, 8] == 1 and mask[4, 8, 10] == 1
+    res = apply_prediction_crops(pred, affinity_offsets=["0-0-5"])
+    assert res[0, 0, 0, 0] == 0.0  # border zeroed... x border
+    assert res.shape == pred.shape
+
+
+def test_preflight_checks():
+    from pytorch_connectomics_tpu.config import load_config
+    from pytorch_connectomics_tpu.runtime.preflight import preflight_check
+
+    raw = {
+        "model": {
+            "arch": {"type": "monai_unet"},
+            "input_size": [8, 16, 16],
+            "loss": {"losses": [{"function": "DiceLoss"}], "deep_supervision": True},
+        },
+        "data": {"train": {"image": "random://pf/im", "label": "random://pf/lb"},
+                  "dataloader": {"patch_size": [8, 16, 16]}},
+    }
+    cfg = load_config(raw_dict=raw, mode="train")
+    with pytest.raises(ValueError):
+        preflight_check(cfg, "train")
+    cfg.model.loss.deep_supervision = False
+    assert isinstance(preflight_check(cfg, "train"), list)
