@@ -3,6 +3,9 @@ import os
 # Force CPU with 8 virtual devices so multi-chip sharding logic is exercised
 # without TPU hardware (same trick as the driver's dryrun).
 os.environ["JAX_PLATFORMS"] = "cpu"
+# persistent compilation cache makes repeated suite runs much faster
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_cpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,77 @@
+"""Smoke tests for the utility scripts (run via subprocess like a user)."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[2]
+
+
+def run(args, **kw):
+    return subprocess.run(
+        [sys.executable] + args, cwd=REPO, capture_output=True, text=True, timeout=300, **kw
+    )
+
+
+@pytest.fixture(scope="module")
+def vol_h5(tmp_path_factory):
+    from pytorch_connectomics_tpu.data.io import save_volume
+
+    d = tmp_path_factory.mktemp("vols")
+    vol = (np.random.rand(8, 32, 32) * 255).astype(np.uint8)
+    save_volume(str(d / "vol.h5"), vol)
+    seg = np.zeros((8, 32, 32), np.uint32)
+    seg[2:6, 4:12, 4:12] = 1
+    seg[2:6, 20:28, 20:28] = 2
+    save_volume(str(d / "seg.h5"), seg)
+    return d
+
+
+def test_downsample_script(vol_h5):
+    r = run(["scripts/downsample.py", str(vol_h5 / "vol.h5"), str(vol_h5 / "ds.h5"), "--factors", "1", "2", "2"])
+    assert r.returncode == 0, r.stderr
+    from pytorch_connectomics_tpu.data.io import read_volume
+
+    assert read_volume(str(vol_h5 / "ds.h5")).shape == (8, 16, 16)
+
+
+def test_uncrop_script(vol_h5):
+    r = run(["scripts/uncrop.py", str(vol_h5 / "vol.h5"), str(vol_h5 / "un.h5"),
+             "--full-shape", "16", "64", "64", "--offset", "4", "16", "16"])
+    assert r.returncode == 0, r.stderr
+
+
+def test_convert_uint8_script(vol_h5):
+    r = run(["scripts/convert_h5_to_uint8.py", str(vol_h5 / "vol.h5"), str(vol_h5 / "u8.h5")])
+    assert r.returncode == 0, r.stderr
+
+
+def test_evaluate_prediction_script(vol_h5):
+    r = run(["scripts/evaluate_prediction.py", str(vol_h5 / "seg.h5"), str(vol_h5 / "seg.h5"),
+             "--metrics", "adapted_rand", "voi"])
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout)
+    assert out["adapted_rand"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_error_analysis_script(vol_h5):
+    r = run(["scripts/error_analysis_seg.py", str(vol_h5 / "seg.h5"), str(vol_h5 / "seg.h5")])
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout)
+    assert out["matching"]["f1"] == 1.0
+
+
+def test_launcher_emits_shard_commands():
+    r = run(["scripts/launcher.py", "--config", "tutorials/minimal.yaml", "--num-shards", "3"])
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.count("--shard-id") == 3
+
+
+def test_download_data_lists_missing(tmp_path):
+    r = run(["scripts/download_data.py", "lucchi++", "--root", str(tmp_path)])
+    assert r.returncode == 0, r.stderr
+    assert "lucchi++" in r.stdout
