@@ -172,6 +172,136 @@ def _sliding_window_device(
     return value, weight
 
 
+def _parity_group_layout(n: int, g: int) -> List[int]:
+    """Window counts per parity class p: |{k in [0,n): k % g == p}|."""
+    return [(n - p + g - 1) // g for p in range(g)]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("apply_fn", "window", "stride", "sw_batch", "out_channels", "acc_dtype"),
+)
+def _sliding_window_regular_device(
+    params,
+    volume,  # (Z, Y, X, Cin) padded to full grid coverage
+    imp,  # (wz, wy, wx, 1)
+    inv_weight,  # (Z, Y, X, 1) precomputed 1/sum-of-importance
+    apply_fn: Callable,
+    window: Tuple[int, int, int],
+    stride: Tuple[int, int, int],
+    sw_batch: int,
+    out_channels: int,
+    acc_dtype=jnp.float32,
+):
+    """Dense regular-grid engine: when ``stride`` divides ``window`` the
+    overlapping windows split into ``prod(window//stride)`` parity groups,
+    each of which tiles the volume contiguously — so extract and overlap-add
+    become RESHAPES instead of per-window scatter. No serial dependency, no
+    read-modify-write: the whole pass is batched model forwards plus a few
+    dense adds. This is the TPU-shaped formulation of the reference's
+    accumulator loop (``inference/window.py:275,677``)."""
+    Z, Y, X, Cin = volume.shape
+    wz, wy, wx = window
+    sz, sy, sx = stride
+    gz, gy, gx = wz // sz, wy // sy, wx // sx
+    nz = (Z - wz) // sz + 1
+    ny = (Y - wy) // sy + 1
+    nx = (X - wx) // sx + 1
+    value = jnp.zeros((Z, Y, X, out_channels), acc_dtype)
+    impc = imp.astype(acc_dtype)
+
+    mz_counts = _parity_group_layout(nz, gz)
+    my_counts = _parity_group_layout(ny, gy)
+    mx_counts = _parity_group_layout(nx, gx)
+
+    for pz in range(gz):
+        for py in range(gy):
+            for px in range(gx):
+                Mz, My, Mx = mz_counts[pz], my_counts[py], mx_counts[px]
+                if Mz == 0 or My == 0 or Mx == 0:
+                    continue
+                oz, oy, ox = pz * sz, py * sy, px * sx
+                region = jax.lax.slice(
+                    volume,
+                    (oz, oy, ox, 0),
+                    (oz + Mz * wz, oy + My * wy, ox + Mx * wx, Cin),
+                )
+                wins = region.reshape(Mz, wz, My, wy, Mx, wx, Cin)
+                wins = wins.transpose(0, 2, 4, 1, 3, 5, 6).reshape(
+                    Mz * My * Mx, wz, wy, wx, Cin
+                )
+                M = wins.shape[0]
+                m_pad = _round_up(M, sw_batch)
+                if m_pad != M:
+                    wins = jnp.concatenate(
+                        [wins, jnp.zeros((m_pad - M, wz, wy, wx, Cin), wins.dtype)]
+                    )
+                n_chunks = m_pad // sw_batch
+
+                def body(outbuf, i):
+                    chunk = jax.lax.dynamic_slice(
+                        wins, (i * sw_batch, 0, 0, 0, 0), (sw_batch, wz, wy, wx, Cin)
+                    )
+                    preds = apply_fn(params, chunk).astype(acc_dtype)
+                    outbuf = jax.lax.dynamic_update_slice(
+                        outbuf, preds, (i * sw_batch, 0, 0, 0, 0)
+                    )
+                    return outbuf, None
+
+                outbuf = jnp.zeros((m_pad, wz, wy, wx, out_channels), acc_dtype)
+                outbuf, _ = jax.lax.scan(body, outbuf, jnp.arange(n_chunks))
+                contrib = outbuf[:M] * impc
+                block = contrib.reshape(Mz, My, Mx, wz, wy, wx, out_channels)
+                block = block.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
+                    Mz * wz, My * wy, Mx * wx, out_channels
+                )
+                cur = jax.lax.slice(
+                    value,
+                    (oz, oy, ox, 0),
+                    (oz + Mz * wz, oy + My * wy, ox + Mx * wx, out_channels),
+                )
+                value = jax.lax.dynamic_update_slice(value, cur + block, (oz, oy, ox, 0))
+    return value * inv_weight.astype(acc_dtype)
+
+
+def _regular_weight_host(
+    vol_shape, window, stride, imp: np.ndarray
+) -> np.ndarray:
+    """Host-side sum-of-importance map (static given shapes).
+
+    Because the window origins form a product grid, a separable importance
+    map gives a separable weight: W(z,y,x) = Wz(z)·Wy(y)·Wx(x) with
+    Wd(t) = sum_o axis_d(t - o). Non-separable maps (distance blending)
+    fall back to the direct accumulation."""
+    Z, Y, X = vol_shape
+    shape = (Z, Y, X)
+    # separability: center-voxel profiles pd reproduce a separable map via
+    # outer(pz,py,px) == imp * imp[c]^2
+    c = tuple(w // 2 for w in imp.shape)
+    profiles = [imp[:, c[1], c[2]], imp[c[0], :, c[2]], imp[c[0], c[1], :]]
+    center = float(imp[c])
+    sep = np.multiply.outer(np.multiply.outer(*profiles[:2]), profiles[2]) / max(center, 1e-12) ** 2
+    if center > 0 and np.allclose(sep, imp, rtol=1e-4, atol=1e-6):
+        weights_1d = []
+        for d, (n, w, s) in enumerate(zip(shape, imp.shape, stride)):
+            wd = np.zeros(n, np.float64)
+            for o in range(0, n - w + 1, s):
+                wd[o : o + w] += profiles[d]
+            weights_1d.append(wd)
+        return (
+            np.multiply.outer(np.multiply.outer(weights_1d[0], weights_1d[1]), weights_1d[2])
+            / max(center, 1e-12) ** 2
+        )
+    weight = np.zeros(shape, np.float64)
+    wz, wy, wx = imp.shape
+    sz, sy, sx = stride
+    for oz in range(0, Z - wz + 1, sz):
+        for oy in range(0, Y - wy + 1, sy):
+            for ox in range(0, X - wx + 1, sx):
+                weight[oz : oz + wz, oy : oy + wy, ox : ox + wx] += imp
+    return weight
+
+
 class SlidingWindowEngine:
     """Host wrapper: grid planning, padding, device pass, normalization.
 
@@ -229,6 +359,9 @@ class SlidingWindowEngine:
             vol = vol[..., None]
         orig_shape = vol.shape[:3]
         vol, pads = pad_volume_to_roi(vol, self.window, self.padding_mode)
+        stride = self._effective_stride()
+        if all(w % s == 0 for w, s in zip(self.window, stride)):
+            return self._call_regular(params, vol, stride, orig_shape, pads, out_channels)
         grid = compute_window_grid(
             vol.shape[:3], self.window, self.overlap, self.stride, self.snap
         )
@@ -258,6 +391,58 @@ class SlidingWindowEngine:
         sl = tuple(
             slice(p[0], p[0] + s) for p, s in zip(pads, orig_shape)
         )
+        return out_np[sl]
+
+    def _effective_stride(self) -> Tuple[int, int, int]:
+        if self.stride is not None:
+            return tuple(int(s) for s in self.stride)
+        return tuple(max(1, int(round(w * (1.0 - self.overlap)))) for w in self.window)
+
+    def _call_regular(self, params, vol, stride, orig_shape, pads, out_channels):
+        """Dense parity-group path (see ``_sliding_window_regular_device``):
+        volume padded so the regular grid covers it fully (replaces
+        snap-to-edge; same coverage, reflect-padded borders)."""
+        if out_channels is None:
+            out_channels = self.probe_out_channels(params, vol.shape[-1])
+        # pad up to full coverage: smallest (n-1)*s + w >= size
+        cover = []
+        extra = []
+        for size, w, s in zip(vol.shape[:3], self.window, stride):
+            n = max(1, -(-(size - w) // s) + 1)
+            cov = (n - 1) * s + w
+            cover.append(cov)
+            extra.append(cov - size)
+        if any(extra):
+            np_mode = {"reflect": "reflect", "replicate": "edge", "constant": "constant"}[
+                self.padding_mode
+            ]
+            vol = np.pad(
+                vol,
+                [(0, e) for e in extra] + [(0, 0)],
+                mode=np_mode,
+            )
+        imp_np = np.asarray(self.imp)[..., 0]
+        key = (tuple(vol.shape[:3]), tuple(stride))
+        if getattr(self, "_invw_key", None) != key:
+            weight = _regular_weight_host(vol.shape[:3], self.window, stride, imp_np)
+            self._invw = jnp.asarray(
+                (1.0 / np.maximum(weight, 1e-8))[..., None], jnp.float32
+            )
+            self._invw_key = key
+        out = _sliding_window_regular_device(
+            params,
+            jnp.asarray(vol),
+            self.imp,
+            self._invw,
+            apply_fn=self.apply_fn,
+            window=self.window,
+            stride=tuple(stride),
+            sw_batch=self.sw_batch,
+            out_channels=out_channels,
+            acc_dtype=self.acc_dtype,
+        )
+        out_np = np.asarray(out.astype(jnp.float32))
+        sl = tuple(slice(p[0], p[0] + s) for p, s in zip(pads, orig_shape))
         return out_np[sl]
 
     def predict_sharded(

@@ -206,3 +206,38 @@ def test_shard_chunk_selection():
     s1 = select_chunks_for_shard(chunks, 1, 2)
     assert len(s0) + len(s1) == len(chunks)
     assert {c.key for c in s0} | {c.key for c in s1} == {c.key for c in chunks}
+
+
+def test_regular_path_matches_scatter_path():
+    """The dense parity-group engine and the scatter engine agree."""
+    from pytorch_connectomics_tpu.inference.window import compute_window_grid
+
+    rng = np.random.default_rng(3)
+    vol = rng.random((12, 24, 24), dtype=np.float32)
+    # regular: overlap 0.5 on (8,16,16) -> stride (4,8,8) divides window
+    eng = SlidingWindowEngine(smooth_apply, (8, 16, 16), overlap=0.5, sw_batch_size=2)
+    regular = eng(None, vol)
+    # force scatter path via a stride that does not divide the window
+    eng2 = SlidingWindowEngine(smooth_apply, (8, 16, 16), stride=(3, 6, 6), sw_batch_size=2)
+    scatter = eng2(None, vol)
+    # identity-like model: both reconstruct the linear functions of vol
+    np.testing.assert_allclose(regular[..., 0], vol, atol=1e-4)
+    np.testing.assert_allclose(scatter[..., 0], vol, atol=1e-4)
+    np.testing.assert_allclose(regular[..., 1], 1 - vol, atol=1e-4)
+
+
+def test_regular_weight_separable_matches_direct():
+    from pytorch_connectomics_tpu.inference.window import (
+        _regular_weight_host,
+        importance_map,
+    )
+
+    imp = importance_map((4, 8, 8), "bump")
+    fast = _regular_weight_host((12, 24, 24), (4, 8, 8), (2, 4, 4), imp)
+    # direct accumulation oracle
+    direct = np.zeros((12, 24, 24))
+    for oz in range(0, 9, 2):
+        for oy in range(0, 17, 4):
+            for ox in range(0, 17, 4):
+                direct[oz:oz+4, oy:oy+8, ox:ox+8] += imp
+    np.testing.assert_allclose(fast, direct, rtol=1e-4)
