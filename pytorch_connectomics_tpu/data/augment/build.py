@@ -18,6 +18,7 @@ Sample = Dict[str, np.ndarray]
 # (config_key, fn, needs_other_sample)
 _ORDER: List[Tuple[str, Callable, bool]] = [
     ("flip", ops.rand_flip, False),
+    ("axis_permute", ops.rand_axis_permute, False),
     ("transpose", ops.rand_transpose, False),
     ("rotate", ops.rand_rotate90, False),
     ("elastic", ops.rand_elastic, False),
@@ -32,6 +33,7 @@ _ORDER: List[Tuple[str, Callable, bool]] = [
     ("cut_noise", ops.rand_cut_noise, False),
     ("stripe", ops.rand_stripe, False),
     ("intensity", ops.rand_intensity, False),
+    ("mul_add", ops.rand_mul_add, False),
     ("gamma", ops.rand_gamma, False),
     ("mixup", ops.rand_mixup, True),
     ("copy_paste", ops.rand_copy_paste, True),

@@ -83,6 +83,7 @@ class VolumeDataset:
         pad_mode: str = "reflect",
         transpose: Optional[Sequence[int]] = None,
         label_dtype=np.float32,
+        label_aux: Union[str, List[str], None] = None,
     ):
         self.patch_size = tuple(int(p) for p in patch_size)
         self.reject = reject or RejectConfig()
@@ -93,6 +94,8 @@ class VolumeDataset:
         img_paths = _as_list(images)
         lbl_paths = _as_list(labels)
         msk_paths = _as_list(masks)
+        aux_paths = _as_list(label_aux)
+        self.label_aux: List[Optional[np.ndarray]] = []
         for i, ip in enumerate(img_paths):
             img = read_volume(ip)
             if transpose:
@@ -116,6 +119,14 @@ class VolumeDataset:
                 self.masks.append(np.ascontiguousarray(msk))
             else:
                 self.masks.append(None)
+            if i < len(aux_paths):
+                aux = read_volume(aux_paths[i]).astype(np.float32)
+                if transpose:
+                    aux = np.transpose(aux, transpose if aux.ndim == 3 else [0] + [t + 1 for t in transpose])
+                aux, _ = pad_to_min_shape(aux, self.patch_size, "constant")
+                self.label_aux.append(np.ascontiguousarray(aux))
+            else:
+                self.label_aux.append(None)
         if not self.images:
             raise ValueError("VolumeDataset requires at least one image volume")
         # volume picked proportionally to voxel count
@@ -134,6 +145,13 @@ class VolumeDataset:
             out["label"] = lbl[None] if lbl.ndim == 3 else lbl
         if self.masks[vi] is not None:
             out["mask"] = self.masks[vi][sl][None].astype(np.float32)
+        if self.label_aux and self.label_aux[vi] is not None:
+            aux = self.label_aux[vi]
+            # aux may be (Z,Y,X) or (C,Z,Y,X) precompute volumes
+            if aux.ndim == 3:
+                out["label_aux"] = aux[sl][None]
+            else:
+                out["label_aux"] = aux[(slice(None),) + sl]
         return out
 
     def sample(self, rng: np.random.Generator) -> Dict[str, np.ndarray]:

@@ -56,6 +56,7 @@ def build_dataset(cfg: Config, split_cfg: DatasetSplitConfig, train: bool = True
         normalize=cfg.data.preprocessing.normalize,
         reject=reject,
         transpose=split_cfg.transpose,
+        label_aux=split_cfg.label_aux,
     )
 
 
@@ -122,6 +123,10 @@ class PatchPipeline:
             s = self.augment(s, rng)
         if self.target_fn is not None and "label" in s:
             s["label"] = self.target_fn(s["label"])
+        # precomputed auxiliary targets (e.g. skeleton-aware SDT volumes,
+        # reference data_factory.py:113-218) append as extra label channels
+        if "label_aux" in s and "label" in s:
+            s["label"] = np.concatenate([s["label"], s.pop("label_aux")], axis=0)
         return s
 
     def make_batch(self, step: int) -> Dict[str, np.ndarray]:
