@@ -120,18 +120,56 @@ class _ZarrDS:
 
 
 def _run_chunks(predictor, params, accessor, ds, chunks, manifest, n_out):
+    """Double-buffered: a reader thread prefetches the next chunk from disk
+    while the device computes the current one, and writes happen on a
+    writer thread — host IO overlaps device compute (reference design goal,
+    SURVEY §7 'double-buffered host chunk prefetch')."""
+    import queue
+    import threading
+
+    todo = [c for c in chunks if not (manifest and manifest.is_done(c.key))]
+    read_q: "queue.Queue" = queue.Queue(maxsize=2)
+    write_q: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def reader():
+        for chunk in todo:
+            read_q.put((chunk, accessor.read(chunk.read_slices)))
+        read_q.put(None)
+
+    errors = []
+
+    def writer():
+        while True:
+            item = write_q.get()
+            if item is None:
+                return
+            chunk, core = item
+            try:
+                ds[(slice(0, n_out),) + chunk.core_slices] = np.moveaxis(core, -1, 0)
+                if manifest:
+                    manifest.mark_done(chunk.key)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+                return
+
+    rt = threading.Thread(target=reader, daemon=True)
+    wt = threading.Thread(target=writer, daemon=True)
+    rt.start()
+    wt.start()
     done = 0
-    for chunk in chunks:
-        if manifest and manifest.is_done(chunk.key):
-            continue
-        data = accessor.read(chunk.read_slices)  # (z,y,x) normalized f32
+    while True:
+        item = read_q.get()
+        if item is None:
+            break
+        chunk, data = item
         pred = predictor.predict(params, data)  # (z,y,x,C)
-        core = pred[chunk.local_core_slices]  # crop away halo
-        ds[(slice(0, n_out),) + chunk.core_slices] = np.moveaxis(core, -1, 0)
-        if manifest:
-            manifest.mark_done(chunk.key)
+        write_q.put((chunk, pred[chunk.local_core_slices]))
         done += 1
-        logger.info("chunk %s done (%d/%d)", chunk.key, done, len(chunks))
+        logger.info("chunk %s done (%d/%d)", chunk.key, done, len(todo))
+    write_q.put(None)
+    wt.join()
+    if errors:
+        raise errors[0]
     return done
 
 

@@ -24,7 +24,18 @@ class InferenceManager:
         def apply_fn(params, windows):
             out = model.apply({"params": params}, windows, train=False)
             if isinstance(out, dict):
-                out = out[head] if head else out.get("out", next(iter(out.values())))
+                if head:
+                    out = out[head]
+                elif "out" in out:
+                    out = out["out"]
+                else:
+                    # multi-head merge: concatenate head channels in sorted
+                    # name order (reference multi-head merge inference,
+                    # ``test_pipeline.py:915-954``)
+                    import jax.numpy as jnp
+
+                    names = sorted(k for k in out if not k.startswith("ds_"))
+                    out = jnp.concatenate([out[k] for k in names], axis=-1)
             return out
 
         self.apply_fn = apply_fn
