@@ -78,6 +78,24 @@ def run_chunked_inference(
         )
 
     output_path.parent.mkdir(parents=True, exist_ok=True)
+    if chunk_cfg.output_mode == "precomputed":
+        # direct chunk-aligned writes into a neuroglancer precomputed layer
+        # (reference ``inference/chunked.py:67-190``; lock-free when chunks
+        # align with storage chunks, ``schema/inference.py:125-134``)
+        from ..data.precomputed import create_precomputed, open_precomputed
+
+        if manifest and manifest.completed and (output_path / "info").exists():
+            vol = open_precomputed(output_path)
+        else:
+            vol = create_precomputed(
+                output_path,
+                vol_shape,
+                output_dtype,
+                chunk_size=[min(c, s) for c, s in zip(chunk_size, vol_shape)],
+                num_channels=n_out,
+            )
+        _run_chunks(predictor, params, accessor, vol, chunks, manifest, n_out)
+        return output_path
     if str(output_path).endswith(".zarr"):
         from ..data.io import create_zarr, open_zarr
 

@@ -66,3 +66,32 @@ def test_seuron_provenance_replay(tmp_path):
     params = replay_seuron_provenance(p)
     assert params["agg_threshold"] == 0.25
     assert params["ws_size"] == 500
+
+
+def test_chunked_inference_precomputed_output(tmp_path):
+    import numpy as np
+
+    from pytorch_connectomics_tpu.config.schema import ChunkedConfig, build_dataclass
+    from pytorch_connectomics_tpu.data.io import save_volume
+    from pytorch_connectomics_tpu.data.precomputed import open_precomputed
+    from pytorch_connectomics_tpu.inference import (
+        LazyVolumeAccessor,
+        SlidingWindowEngine,
+        TTAPredictor,
+        run_chunked_inference,
+    )
+
+    vol = (np.random.rand(8, 16, 16) * 255).astype(np.uint8)
+    src = str(tmp_path / "src.h5")
+    save_volume(src, vol)
+    eng = SlidingWindowEngine(lambda p, w: w, (8, 16, 16), sw_batch_size=1)
+    cfg = build_dataclass(
+        ChunkedConfig,
+        {"enabled": True, "chunk_size": [8, 16, 16], "output_mode": "precomputed"},
+    )
+    out = run_chunked_inference(
+        TTAPredictor(eng), None, LazyVolumeAccessor(src), tmp_path / "layer",
+        cfg, out_channels=1,
+    )
+    back = open_precomputed(out).read((slice(0, 8), slice(0, 16), slice(0, 16)))
+    np.testing.assert_allclose(back, vol / 255.0, atol=1e-4)
