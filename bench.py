@@ -39,8 +39,7 @@ def main():
 
     from pytorch_connectomics_tpu.config.schema import ModelConfig, build_dataclass
     from pytorch_connectomics_tpu.inference.window import (
-        _sliding_window_device,
-        compute_window_grid,
+        _sliding_window_regular_device,
         importance_map,
     )
     from pytorch_connectomics_tpu.models import build_model, init_model
@@ -68,26 +67,46 @@ def main():
     def apply_fn(p, windows):
         return model.apply(p, windows)
 
-    grid = compute_window_grid(vol_shape, window, overlap=0.5)
-    n = grid.shape[0]
-    n_pad = ((n + sw_batch - 1) // sw_batch) * sw_batch
-    if n_pad != n:
-        grid = np.concatenate([grid, np.repeat(grid[-1:], n_pad - n, axis=0)])
-    imp = jnp.asarray(importance_map(window, "bump")[..., None])
-    origins = jnp.asarray(grid)
+    # dense parity-group engine: pad to full regular-grid coverage
+    stride = tuple(w // 2 for w in window)  # overlap 0.5
+    cover = []
+    for size, w, st in zip(vol_shape, window, stride):
+        n = max(1, -(-(size - w) // st) + 1)
+        cover.append((n - 1) * st + w)
+    cover = tuple(cover)
+    imp_np = importance_map(window, "bump")
+    imp = jnp.asarray(imp_np[..., None])
+
+    # separable inverse-weight built ON DEVICE from tiny 1-D profiles
+    # (uploading a full-volume weight map is impossible through the tunnel)
+    c = tuple(w // 2 for w in window)
+    profiles = [imp_np[:, c[1], c[2]], imp_np[c[0], :, c[2]], imp_np[c[0], c[1], :]]
+    w1d = []
+    for d, (size, w, st) in enumerate(zip(cover, window, stride)):
+        wd = np.zeros(size, np.float64)
+        for o in range(0, size - w + 1, st):
+            wd[o : o + w] += profiles[d]
+        w1d.append(jnp.asarray(wd, jnp.float32))
+    center = float(imp_np[c])
+    inv_weight = (
+        1.0
+        / jnp.maximum(
+            w1d[0][:, None, None] * w1d[1][None, :, None] * w1d[2][None, None, :]
+            / center**2,
+            1e-8,
+        )
+    )[..., None]
 
     # volume generated on device (see module docstring)
-    vol = jax.random.uniform(jax.random.PRNGKey(1), vol_shape + (1,), jnp.float32)
-    vol.block_until_ready()
+    vol = jax.random.uniform(jax.random.PRNGKey(1), cover + (1,), jnp.float32)
 
     def run():
-        value, weight = _sliding_window_device(
-            params, vol, origins, imp,
-            apply_fn=apply_fn, window=window, sw_batch=sw_batch,
+        out = _sliding_window_regular_device(
+            params, vol, imp, inv_weight,
+            apply_fn=apply_fn, window=window, stride=stride, sw_batch=sw_batch,
             out_channels=1, acc_dtype=jnp.float32,
         )
-        # normalize + reduce on device; only a scalar leaves the chip
-        return (value / jnp.maximum(weight, 1e-8)).mean()
+        return out.mean()
 
     # warmup / compile (scalar fetch = hard sync; block_until_ready is not
     # reliable on the experimental axon platform)

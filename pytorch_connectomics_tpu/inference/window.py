@@ -196,10 +196,11 @@ def _sliding_window_regular_device(
     """Dense regular-grid engine: when ``stride`` divides ``window`` the
     overlapping windows split into ``prod(window//stride)`` parity groups,
     each of which tiles the volume contiguously — so extract and overlap-add
-    become RESHAPES instead of per-window scatter. No serial dependency, no
-    read-modify-write: the whole pass is batched model forwards plus a few
-    dense adds. This is the TPU-shaped formulation of the reference's
-    accumulator loop (``inference/window.py:275,677``)."""
+    become RESHAPES instead of per-window scatter. All groups' windows are
+    concatenated and run through ONE scan (a single copy of the model in the
+    compiled program), then split back per group for the dense adds. This is
+    the TPU-shaped formulation of the reference's accumulator loop
+    (``inference/window.py:275,677``)."""
     Z, Y, X, Cin = volume.shape
     wz, wy, wx = window
     sz, sy, sx = stride
@@ -207,13 +208,14 @@ def _sliding_window_regular_device(
     nz = (Z - wz) // sz + 1
     ny = (Y - wy) // sy + 1
     nx = (X - wx) // sx + 1
-    value = jnp.zeros((Z, Y, X, out_channels), acc_dtype)
     impc = imp.astype(acc_dtype)
 
     mz_counts = _parity_group_layout(nz, gz)
     my_counts = _parity_group_layout(ny, gy)
     mx_counts = _parity_group_layout(nx, gx)
 
+    groups = []  # (pz, py, px, Mz, My, Mx)
+    win_blocks = []
     for pz in range(gz):
         for py in range(gy):
             for px in range(gx):
@@ -230,37 +232,49 @@ def _sliding_window_regular_device(
                 wins = wins.transpose(0, 2, 4, 1, 3, 5, 6).reshape(
                     Mz * My * Mx, wz, wy, wx, Cin
                 )
-                M = wins.shape[0]
-                m_pad = _round_up(M, sw_batch)
-                if m_pad != M:
-                    wins = jnp.concatenate(
-                        [wins, jnp.zeros((m_pad - M, wz, wy, wx, Cin), wins.dtype)]
-                    )
-                n_chunks = m_pad // sw_batch
+                groups.append((oz, oy, ox, Mz, My, Mx))
+                win_blocks.append(wins)
 
-                def body(outbuf, i):
-                    chunk = jax.lax.dynamic_slice(
-                        wins, (i * sw_batch, 0, 0, 0, 0), (sw_batch, wz, wy, wx, Cin)
-                    )
-                    preds = apply_fn(params, chunk).astype(acc_dtype)
-                    outbuf = jax.lax.dynamic_update_slice(
-                        outbuf, preds, (i * sw_batch, 0, 0, 0, 0)
-                    )
-                    return outbuf, None
+    wins_all = jnp.concatenate(win_blocks, axis=0)
+    n_total = wins_all.shape[0]
+    n_pad = _round_up(n_total, sw_batch)
+    if n_pad != n_total:
+        wins_all = jnp.concatenate(
+            [wins_all, jnp.zeros((n_pad - n_total, wz, wy, wx, Cin), wins_all.dtype)]
+        )
+    n_chunks = n_pad // sw_batch
 
-                outbuf = jnp.zeros((m_pad, wz, wy, wx, out_channels), acc_dtype)
-                outbuf, _ = jax.lax.scan(body, outbuf, jnp.arange(n_chunks))
-                contrib = outbuf[:M] * impc
-                block = contrib.reshape(Mz, My, Mx, wz, wy, wx, out_channels)
-                block = block.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
-                    Mz * wz, My * wy, Mx * wx, out_channels
-                )
-                cur = jax.lax.slice(
-                    value,
-                    (oz, oy, ox, 0),
-                    (oz + Mz * wz, oy + My * wy, ox + Mx * wx, out_channels),
-                )
-                value = jax.lax.dynamic_update_slice(value, cur + block, (oz, oy, ox, 0))
+    def body(outbuf, i):
+        chunk = jax.lax.dynamic_slice(
+            wins_all, (i * sw_batch, 0, 0, 0, 0), (sw_batch, wz, wy, wx, Cin)
+        )
+        preds = apply_fn(params, chunk).astype(acc_dtype) * impc
+        outbuf = jax.lax.dynamic_update_slice(
+            outbuf, preds, (i * sw_batch, 0, 0, 0, 0)
+        )
+        return outbuf, None
+
+    outbuf = jnp.zeros((n_pad, wz, wy, wx, out_channels), acc_dtype)
+    outbuf, _ = jax.lax.scan(body, outbuf, jnp.arange(n_chunks))
+
+    value = jnp.zeros((Z, Y, X, out_channels), acc_dtype)
+    offset = 0
+    for (oz, oy, ox, Mz, My, Mx) in groups:
+        M = Mz * My * Mx
+        contrib = jax.lax.slice(
+            outbuf, (offset, 0, 0, 0, 0), (offset + M, wz, wy, wx, out_channels)
+        )
+        offset += M
+        block = contrib.reshape(Mz, My, Mx, wz, wy, wx, out_channels)
+        block = block.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
+            Mz * wz, My * wy, Mx * wx, out_channels
+        )
+        cur = jax.lax.slice(
+            value,
+            (oz, oy, ox, 0),
+            (oz + Mz * wz, oy + My * wy, ox + Mx * wx, out_channels),
+        )
+        value = jax.lax.dynamic_update_slice(value, cur + block, (oz, oy, ox, 0))
     return value * inv_weight.astype(acc_dtype)
 
 
