@@ -47,7 +47,7 @@ def main():
     small = os.environ.get("BENCH_SMALL", "0") == "1"
     vol_shape = (64, 256, 256) if small else (165, 1024, 768)
     window = (64, 64, 64) if small else (112, 112, 112)
-    sw_batch = 4
+    sw_batch = 8  # measured sweet spot for MedNeXt-S on v5e (CLAUDE.md)
 
     cfg = build_dataclass(
         ModelConfig,
@@ -98,7 +98,7 @@ def main():
     )[..., None]
 
     # volume generated on device (see module docstring)
-    vol = jax.random.uniform(jax.random.PRNGKey(1), cover + (1,), jnp.float32)
+    vol = jax.random.uniform(jax.random.PRNGKey(1), cover + (1,), jnp.bfloat16)
 
     def run():
         out = _sliding_window_regular_device(

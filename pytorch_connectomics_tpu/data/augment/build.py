@@ -39,19 +39,6 @@ _ORDER: List[Tuple[str, Callable, bool]] = [
     ("copy_paste", ops.rand_copy_paste, True),
 ]
 
-_KW_RENAME = {
-    "rotate": {"spatial_axes": "spatial_axes", "prob": "prob"},
-    "misalignment": {"displacement": "displacement"},
-    "missing_parts": {"hole_size": "hole_size"},
-    "motion_blur": {"sections": "sections", "kernel_size": "kernel_size"},
-    "cut_blur": {"length_ratio": "length_ratio", "down_ratio": "down_ratio"},
-    "cut_noise": {"length_ratio": "length_ratio", "scale": "scale"},
-    "missing_section": {"num_sections": "num_sections"},
-    "lost_section": {"num_sections": "num_sections"},
-    "stripe": {"intensity": "intensity"},
-    "mixup": {"alpha": "alpha"},
-}
-
 
 def build_augmentation_fn(
     cfg: Optional[AugmentationConfig],
