@@ -244,17 +244,21 @@ def _sliding_window_regular_device(
         )
     n_chunks = n_pad // sw_batch
 
+    # blended window predictions buffer in the volume dtype (bf16 halves HBM
+    # pressure; the overlap-add below still accumulates in acc_dtype)
+    buf_dtype = volume.dtype
+
     def body(outbuf, i):
         chunk = jax.lax.dynamic_slice(
             wins_all, (i * sw_batch, 0, 0, 0, 0), (sw_batch, wz, wy, wx, Cin)
         )
-        preds = apply_fn(params, chunk).astype(acc_dtype) * impc
+        preds = (apply_fn(params, chunk).astype(acc_dtype) * impc).astype(buf_dtype)
         outbuf = jax.lax.dynamic_update_slice(
             outbuf, preds, (i * sw_batch, 0, 0, 0, 0)
         )
         return outbuf, None
 
-    outbuf = jnp.zeros((n_pad, wz, wy, wx, out_channels), acc_dtype)
+    outbuf = jnp.zeros((n_pad, wz, wy, wx, out_channels), buf_dtype)
     outbuf, _ = jax.lax.scan(body, outbuf, jnp.arange(n_chunks))
 
     value = jnp.zeros((Z, Y, X, out_channels), acc_dtype)
@@ -263,7 +267,7 @@ def _sliding_window_regular_device(
         M = Mz * My * Mx
         contrib = jax.lax.slice(
             outbuf, (offset, 0, 0, 0, 0), (offset + M, wz, wy, wx, out_channels)
-        )
+        ).astype(acc_dtype)
         offset += M
         block = contrib.reshape(Mz, My, Mx, wz, wy, wx, out_channels)
         block = block.transpose(0, 3, 1, 4, 2, 5, 6).reshape(
