@@ -47,7 +47,7 @@ def main():
     small = os.environ.get("BENCH_SMALL", "0") == "1"
     vol_shape = (64, 256, 256) if small else (165, 1024, 768)
     window = (64, 64, 64) if small else (112, 112, 112)
-    sw_batch = 8  # measured sweet spot for MedNeXt-S on v5e (CLAUDE.md)
+    sw_batch = int(os.environ.get("BENCH_SW_BATCH", "8"))  # 8 = measured sweet spot (CLAUDE.md)
 
     cfg = build_dataclass(
         ModelConfig,
