@@ -167,3 +167,46 @@ def test_direct_2d_inference():
     out = manager.predict(params, vol)
     assert out.shape == (5, 32, 32, 1)
     assert 0.0 <= out.min() and out.max() <= 1.0
+
+
+def test_multihead_inference_merge():
+    """Multi-head model -> channel-concatenated prediction through the
+    InferenceManager (reference multi-head merge, test_pipeline.py:915)."""
+    import jax
+    import numpy as np
+
+    from pytorch_connectomics_tpu.config import load_config
+    from pytorch_connectomics_tpu.inference.manager import InferenceManager
+    from pytorch_connectomics_tpu.models import build_model, init_model
+
+    raw = {
+        "model": {
+            "arch": {"type": "mednext"},
+            "in_channels": 1, "out_channels": 4,
+            "input_size": [16, 16, 16],
+            "mednext": {
+                "size": "custom", "base_channels": 8, "exp_ratio": 2,
+                "block_counts": [1] * 9,
+                "heads": [
+                    {"name": "aff", "out_channels": 3, "num_blocks": 1},
+                    {"name": "mask", "out_channels": 1, "num_blocks": 1},
+                ],
+            },
+            "loss": {"losses": [{"function": "DiceLoss"}]},
+        },
+        "data": {"train": {"image": "random://mh/im"}, "dataloader": {"patch_size": [16, 16, 16]}},
+        "inference": {"window": {"window_size": [16, 16, 16], "overlap": 0.25, "sw_batch_size": 2}},
+    }
+    cfg = load_config(raw_dict=raw, mode="test")
+    model = build_model(cfg.model)
+    params = init_model(model, cfg.model, jax.random.PRNGKey(0))["params"]
+    manager = InferenceManager(cfg, model)
+    vol = np.random.rand(16, 16, 16).astype(np.float32)
+    out = manager.predict(params, vol)
+    assert out.shape == (16, 16, 16, 4)  # aff(3) + mask(1), sorted head order
+
+    # head selection narrows to one head's channels
+    cfg.inference.model.output_head = "mask"
+    m2 = InferenceManager(cfg, model)
+    out2 = m2.predict(params, vol)
+    assert out2.shape == (16, 16, 16, 1)
