@@ -62,8 +62,18 @@ def synthetic_volume(name: str, shape: Tuple[int, ...] = (64, 128, 128)) -> np.n
     Names containing ``label``/``lb``/``seg`` produce instance labels from
     thresholded blobs; others produce a smooth uint8 intensity field.
     Used by the minimal tutorial (reference ``tutorials/minimal.yaml``).
+
+    Image/label/mask names that differ only in their role suffix (e.g.
+    ``demo/train_image`` vs ``demo/train_label``) share the SAME underlying
+    field, so the label is learnable from the image. Seeding uses crc32
+    (process-stable, unlike ``hash``).
     """
-    seed = abs(hash(name)) % (2**31)
+    import zlib
+
+    base = name.lower()
+    for tag in ("image", "label", "mask", "seg", "_im", "_lb", "im", "lb"):
+        base = base.replace(tag, "")
+    seed = zlib.crc32(base.encode()) % (2**31)
     rng = np.random.default_rng(seed)
     base = rng.normal(size=(8, 8, 8)).astype(np.float32)
     # upsample smooth noise to full shape (separable linear interp)
