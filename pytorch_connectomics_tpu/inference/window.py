@@ -411,6 +411,50 @@ class SlidingWindowEngine:
         )
         return out_np[sl]
 
+    def device_pass(self, params, vol, out_channels: int):
+        """Fully-traceable device pass: ``vol`` is a jnp (Z,Y,X,C) array with
+        every axis >= window (use :func:`pad_roi_jnp` first). Returns the
+        normalized (Z,Y,X,Cout) prediction with the SAME spatial shape.
+        Usable inside jit/vmap/shard_map (e.g. TTA-variant sharding)."""
+        import jax.numpy as jnp
+
+        Z, Y, X = vol.shape[:3]
+        stride = self._effective_stride()
+        if all(w % s == 0 for w, s in zip(self.window, stride)):
+            cover = []
+            extra = []
+            for size, w, s in zip((Z, Y, X), self.window, stride):
+                n = max(1, -(-(size - w) // s) + 1)
+                cov = (n - 1) * s + w
+                cover.append(cov)
+                extra.append(cov - size)
+            if any(extra):
+                np_mode = {"reflect": "reflect", "replicate": "edge", "constant": "constant"}[
+                    self.padding_mode
+                ]
+                vol = jnp.pad(vol, [(0, e) for e in extra] + [(0, 0)], mode=np_mode)
+            imp_np = np.asarray(self.imp)[..., 0]
+            weight = _regular_weight_host(tuple(cover), self.window, stride, imp_np)
+            invw = jnp.asarray((1.0 / np.maximum(weight, 1e-8))[..., None], jnp.float32)
+            out = _sliding_window_regular_device(
+                params, vol, self.imp, invw,
+                apply_fn=self.apply_fn, window=self.window, stride=tuple(stride),
+                sw_batch=self.sw_batch, out_channels=out_channels,
+                acc_dtype=self.acc_dtype,
+            )
+            return out[:Z, :Y, :X]
+        grid = compute_window_grid((Z, Y, X), self.window, self.overlap, self.stride, self.snap)
+        n = grid.shape[0]
+        n_pad = _round_up(n, self.sw_batch)
+        if n_pad != n:
+            grid = np.concatenate([grid, np.repeat(grid[-1:], n_pad - n, axis=0)])
+        value, weight = _sliding_window_device(
+            params, vol, jnp.asarray(grid), self.imp,
+            apply_fn=self.apply_fn, window=self.window, sw_batch=self.sw_batch,
+            out_channels=out_channels, acc_dtype=self.acc_dtype,
+        )
+        return (value / jnp.maximum(weight, 1e-8)).astype(jnp.float32)
+
     def _effective_stride(self) -> Tuple[int, int, int]:
         if self.stride is not None:
             return tuple(int(s) for s in self.stride)
@@ -544,3 +588,18 @@ def make_engine(apply_fn, cfg: SlidingWindowConfig, input_size: Sequence[int]):
         snap_to_edge=cfg.snap_to_edge,
         border_mask=cfg.border_mask,
     )
+
+
+def pad_roi_jnp(vol, window: Sequence[int], mode: str = "reflect"):
+    """jnp grow-to-ROI pad (traceable twin of :func:`pad_volume_to_roi`)."""
+    import jax.numpy as jnp
+
+    pads = []
+    for s, w in zip(vol.shape[:3], window):
+        need = max(0, int(w) - int(s))
+        pads.append((need // 2, need - need // 2))
+    pads.append((0, 0))
+    if any(p != (0, 0) for p in pads):
+        np_mode = {"reflect": "reflect", "replicate": "edge", "constant": "constant"}[mode]
+        vol = jnp.pad(vol, pads, mode=np_mode)
+    return vol, pads[:3]

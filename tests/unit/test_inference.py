@@ -241,3 +241,16 @@ def test_regular_weight_separable_matches_direct():
             for ox in range(0, 17, 4):
                 direct[oz:oz+4, oy:oy+8, ox:ox+8] += imp
     np.testing.assert_allclose(fast, direct, rtol=1e-4)
+
+
+def test_tta_variant_sharding_matches_sequential():
+    """TTA variants sharded over the 8-device mesh == sequential TTA."""
+    from pytorch_connectomics_tpu.parallel import make_mesh
+
+    vol = np.random.rand(8, 16, 16).astype(np.float32)
+    eng = SlidingWindowEngine(smooth_apply, (8, 16, 16), overlap=0.5, sw_batch_size=1)
+    tta_cfg = build_dataclass(TTAConfig, {"enabled": True, "flip_axes": "all", "ensemble_mode": "mean"})
+    seq = TTAPredictor(eng, tta_cfg).predict(None, vol)
+    mesh = make_mesh({"data": 8})
+    par = TTAPredictor(eng, tta_cfg, mesh=mesh).predict(None, vol)
+    np.testing.assert_allclose(par, seq, atol=1e-4)
