@@ -64,7 +64,18 @@ def run_test_pipeline(
     out_dir.mkdir(parents=True, exist_ok=True)
     images = _as_list(cfg.data.test.image)
     labels = _as_list(cfg.data.test.label)
-    images = shard_paths(images, cfg.system.shard_id, cfg.system.num_shards)
+    if cfg.system.shard_id is not None:
+        images = shard_paths(images, cfg.system.shard_id, cfg.system.num_shards)
+    else:
+        # multi-process runs (RANK/SLURM_PROCID env): disjoint per-rank volume
+        # assignment (reference DistributedEvaluationSampler, data.py:234)
+        from .sharding import assign_volumes_to_ranks, detect_rank_world
+
+        rank, world = detect_rank_world()
+        if world > 1:
+            paired = assign_volumes_to_ranks(list(zip(images, labels + [None] * len(images))), rank, world)
+            images = [p[0] for p in paired]
+            labels = [p[1] for p in paired if p[1] is not None]
     manager = InferenceManager(cfg, model, mesh=mesh)
     cfg_hash = config_hash(cfg)
     tag = prediction_tag(

@@ -75,3 +75,23 @@ def test_download_data_lists_missing(tmp_path):
     r = run(["scripts/download_data.py", "lucchi++", "--root", str(tmp_path)])
     assert r.returncode == 0, r.stderr
     assert "lucchi++" in r.stdout
+
+
+def test_rank_sharded_test_pipeline(monkeypatch, tmp_path):
+    """RANK/WORLD_SIZE env splits test volumes across ranks without comm
+    (reference DistributedEvaluationSampler behavior, called in-process with
+    explicit rank like the reference tests do)."""
+    from pytorch_connectomics_tpu.runtime.sharding import (
+        assign_volumes_to_ranks,
+        detect_rank_world,
+    )
+
+    monkeypatch.setenv("RANK", "1")
+    monkeypatch.setenv("WORLD_SIZE", "2")
+    rank, world = detect_rank_world()
+    assert (rank, world) == (1, 2)
+    vols = [f"v{i}.h5" for i in range(5)]
+    r0 = assign_volumes_to_ranks(vols, 0, 2)
+    r1 = assign_volumes_to_ranks(vols, 1, 2)
+    assert sorted(r0 + r1) == sorted(vols)
+    assert not set(r0) & set(r1)
