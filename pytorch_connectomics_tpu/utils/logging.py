@@ -33,6 +33,13 @@ class MetricsLogger:
         if self.out_dir and backend != "none":
             self.out_dir.mkdir(parents=True, exist_ok=True)
             self._fh = open(self.out_dir / "metrics.jsonl", "a")
+        if self.out_dir and backend == "tensorboard":
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir=str(self.out_dir / "tb"))
+            except Exception as e:  # pragma: no cover
+                logger.warning("tensorboard unavailable (%s); using jsonl only", e)
         self._t0 = time.time()
 
     def log(self, step: int, scalars: Dict[str, Any], prefix: str = "") -> None:
@@ -45,7 +52,25 @@ class MetricsLogger:
         if self._fh:
             self._fh.write(json.dumps(rec) + "\n")
             self._fh.flush()
+        if self._tb:
+            for k, v in rec.items():
+                if k not in ("step", "time") and isinstance(v, float):
+                    self._tb.add_scalar(k, v, int(step))
+
+    def log_image(self, step: int, tag: str, image) -> None:
+        """HWC or HW uint8 image to TB (when enabled)."""
+        if self._tb is not None:
+            import numpy as _np
+
+            img = _np.asarray(image)
+            if img.ndim == 2:
+                img = img[None]
+            elif img.ndim == 3:
+                img = _np.moveaxis(img, -1, 0)
+            self._tb.add_image(tag, img, int(step))
 
     def close(self):
         if self._fh:
             self._fh.close()
+        if self._tb:
+            self._tb.close()
