@@ -144,6 +144,17 @@ def config_hash(cfg: Config | Dict[str, Any]) -> str:
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
+def resolve_precision(cfg: Config) -> None:
+    """Map the reference's ``optimization.precision`` strings to the model
+    compute dtype: "32" -> float32; "16-mixed"/"bf16-mixed" -> bfloat16
+    (bf16 is the TPU mixed-precision dtype; fp16 has no TPU advantage)."""
+    p = str(cfg.optimization.precision)
+    if p in ("32", "32-true", "float32"):
+        cfg.model.compute_dtype = "float32"
+    elif p in ("16-mixed", "bf16-mixed", "16", "bf16"):
+        cfg.model.compute_dtype = "bfloat16"
+
+
 def validate_config(cfg: Config, mode: str = "train") -> List[str]:
     """Coherence checks; returns warnings, raises on hard errors
     (reference ``config_io.py:488-711``, ``runtime/preflight.py``)."""
@@ -228,7 +239,6 @@ def load_config(
     else:
         raw = load_yaml_with_bases(path)
         config_dir = Path(path).resolve().parent
-    raw.pop("description", None) and None
     if use_builtin_profiles and _BUILTIN_PROFILES.exists():
         builtin = load_yaml_with_bases(_BUILTIN_PROFILES)
         raw = deep_merge(builtin, raw)
@@ -242,5 +252,6 @@ def load_config(
     raw.pop("_merge_context", None)
     cfg: Config = build_dataclass(Config, raw)
     resolve_system_sentinels(cfg)
+    resolve_precision(cfg)
     validate_config(cfg, mode)
     return cfg

@@ -121,3 +121,25 @@ def test_tune_mode_decode_search(trained, tmp_path):
     study = yaml.safe_load(best.read_text())
     assert "steps.0.kwargs.threshold" in study["best_params"]
     assert len(study["trials"]) == 4
+
+
+def test_chunked_test_mode_via_cli(trained, tmp_path):
+    """Chunked inference through the full CLI dispatch (zarr-free h5 path
+    with halo + manifest resume), matching the whole-volume result."""
+    cfg_path, ckpt = trained
+    out_whole = tmp_path / "whole"
+    out_chunk = tmp_path / "chunk"
+    base = ["--config", str(cfg_path), "--mode", "test", "--checkpoint", str(ckpt)]
+    r_whole = dispatch_runtime(parse_args(base + ["--output-dir", str(out_whole)]))
+    r_chunk = dispatch_runtime(parse_args(base + [
+        "--output-dir", str(out_chunk),
+        "inference.chunked.enabled=true",
+        "inference.chunked.chunk_size=[16, 32, 32]",
+        "inference.chunked.halo=[4, 8, 8]",
+    ]))
+    k = list(r_whole["metrics"])[0]
+    assert r_chunk["metrics"][k]["jaccard"] == pytest.approx(
+        r_whole["metrics"][k]["jaccard"], abs=0.02
+    )
+    # manifest written for resume
+    assert list(out_chunk.glob("*.manifest.json"))
