@@ -36,6 +36,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reset-early-stopping", action="store_true")
     p.add_argument("--output-dir", default=None, help="override run output dir")
     p.add_argument("--best-params", default=None, help="tuned params YAML for tune-test")
+    p.add_argument("--params", default=None, help="alias of --best-params (reference cli.py)")
+    p.add_argument("--external-prefix", default=None,
+                   help="prefix to strip from external (torch) checkpoint keys")
+    p.add_argument("--tune-trials", type=int, default=None,
+                   help="number of tuning trials (overrides decoding.tuning.n_trials)")
+    p.add_argument("--tune-trial-timeout", type=float, default=None,
+                   help="per-trial timeout seconds (overrides decoding.tuning.timeout_per_trial)")
     p.add_argument(
         "overrides",
         nargs="*",
@@ -58,4 +65,10 @@ def setup_config(args: argparse.Namespace) -> Config:
         cfg.optimization.max_epochs = 1
         cfg.optimization.n_steps_per_epoch = 2
         cfg.optimization.limit_val_batches = 1
+    if getattr(args, "params", None) and not args.best_params:
+        args.best_params = args.params
+    if getattr(args, "tune_trials", None):
+        cfg.decoding.tuning.n_trials = args.tune_trials
+    if getattr(args, "tune_trial_timeout", None):
+        cfg.decoding.tuning.timeout_per_trial = args.tune_trial_timeout
     return cfg
