@@ -41,7 +41,19 @@ def setup_runtime_directories(cfg: Config, mode: str, args=None) -> Path:
     return Path(cfg.save_path or f"outputs/{cfg.experiment_name}") / mode
 
 
-def _load_params_for_inference(cfg: Config, trainer, checkpoint: Optional[str]):
+def _load_params_for_inference(
+    cfg: Config, trainer, checkpoint: Optional[str], external_prefix: Optional[str] = None
+):
+    if checkpoint and str(checkpoint).endswith((".pt", ".pth", ".ckpt", ".pytorch")):
+        # foreign torch checkpoint (BANIS / nnU-Net / reference runs)
+        from ..training.model_weights import load_external_weights
+
+        prefixes = (external_prefix,) if external_prefix else ("model.", "module.", "network.")
+        params, stats = load_external_weights(
+            trainer.state.params["model"], checkpoint, strip_prefixes=prefixes
+        )
+        logger.info("external checkpoint %s: %s", checkpoint, stats)
+        return params
     if checkpoint:
         trainer.restore(checkpoint)
     return trainer.inference_params
@@ -84,7 +96,9 @@ def dispatch_runtime(args=None) -> Dict[str, Any]:
 
     # test / tune paths: build model + restore params
     trainer = Trainer(cfg, run_dir=run_dir, mesh=mesh)
-    params = _load_params_for_inference(cfg, trainer, args.checkpoint)
+    params = _load_params_for_inference(
+        cfg, trainer, args.checkpoint, getattr(args, "external_prefix", None)
+    )
     model = trainer.model
 
     if mode == "test":
