@@ -5,7 +5,9 @@
 // agglomeration), affogato (mutex watershed).
 //
 // C ABI only — loaded from Python via ctypes. All volumes are C-contiguous
-// [z][y][x]; affinities are [c][z][y][x] with channel order (z,y,x) offsets.
+// [z][y][x]; affinities are [c][z][y][x] with channel order x,y,z — the
+// standard offset list [(0,0,1),(0,1,0),(1,0,0)], high-end deepem
+// convention: aff[0] = x-edges, aff[1] = y, aff[2] = z.
 
 #include <algorithm>
 #include <array>
@@ -173,7 +175,8 @@ void watershed_seeded(const float* energy, const uint32_t* seeds,
 // Affinity-threshold connected components (BANIS decode_affinity_cc /
 // numba kernel equivalent): voxels i and i+offset merge when the affinity
 // channel value at the "high" endpoint exceeds threshold. Channels are the
-// three cardinal offsets (z,y,x) at distance 1: aff[0]=z, aff[1]=y, aff[2]=x.
+// three cardinal offsets at distance 1, order x,y,z: aff[0]=x, aff[1]=y,
+// aff[2]=z (deepem high-end convention).
 int64_t affinity_cc(const float* aff, int64_t Z, int64_t Y, int64_t X,
                     float threshold, uint32_t* out) {
   const int64_t n = Z * Y * X;

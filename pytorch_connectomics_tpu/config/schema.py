@@ -215,6 +215,11 @@ class MedNeXtConfig:
     block_counts: Optional[List[int]] = None
     norm_type: str = "group"
     heads: Optional[List[MedNeXtHeadConfig]] = None
+    # UpKern (Roy et al. 2023): initialize this (large-kernel) model from a
+    # trained small-kernel checkpoint via trilinear kernel inflation
+    # (reference mednext_models.py:487).
+    upkern_from: Optional[str] = None
+    upkern_source_kernel: int = 3
 
 
 @dataclass

@@ -17,17 +17,35 @@ import numpy as np
 Offset = Tuple[int, int, int]
 
 
+_OFFSET_RE = None
+
+
 def parse_offsets(offsets: Sequence[Union[str, Sequence[int]]]) -> List[Offset]:
+    """Parse offsets; string form is ``"dz-dy-dx"`` with optional negative
+    components (``"0-0--1"`` -> (0, 0, -1)). Malformed strings raise (the
+    reference raises on len(parts) != 3, ``affinity.py:203``)."""
+    global _OFFSET_RE
+    if _OFFSET_RE is None:
+        import re
+
+        # three signed integers separated by '-' or '_'
+        _OFFSET_RE = re.compile(r"^(-?\d+)[-_](-?\d+)[-_](-?\d+)$")
     out: List[Offset] = []
     for off in offsets:
         if isinstance(off, str):
-            parts = off.replace("_", "-").split("-")
-            vals = [int(p) for p in parts if p != ""]
-            # handle negative components written as "--1" style (rare)
-            out.append(tuple(vals))  # type: ignore[arg-type]
+            m = _OFFSET_RE.match(off.strip())
+            if m is None:
+                raise ValueError(
+                    f"malformed affinity offset string {off!r}: expected "
+                    "'dz-dy-dx' with three (optionally negative) integers"
+                )
+            out.append(tuple(int(g) for g in m.groups()))  # type: ignore[arg-type]
         else:
-            out.append(tuple(int(v) for v in off))  # type: ignore[arg-type]
-    return [o if len(o) == 3 else (0,) * (3 - len(o)) + o for o in out]
+            vals = tuple(int(v) for v in off)
+            if len(vals) > 3:
+                raise ValueError(f"offset {off!r} has more than 3 components")
+            out.append((0,) * (3 - len(vals)) + vals)  # type: ignore[arg-type]
+    return out
 
 
 def _shifted_pair(seg: np.ndarray, off: Offset) -> Tuple[np.ndarray, np.ndarray]:

@@ -149,12 +149,16 @@ def _run_chunks(predictor, params, accessor, ds, chunks, manifest, n_out):
     read_q: "queue.Queue" = queue.Queue(maxsize=2)
     write_q: "queue.Queue" = queue.Queue(maxsize=2)
 
-    def reader():
-        for chunk in todo:
-            read_q.put((chunk, accessor.read(chunk.read_slices)))
-        read_q.put(None)
-
     errors = []
+
+    def reader():
+        try:
+            for chunk in todo:
+                read_q.put((chunk, accessor.read(chunk.read_slices)))
+        except Exception as e:
+            errors.append(e)
+        finally:
+            read_q.put(None)  # always unblock the main loop
 
     def writer():
         while True:
@@ -168,6 +172,9 @@ def _run_chunks(predictor, params, accessor, ds, chunks, manifest, n_out):
                     manifest.mark_done(chunk.key)
             except Exception as e:  # pragma: no cover
                 errors.append(e)
+                # keep draining so the producer's bounded put() never blocks
+                while write_q.get() is not None:
+                    pass
                 return
 
     rt = threading.Thread(target=reader, daemon=True)
@@ -178,6 +185,8 @@ def _run_chunks(predictor, params, accessor, ds, chunks, manifest, n_out):
     while True:
         item = read_q.get()
         if item is None:
+            break
+        if errors:
             break
         chunk, data = item
         pred = predictor.predict(params, data)  # (z,y,x,C)

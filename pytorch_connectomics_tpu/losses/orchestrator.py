@@ -116,7 +116,10 @@ class LossOrchestrator:
                 targets["label"] if isinstance(targets, dict) else targets
             )
             value = self._term_loss(term, pred, tgt, mask, weight)
-            value = jnp.nan_to_num(value, nan=0.0, posinf=1e4, neginf=-1e4)
+            # No nan_to_num here: a non-finite term must propagate so the
+            # Trainer's per-term finite check can name it and raise (the
+            # reference raises per-term, orchestrator.py:216). Masking it
+            # would train on a silently-zeroed loss.
             logs[f"loss_{term.name}"] = value
             term_losses.append(value)
 
@@ -178,7 +181,6 @@ class LossOrchestrator:
                 if term.head is not None:
                     continue  # per-head terms only on full-res heads
                 value = self._term_loss(term, out, t_small, m_small, None)
-                value = jnp.nan_to_num(value, nan=0.0, posinf=1e4, neginf=-1e4)
                 scale_loss = scale_loss + term.weight * value
             if self.ds_clamp is not None:
                 scale_loss = jnp.clip(scale_loss, 0.0, self.ds_clamp)

@@ -31,25 +31,45 @@ def _contingency(seg: np.ndarray, gt: np.ndarray, ignore_zero=True):
 
 
 def adapted_rand(seg: np.ndarray, gt: np.ndarray, all_stats: bool = False):
-    """Adapted Rand error (1 - F-score of Rand precision/recall; lower is
-    better). Matches the ISBI-2012 / reference definition
-    (``segmentation_numpy.py:143``)."""
-    cont, n = _contingency(seg, gt)
-    if cont is None:
-        return 0.0
-    a = np.asarray(cont.sum(axis=1)).ravel()  # gt marginal
-    b = np.asarray(cont.sum(axis=0)).ravel()  # seg marginal
-    p2 = (cont.data**2).sum() - n  # sum p_ij^2 minus diagonal unit mass
-    a2 = (a**2).sum() - n
-    b2 = (b**2).sum() - n
-    if a2 == 0 and b2 == 0:
-        return 0.0 if not all_stats else (0.0, 1.0, 1.0)
-    precision = p2 / b2 if b2 > 0 else 1.0
-    recall = p2 / a2 if a2 > 0 else 1.0
-    if precision + recall == 0:
-        fscore = 0.0
-    else:
-        fscore = 2.0 * precision * recall / (precision + recall)
+    """Adapted Rand error (1 - maximal F-score of the Rand index; lower is
+    better), the SNEMI3D contest definition (``segmentation_numpy.py:143``).
+
+    Score-compatible with the reference: gt label 0 rows are excluded, the
+    seg==0 column is NOT a regular segment — its mass enters precision and
+    the pair sum only via the ``sum(c)/n`` correction terms — and no ``-n``
+    self-pair subtraction is applied.
+    """
+    seg = np.asarray(seg)
+    gt = np.asarray(gt)
+    if seg.shape != gt.shape:
+        raise ValueError(f"shape mismatch: seg {seg.shape} vs gt {gt.shape}")
+    g = gt.ravel().astype(np.int64)
+    s = seg.ravel().astype(np.int64)
+    n = g.size
+    if n == 0:
+        return (0.0, 1.0, 1.0) if all_stats else 0.0
+
+    cont = sparse.csr_matrix(
+        (np.ones(n, np.float64), (g, s)),
+        shape=(int(g.max()) + 1, int(s.max()) + 1),
+    )
+    body = cont[1:, :]  # drop gt==0 row(s)
+    inner = body[:, 1:]  # gt>0 x seg>0 block
+    zero_col = np.asarray(body[:, 0].todense()).ravel()  # gt>0 voxels with seg==0
+
+    a_i = np.asarray(body.sum(axis=1)).ravel()  # gt segment sizes (gt>0 voxels)
+    b_j = np.asarray(inner.sum(axis=0)).ravel()  # seg segment sizes over gt>0
+
+    zcorr = zero_col.sum() / n
+    sum_a = float((a_i**2).sum())
+    sum_b = float((b_j**2).sum()) + zcorr
+    sum_ab = float((inner.data**2).sum()) + zcorr
+
+    if sum_a == 0 or sum_b == 0:
+        return (0.0, 1.0, 1.0) if all_stats else 0.0
+    precision = sum_ab / sum_b
+    recall = sum_ab / sum_a
+    fscore = 2.0 * precision * recall / (precision + recall) if precision + recall else 0.0
     are = 1.0 - fscore
     if all_stats:
         return are, precision, recall

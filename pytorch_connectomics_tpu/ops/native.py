@@ -42,13 +42,24 @@ def _build_library() -> bool:
         return False
 
 
+def _lib_is_stale() -> bool:
+    """True when the .so predates the source — rebuild so edits to
+    csrc/pytc_ops.cpp are never shadowed by a stale binary."""
+    src = _CSRC / "pytc_ops.cpp"
+    try:
+        return src.exists() and src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+    except OSError:  # pragma: no cover
+        return False
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _lib_tried
     if _lib is not None or _lib_tried:
         return _lib
     _lib_tried = True
-    if not _LIB_PATH.exists() and not _build_library():
-        return None
+    if (not _LIB_PATH.exists() or _lib_is_stale()) and not _build_library():
+        if not _LIB_PATH.exists():
+            return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))
     except OSError as e:  # pragma: no cover

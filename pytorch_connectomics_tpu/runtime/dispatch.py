@@ -13,6 +13,7 @@ from pathlib import Path
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 
 from ..config.schema import Config
 from ..models import build_model
@@ -79,6 +80,20 @@ def dispatch_runtime(args=None) -> Dict[str, Any]:
 
     if mode in ("train", "val"):
         trainer = Trainer(cfg, run_dir=run_dir, mesh=mesh)
+        mednext = getattr(cfg.model, "mednext", None)
+        if mednext is not None and mednext.upkern_from:
+            from ..training.model_weights import upkern_initialize
+
+            new_model = upkern_initialize(cfg.model, trainer.state.params["model"])
+            trainer.state = trainer.state.replace(
+                params={**trainer.state.params, "model": new_model},
+                ema_params=(
+                    jax.tree.map(jnp.asarray, new_model)
+                    if trainer.state.ema_params is not None
+                    else None
+                ),
+            )
+            logger.info("UpKern-initialized from %s", mednext.upkern_from)
         if args.checkpoint:
             trainer.restore(
                 args.checkpoint,

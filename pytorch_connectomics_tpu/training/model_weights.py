@@ -75,22 +75,32 @@ def load_external_weights(
     checkpoint_path: str,
     strip_prefixes: Tuple[str, ...] = ("model.", "module.", "network."),
     strict: bool = False,
+    upkern: bool = False,
 ) -> Tuple[Any, Dict[str, int]]:
     """Fill ``flax_params`` with shape-matching tensors from a torch ckpt.
 
     Returns (new_params, stats). Matching: greedy in-order assignment within
     each shape bucket (torch param order vs flax traversal order — both are
-    construction order, which lines up for same-topology networks)."""
+    construction order, which lines up for same-topology networks).
+
+    With ``upkern=True``, a conv kernel with no same-shape source falls back
+    to a source kernel matching in (in, out) channels but smaller spatial
+    extent, trilinearly inflated (UpKern, reference
+    ``mednext_models.py:487``)."""
     state = load_torch_state_dict(checkpoint_path, strip_prefixes)
     flat = _flatten(flax_params)
     torch_items = [(k, torch_conv_to_flax(v)) for k, v in state.items()]
 
     by_shape: Dict[Tuple[int, ...], List[Tuple[str, np.ndarray]]] = {}
+    by_io: Dict[Tuple[int, int], List[Tuple[str, np.ndarray]]] = {}
     for k, v in torch_items:
         by_shape.setdefault(tuple(v.shape), []).append((k, v))
+        if v.ndim == 5:
+            by_io.setdefault((v.shape[3], v.shape[4]), []).append((k, v))
 
     new_flat: Dict[Tuple[str, ...], np.ndarray] = {}
     loaded = 0
+    inflated = 0
     missed = 0
     for path, value in flat:
         bucket = by_shape.get(tuple(value.shape))
@@ -98,11 +108,113 @@ def load_external_weights(
             src_key, src_val = bucket.pop(0)
             new_flat[path] = src_val.astype(value.dtype)
             loaded += 1
-        else:
-            new_flat[path] = value
-            missed += 1
-    stats = {"loaded": loaded, "missed": missed, "unused": sum(len(b) for b in by_shape.values())}
+            continue
+        if upkern and value.ndim == 5:
+            cands = by_io.get((value.shape[3], value.shape[4]), [])
+            pick = next(
+                (c for c in cands
+                 if c[1].shape != tuple(value.shape)
+                 and all(s <= t for s, t in zip(c[1].shape[:3], value.shape[:3]))),
+                None,
+            )
+            if pick is not None:
+                cands.remove(pick)
+                new_flat[path] = upkern_resize_kernel(pick[1], value.shape[:3]).astype(value.dtype)
+                inflated += 1
+                continue
+        new_flat[path] = value
+        missed += 1
+    stats = {
+        "loaded": loaded,
+        "missed": missed,
+        "inflated": inflated,
+        "unused": sum(len(b) for b in by_shape.values()),
+    }
     if strict and missed:
         raise ValueError(f"strict load failed: {stats}")
     logger.info("external weights: %s", stats)
     return _unflatten(new_flat), stats
+
+
+# -- UpKern: small-kernel -> large-kernel transfer ---------------------------
+
+
+def upkern_resize_kernel(w: np.ndarray, spatial: Tuple[int, int, int]) -> np.ndarray:
+    """Trilinearly interpolate a flax conv kernel ``(z, y, x, I, O)`` to a new
+    spatial extent — the UpKern initialization (Roy et al., MICCAI 2023;
+    reference ``mednext_models.py:487`` via nnunet_mednext's
+    ``upkern_load_weights``, which uses ``F.interpolate(mode='trilinear')``)."""
+    z, y, x, ci, co = w.shape
+    if (z, y, x) == tuple(spatial):
+        return np.asarray(w)
+    import torch
+    import torch.nn.functional as F
+
+    t = torch.from_numpy(np.ascontiguousarray(np.transpose(w, (3, 4, 0, 1, 2)))).float()
+    t = t.reshape(1, ci * co, z, y, x)
+    t = F.interpolate(t, size=tuple(int(s) for s in spatial), mode="trilinear")
+    t = t.reshape(ci, co, *spatial)
+    return np.transpose(t.numpy(), (2, 3, 4, 0, 1)).astype(w.dtype)
+
+
+def upkern_transfer(target_params: Any, source_params: Any) -> Tuple[Any, Dict[str, int]]:
+    """Copy a small-kernel model's params into a large-kernel one by path:
+    same-shape leaves copy verbatim; 5-D conv kernels with matching channel
+    dims are trilinearly inflated; anything else keeps the target init.
+
+    flax->flax analog of the reference's ``upkern_load_weights``
+    (``mednext_models.py:487``)."""
+    tgt = dict(_flatten(target_params))
+    src = dict(_flatten(source_params))
+    new_flat: Dict[Tuple[str, ...], np.ndarray] = {}
+    copied = inflated = kept = 0
+    for path, value in tgt.items():
+        s = src.get(path)
+        if s is None:
+            new_flat[path] = value
+            kept += 1
+        elif s.shape == value.shape:
+            new_flat[path] = s.astype(value.dtype)
+            copied += 1
+        elif (
+            s.ndim == 5
+            and value.ndim == 5
+            and s.shape[3:] == value.shape[3:]
+        ):
+            new_flat[path] = upkern_resize_kernel(s, value.shape[:3]).astype(value.dtype)
+            inflated += 1
+        else:
+            logger.warning("upkern: incompatible shapes at %s: %s vs %s",
+                           "/".join(path), s.shape, value.shape)
+            new_flat[path] = value
+            kept += 1
+    stats = {"copied": copied, "inflated": inflated, "kept": kept}
+    logger.info("upkern transfer: %s", stats)
+    return _unflatten(new_flat), stats
+
+
+def upkern_initialize(model_cfg: Any, target_params: Any) -> Any:
+    """Initialize a large-kernel MedNeXt from a trained small-kernel run
+    (``model.mednext.upkern_from``). Torch sources go through the shape
+    matcher with spatial inflation; native checkpoints (full TrainState
+    trees) are restored targetless and path-transferred — the stored arrays
+    already carry the small-kernel shapes, so no source model is built."""
+    m = model_cfg.mednext
+    path = str(m.upkern_from)
+    if path.endswith((".pt", ".pth", ".ckpt", ".pytorch")):
+        params, _ = load_external_weights(target_params, path, upkern=True)
+        return params
+
+    from pathlib import Path as _P
+
+    import orbax.checkpoint as ocp
+
+    p = _P(path)
+    if (p / "state").exists():
+        p = p / "state"
+    restored = ocp.StandardCheckpointer().restore(p.resolve())
+    src_params = restored["params"]
+    if isinstance(src_params, dict) and "model" in src_params:
+        src_params = src_params["model"]
+    params, _ = upkern_transfer(target_params, src_params)
+    return params
