@@ -152,6 +152,9 @@ class SystemConfig:
     # jax mesh axis sizes; -1 entries resolved from num_devices
     mesh: Dict[str, int] = field(default_factory=lambda: {"data": -1})
     distributed_backend: str = "jax"  # jax | none
+    # multi-host (DCN) init: auto = env detection (SLURM/TPU-pod vars),
+    # force = always call jax.distributed.initialize, never = single host
+    distributed: str = "auto"  # auto | force | never
     # independent-shard test mode (reference runtime/sharding.py:212)
     shard_id: Optional[int] = None
     num_shards: Optional[int] = None

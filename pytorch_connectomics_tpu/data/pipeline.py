@@ -101,9 +101,22 @@ class PatchPipeline:
         num_threads: int = 4,
         prefetch: int = 2,
         train: bool = True,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """``batch_size`` is the GLOBAL batch. In a multi-host run each
+        process assembles only its slice of slots; sample RNG is keyed by the
+        global slot index, so the union across processes is bit-identical to
+        the single-process batch."""
         self.dataset = dataset
         self.batch_size = int(batch_size)
+        if self.batch_size % max(1, process_count) != 0:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by process_count {process_count}"
+            )
+        self.process_index = int(process_index)
+        self.process_count = max(1, int(process_count))
+        self.local_batch_size = self.batch_size // self.process_count
         self.seed = seed
         self.train = train
         self.augment = build_augmentation_fn(
@@ -130,7 +143,12 @@ class PatchPipeline:
         return s
 
     def make_batch(self, step: int) -> Dict[str, np.ndarray]:
-        samples = [self._make_sample(step, i) for i in range(self.batch_size)]
+        """This process's slice of the global batch (all of it when
+        single-process); slots are global indices."""
+        lo = self.process_index * self.local_batch_size
+        samples = [
+            self._make_sample(step, lo + i) for i in range(self.local_batch_size)
+        ]
         return self.collate(samples)
 
     @staticmethod
@@ -173,8 +191,15 @@ class PatchPipeline:
             stop.set()
 
 
-def build_pipelines(cfg: Config):
-    """Config -> (train PatchPipeline, val PatchPipeline | None)."""
+def build_pipelines(cfg: Config, process_index: Optional[int] = None, process_count: Optional[int] = None):
+    """Config -> (train PatchPipeline, val PatchPipeline | None).
+
+    In a multi-host run each process builds its slice of the global batch
+    (reference analog: DistributedSampler in ``data_factory.py``)."""
+    if process_index is None or process_count is None:
+        from ..parallel.distributed import process_info
+
+        process_index, process_count = process_info()
     train_ds, val_ds = make_train_val_datasets(cfg)
     dl = cfg.data.dataloader
     # when augmentation runs on-device inside the train step, the host
@@ -189,6 +214,8 @@ def build_pipelines(cfg: Config):
         num_threads=cfg.system.num_workers,
         prefetch=dl.prefetch,
         train=True,
+        process_index=process_index,
+        process_count=process_count,
     )
     val_pipe = None
     if val_ds is not None:
@@ -201,5 +228,7 @@ def build_pipelines(cfg: Config):
             num_threads=1,
             prefetch=1,
             train=False,
+            process_index=process_index,
+            process_count=process_count,
         )
     return train_pipe, val_pipe

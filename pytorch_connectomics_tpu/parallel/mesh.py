@@ -39,9 +39,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data"):
-    """device_put a host batch with batch-dim sharding."""
+    """Shard a host batch over the batch dim.
+
+    Single-host: plain ``device_put``. Multi-host: each process holds only
+    its local slice, so assemble the global array from process-local data
+    (``jax.make_array_from_process_local_data``); global batch = local x
+    process_count, matching the pipeline's global-slot sampling."""
     s = batch_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+    def put(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(s, x, global_shape)
+
+    return jax.tree.map(put, batch)
 
 
 def pad_to_multiple(n: int, m: int) -> int:

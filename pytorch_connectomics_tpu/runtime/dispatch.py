@@ -63,9 +63,23 @@ def _load_params_for_inference(
 def dispatch_runtime(args=None) -> Dict[str, Any]:
     if args is None:
         args = parse_args()
-    rank, world = detect_rank_world()
-    setup_logging(rank)
+    # multi-host init MUST precede the first jax backend query (config
+    # resolution may call jax.device_count); mode comes from the env here,
+    # config system.distributed can still force afterwards (idempotent)
+    import os as _os
+
+    from ..parallel.distributed import maybe_initialize_distributed
+
+    proc_idx, proc_count = maybe_initialize_distributed(
+        _os.environ.get("PYTC_DISTRIBUTED_MODE", "auto")
+    )
     cfg = setup_config(args)
+    if cfg.system.distributed == "force" and proc_count == 1:
+        proc_idx, proc_count = maybe_initialize_distributed("force")
+    rank, world = detect_rank_world()
+    if proc_count > 1:  # jax.distributed is authoritative when active
+        rank, world = proc_idx, proc_count
+    setup_logging(rank)
     mode = args.mode
     from .preflight import preflight_check
 
