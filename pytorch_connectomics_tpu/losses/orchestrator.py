@@ -104,9 +104,13 @@ class LossOrchestrator:
         mask: Optional[jnp.ndarray] = None,
         weight: Optional[jnp.ndarray] = None,
         balancer_params: Optional[jnp.ndarray] = None,
+        term_weights: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         """``outputs``: array or dict (multi-head and/or ds_*);
-        ``targets``: array or dict keyed by head name."""
+        ``targets``: array or dict keyed by head name.
+
+        ``term_weights``: externally-managed per-term multipliers (GradNorm,
+        reference ``losses/balancing.py:90``) — overrides uncertainty."""
         logs: Dict[str, jnp.ndarray] = {}
         main_out, ds_outs = self._split_outputs(outputs)
         term_losses = []
@@ -123,7 +127,12 @@ class LossOrchestrator:
             logs[f"loss_{term.name}"] = value
             term_losses.append(value)
 
-        if balancer_params is not None and len(term_losses) > 1:
+        if term_weights is not None and len(term_losses) > 1:
+            total = sum(
+                term_weights[i] * term.weight * L
+                for i, (term, L) in enumerate(zip(self.terms, term_losses))
+            )
+        elif balancer_params is not None and len(term_losses) > 1:
             # Kendall uncertainty weighting: sum exp(-s_i) L_i + s_i
             s = balancer_params[: len(term_losses)]
             total = sum(

@@ -64,10 +64,33 @@ def _build_xcat(rows, k: int, x_size: int):
 # ---------------------------------------------------------------------------
 
 
+def _fill_xcat_scratch(in_refs, xcat_s, k: int, x_size: int, chunk: int = 8):
+    """Stage the kx lane-shifted copies into scratch: (k, Yp, k*C, X).
+
+    Row-chunked so live vector temporaries stay small (a whole (Yp, C, X)
+    value on the register stack OOMs VMEM at stage-0 shapes)."""
+    c = in_refs[0].shape[-2]
+    yp = in_refs[0].shape[2]
+    chunk = min(chunk, yp)
+    n_chunks = -(-yp // chunk)
+    for kz in range(k):
+
+        def fill_body(i, _, kz=kz):
+            lo = jnp.minimum(i * chunk, yp - chunk)  # last chunk overlaps
+            rows = in_refs[kz][0, 0, pl.ds(lo, chunk)]  # (chunk, C, X)
+            for kx in range(k):
+                xcat_s[kz, pl.ds(lo, chunk), kx * c : (kx + 1) * c, :] = _lane_shift(
+                    rows, kx, k, x_size
+                )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, fill_body, 0)
+
+
 def _stats_kernel(*refs, k: int, x_size: int, y_size: int, z_size: int):
-    # refs: k input row-specs, wdw_ref, out_ref
+    # refs: k input row-specs, wdw_ref, out_ref, xcat scratch
     in_refs = refs[:k]
-    wdw_ref, out_ref = refs[k], refs[k + 1]
+    wdw_ref, out_ref, xcat_s = refs[k], refs[k + 1], refs[k + 2]
     z = pl.program_id(1)
 
     @pl.when(z == 0)
@@ -77,24 +100,26 @@ def _stats_kernel(*refs, k: int, x_size: int, y_size: int, z_size: int):
     @pl.when(jnp.logical_and(z >= 1, z <= z_size))
     def _():
         c = out_ref.shape[-1]
-        acc = jnp.zeros((c, y_size, x_size), jnp.float32)
-        for kz in range(k):
-            rows = in_refs[kz][0, 0]  # (Yp, C, X)
-            xcat = _build_xcat(rows, k, x_size)  # (Yp, kC, X)
-            for ky in range(k):
-                tap = xcat[ky : ky + y_size]  # (Y, kC, X)
-                w = wdw_ref[kz * k + ky]  # (C, kC) diagonal-expanded
-                acc = acc + jax.lax.dot_general(
-                    w, tap,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (C, Y, X)
-        lane = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 2)
-        acc = jnp.where(lane < x_size, acc, 0.0)
-        s = jnp.sum(acc, axis=(1, 2))  # (C,)
-        s2 = jnp.sum(acc * acc, axis=(1, 2))
-        out_ref[0, 0, :] += s
-        out_ref[0, 1, :] += s2
+        _fill_xcat_scratch(in_refs, xcat_s, k, x_size)
+        wdw = wdw_ref[...]  # (k*k, C, kC)
+
+        def body(y, carry):
+            acc_s, acc_s2 = carry
+            t = jnp.zeros((c, x_size), jnp.float32)
+            for kz in range(k):
+                for ky in range(k):
+                    tap = xcat_s[kz, pl.ds(y + ky, 1)][0]  # (kC, X)
+                    t = t + jax.lax.dot_general(
+                        wdw[kz * k + ky], tap,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+            return acc_s + t, acc_s2 + t * t
+
+        zero = jnp.zeros((c, x_size), jnp.float32)
+        acc_s, acc_s2 = jax.lax.fori_loop(0, y_size, body, (zero, zero))
+        out_ref[0, 0, :] += jnp.sum(acc_s, axis=1)
+        out_ref[0, 1, :] += jnp.sum(acc_s2, axis=1)
 
 
 def dw_stats(x_pad: jax.Array, w_dw: jax.Array, k: int = 3):
@@ -107,13 +132,18 @@ def dw_stats(x_pad: jax.Array, w_dw: jax.Array, k: int = 3):
     p = k // 2
     z_size, y_size = zp - 2 * p, yp - 2 * p
     # diagonal-expanded taps: (k*k, C, k*C); [t, c', kx*C+c] = delta * w
-    w = np.zeros((k * k, c, k * c), np.float32)
-    wnp = np.asarray(w_dw, np.float32)
-    for kz in range(k):
-        for ky in range(k):
-            for kx in range(k):
-                w[kz * k + ky, np.arange(c), kx * c + np.arange(c)] = wnp[kz, ky, kx]
-    w = jnp.asarray(w)
+    # (trace-safe: built from eye() products so it jits)
+    eye = jnp.eye(c, dtype=jnp.float32)
+    w = jnp.stack(
+        [
+            jnp.concatenate(
+                [eye * w_dw[kz, ky, kx][None, :].astype(jnp.float32) for kx in range(k)],
+                axis=1,
+            )
+            for kz in range(k)
+            for ky in range(k)
+        ]
+    )
 
     in_specs = [
         pl.BlockSpec(
@@ -136,6 +166,8 @@ def dw_stats(x_pad: jax.Array, w_dw: jax.Array, k: int = 3):
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 2, c), lambda bi, zi: (bi, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 2, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k, yp, k * c, x), x_pad.dtype)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(*([x_pad] * k), w)
 
 
@@ -146,39 +178,43 @@ def dw_stats(x_pad: jax.Array, w_dw: jax.Array, k: int = 3):
 
 def _apply_kernel(*refs, k: int, x_size: int, y_size: int, z_size: int):
     # refs: k input row-specs, wbig_ref (k*k, R, kC), b1_ref (1, R),
-    #       w2_ref (Cout, R), b2_ref (1, Cout), out_ref (1, 1, Y, C, X)
+    #       w2_ref (Cout, R), b2_ref (1, Cout), out_ref (1, 1, Y, C, X),
+    #       xcat scratch (k, Yp, kC, X)
     in_refs = refs[:k]
-    wbig_ref, b1_ref, w2_ref, b2_ref, out_ref = refs[k : k + 5]
+    wbig_ref, b1_ref, w2_ref, b2_ref, out_ref, xcat_s = refs[k : k + 6]
     r = wbig_ref.shape[1]
     cout = w2_ref.shape[0]
-
-    acc = jnp.zeros((r, y_size, x_size), jnp.float32)
-    for kz in range(k):
-        rows = in_refs[kz][0, 0]  # (Yp, C, X)
-        xcat = _build_xcat(rows, k, x_size)  # (Yp, kC, X)
-        for ky in range(k):
-            tap = xcat[ky : ky + y_size]
-            w = wbig_ref[kz * k + ky]  # (R, kC)
-            acc = acc + jax.lax.dot_general(
-                w, tap,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (R, Y, X)
-    h = acc + b1_ref[0][:, None, None]
-    h = jax.nn.gelu(h, approximate=True)
-    o = jax.lax.dot_general(
-        w2_ref[...].astype(jnp.float32), h,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (Cout, Y, X)
-    o = o + b2_ref[0][:, None, None]
-    # residual: center row of the kz = center spec, trimmed to (Y, C, X)
+    c = in_refs[0].shape[-2]
     p = k // 2
-    resid = in_refs[p][0, 0, p : p + y_size].astype(jnp.float32)  # (Y, C, X)
-    o = jnp.transpose(o, (1, 0, 2))  # (Y, Cout, X)
-    if cout == resid.shape[1]:
-        o = o + resid
-    out_ref[0, 0] = o.astype(out_ref.dtype)
+
+    _fill_xcat_scratch(in_refs, xcat_s, k, x_size)
+    wbig = wbig_ref[...]
+    w2 = w2_ref[...].astype(jnp.float32)
+    b1 = b1_ref[0]
+    b2 = b2_ref[0]
+    add_residual = cout == c
+
+    def body(y, _):
+        acc = jnp.zeros((r, x_size), jnp.float32)
+        for kz in range(k):
+            for ky in range(k):
+                tap = xcat_s[kz, pl.ds(y + ky, 1)][0]  # (kC, X)
+                acc = acc + jax.lax.dot_general(
+                    wbig[kz * k + ky], tap,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (R, X)
+        h = jax.nn.gelu(acc + b1[:, None], approximate=True)
+        o = jax.lax.dot_general(
+            w2, h, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2[:, None]  # (Cout, X)
+        if add_residual:
+            o = o + in_refs[p][0, 0, pl.ds(y + p, 1)][0].astype(jnp.float32)
+        out_ref[0, 0, pl.ds(y, 1)] = o[None].astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, y_size, body, 0)
 
 
 def fused_block_apply(
@@ -225,6 +261,8 @@ def fused_block_apply(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, z_size, y_size, cout, x), out_dtype),
+        scratch_shapes=[pltpu.VMEM((k, yp, k * c, x), x_pad.dtype)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(
         *([x_pad] * k),
         wbig,

@@ -77,6 +77,7 @@ class Trainer:
             self.tx,
             ema=cfg.monitor.ema.enabled,
             num_balancer_terms=(self.orchestrator.num_terms if balancing == "uncertainty" else 0),
+            gradnorm_terms=(self.orchestrator.num_terms if balancing == "gradnorm" else 0),
         )
         # shardings: state replicated, batch split on data axis
         self._state_sharding = jax.tree.map(lambda _: replicated(self.mesh), self.state)
@@ -105,6 +106,9 @@ class Trainer:
                 ema_decay=cfg.monitor.ema.decay if cfg.monitor.ema.enabled else None,
                 augment_fn=augment_fn,
                 seed=cfg.system.seed,
+                balancing=balancing,
+                balancing_alpha=cfg.model.loss.balancing.alpha,
+                balancing_lr=cfg.model.loss.balancing.lr,
             ),
             donate_argnums=(0,),
         )

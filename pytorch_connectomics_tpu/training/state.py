@@ -34,17 +34,24 @@ def create_train_state(
     tx: optax.GradientTransformation,
     ema: bool = False,
     num_balancer_terms: int = 0,
+    gradnorm_terms: int = 0,
 ) -> TrainState:
     wrapped = {"model": params}
     if num_balancer_terms:
         wrapped["balancer"] = jnp.zeros((num_balancer_terms,), jnp.float32)
+    # GradNorm state (non-trainable): row 0 = task weights, row 1 = L_i(0)
+    balancer = (
+        jnp.stack([jnp.ones(gradnorm_terms), jnp.zeros(gradnorm_terms)])
+        if gradnorm_terms
+        else None
+    )
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=wrapped,
         opt_state=tx.init(wrapped),
         ema_params=jax.tree.map(jnp.copy, params) if ema else None,
         lr_scale=jnp.ones(()),
-        balancer=None,
+        balancer=balancer,
     )
 
 
@@ -55,15 +62,22 @@ def make_train_step(
     ema_decay: Optional[float] = None,
     augment_fn: Optional[Callable] = None,
     seed: int = 0,
+    balancing: Optional[str] = None,
+    balancing_alpha: float = 1.5,
+    balancing_lr: float = 0.025,
 ) -> Callable:
     """Returns ``train_step(state, batch) -> (state, logs)`` (pure, jittable).
 
     ``batch``: {"image": NDHWC, "label": NDHWC, optional "mask"/"weight"}.
     ``augment_fn(batch, key)``: on-device augmentation fused into the step
     (``ops/augment_jax.py``); keyed deterministically by the step counter.
+    ``balancing="gradnorm"``: per-term weights live in ``state.balancer``
+    (row 0 = weights, row 1 = initial losses) and update every step from
+    loss-ratio training rates (reference ``losses/balancing.py:90``).
     """
+    gradnorm = balancing == "gradnorm"
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, term_weights):
         out = apply_fn({"params": params["model"]}, batch["image"], train=True)
         total, logs = orchestrator(
             out,
@@ -71,6 +85,7 @@ def make_train_step(
             mask=batch.get("mask"),
             weight=batch.get("weight"),
             balancer_params=params.get("balancer"),
+            term_weights=term_weights,
         )
         return total, logs
 
@@ -78,7 +93,10 @@ def make_train_step(
         if augment_fn is not None:
             key = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
             batch = augment_fn(batch, key)
-        (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch)
+        term_w = state.balancer[0] if (gradnorm and state.balancer is not None) else None
+        (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, term_w
+        )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         # host-controlled plateau factor multiplies the whole update
         updates = jax.tree.map(lambda u: u * state.lr_scale, updates)
@@ -90,6 +108,20 @@ def make_train_step(
                 ema,
                 params["model"],
             )
+        balancer = state.balancer
+        if gradnorm and balancer is not None:
+            from ..losses.balancing import gradnorm_weights
+
+            term_losses = [logs[f"loss_{t.name}"] for t in orchestrator.terms]
+            current = jnp.stack(term_losses)
+            initial = jnp.where(state.step == 0, current, balancer[1])
+            new_w = gradnorm_weights(
+                term_losses, initial, balancer[0],
+                alpha=balancing_alpha, lr=balancing_lr,
+            )
+            balancer = jnp.stack([new_w, initial])
+            for i, t in enumerate(orchestrator.terms):
+                logs[f"gradnorm_w_{t.name}"] = new_w[i]
         logs["grad_norm"] = optax.global_norm(grads)
         return (
             state.replace(
@@ -97,6 +129,7 @@ def make_train_step(
                 params=params,
                 opt_state=opt_state,
                 ema_params=ema,
+                balancer=balancer,
             ),
             logs,
         )

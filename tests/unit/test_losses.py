@@ -164,3 +164,48 @@ def test_uncertainty_balancing():
     s = jnp.zeros(2)
     total, _ = orch(pred, tgt, balancer_params=s)
     assert jnp.isfinite(total)
+
+
+def test_gradnorm_balancing_updates_weights():
+    """GradNorm wiring (reference losses/balancing.py:90): task weights live
+    in state.balancer and shift toward slower-training terms."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from pytorch_connectomics_tpu.config.schema import LossConfig, build_dataclass
+    from pytorch_connectomics_tpu.losses import LossOrchestrator
+    from pytorch_connectomics_tpu.training.state import create_train_state, make_train_step
+
+    loss_cfg = build_dataclass(
+        LossConfig,
+        {"losses": [
+            {"function": "MSELoss", "weight": 1.0},
+            {"function": "WeightedBCEWithLogitsLoss", "weight": 1.0},
+        ]},
+    )
+    orch = LossOrchestrator(loss_cfg)
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Conv(1, (1, 1, 1))(x)
+
+    model = Tiny()
+    x = jnp.ones((2, 4, 4, 4, 1))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    tx = optax.sgd(1e-2)
+    state = create_train_state(params, tx, gradnorm_terms=orch.num_terms)
+    assert state.balancer is not None and state.balancer.shape == (2, 2)
+
+    step = jax.jit(make_train_step(model.apply, orch, tx, balancing="gradnorm"))
+    batch = {"image": x, "label": (x > 0.5).astype(jnp.float32)}
+    logs = None
+    for _ in range(5):
+        state, logs = step(state, batch)
+    w = state.balancer[0]
+    assert float(jnp.abs(w.sum() - 2.0)) < 1e-5  # renormalized to task count
+    assert "gradnorm_w_MSELoss_0" in logs
+    # initial losses captured at step 0 and held fixed
+    assert float(state.balancer[1, 0]) > 0.0
