@@ -12,10 +12,57 @@ from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from .layers import ConvNormAct, UpConv
 from .registry import register_architecture
+
+
+def relative_position_index(ws: Tuple[int, int, int]) -> np.ndarray:
+    """(T, T) int index into the (2wz-1)(2wy-1)(2wx-1) bias table for each
+    ordered token pair in a window (Swin-T 3-D; ref MONAI SwinUNETR,
+    ``monai_models.py:298``). Static — computed with numpy at trace time."""
+    coords = np.stack(
+        np.meshgrid(*(np.arange(w) for w in ws), indexing="ij")
+    ).reshape(3, -1)  # (3, T)
+    rel = coords[:, :, None] - coords[:, None, :]  # (3, T, T)
+    idx = np.zeros(rel.shape[1:], np.int64)
+    stride = 1
+    for d in reversed(range(3)):
+        idx += (rel[d] + ws[d] - 1) * stride
+        stride *= 2 * ws[d] - 1
+    return idx
+
+
+def shift_attention_mask(
+    spatial: Tuple[int, int, int],
+    ws: Tuple[int, int, int],
+    shift: Tuple[int, int, int],
+) -> np.ndarray:
+    """(nW, T, T) additive mask (0 / -1e9) forbidding attention between
+    tokens that were not spatially adjacent before the cyclic roll (the
+    standard Swin shifted-window mask). Static numpy — shapes are trace-time
+    Python ints."""
+    z, y, x = spatial
+    img = np.zeros((1, z, y, x, 1), np.int32)
+    cnt = 0
+    slices = []
+    for s, w, sh in zip(spatial, ws, shift):
+        if sh == 0:
+            slices.append([slice(0, s)])
+        else:
+            slices.append([slice(0, s - w), slice(s - w, s - sh), slice(s - sh, s)])
+    for sz in slices[0]:
+        for sy in slices[1]:
+            for sx in slices[2]:
+                img[:, sz, sy, sx, :] = cnt
+                cnt += 1
+    wz, wy, wx = ws
+    win = img.reshape(1, z // wz, wz, y // wy, wy, x // wx, wx, 1)
+    win = win.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(-1, wz * wy * wx)
+    diff = win[:, :, None] != win[:, None, :]
+    return np.where(diff, -1e9, 0.0).astype(np.float32)
 
 
 def _window_partition(x, ws: Tuple[int, int, int]):
@@ -36,6 +83,48 @@ def _window_unpartition(win, ws, spatial, batch):
     return x.reshape(batch, z, y, xx, c)
 
 
+class WindowAttention(nn.Module):
+    """Window MHSA with learned relative position bias and an optional
+    shifted-window mask (ref MONAI SwinUNETR ``WindowAttention``)."""
+
+    dim: int
+    num_heads: int
+    window_size: Tuple[int, int, int]
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, win, attn_mask: np.ndarray | None = None):
+        bn, t, _ = win.shape
+        nh = self.num_heads
+        hd = self.dim // nh
+        qkv = nn.Dense(3 * nh * hd, dtype=self.dtype, name="qkv")(win)
+        q, k, v = jnp.split(qkv.reshape(bn, t, 3, nh, hd), 3, axis=2)
+        q = jnp.squeeze(q, 2).transpose(0, 2, 1, 3)  # (Bn, H, T, hd)
+        k = jnp.squeeze(k, 2).transpose(0, 2, 1, 3)
+        v = jnp.squeeze(v, 2).transpose(0, 2, 1, 3)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / np.sqrt(hd)
+        table_size = int(np.prod([2 * w - 1 for w in self.window_size]))
+        table = self.param(
+            "rel_pos_bias",
+            nn.initializers.truncated_normal(0.02),
+            (table_size, nh),
+            jnp.float32,
+        )
+        idx = relative_position_index(self.window_size)
+        logits = logits + table[idx.reshape(-1)].reshape(t, t, nh).transpose(2, 0, 1)
+        if attn_mask is not None:
+            n_win = attn_mask.shape[0]
+            logits = logits.reshape(-1, n_win, nh, t, t)
+            logits = logits + jnp.asarray(attn_mask)[None, :, None]
+            logits = logits.reshape(bn, nh, t, t)
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(bn, t, nh * hd)
+        return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
+
+
 class WindowAttentionBlock(nn.Module):
     dim: int
     num_heads: int
@@ -48,14 +137,22 @@ class WindowAttentionBlock(nn.Module):
     def __call__(self, x):
         b, z, y, xx, c = x.shape
         ws = tuple(min(w, s) for w, s in zip(self.window_size, (z, y, xx)))
-        shift = tuple(w // 2 for w in ws) if self.shift else (0, 0, 0)
+        # no shift along axes a single window already covers (standard Swin)
+        shift = (
+            tuple(0 if s <= w else w // 2 for w, s in zip(ws, (z, y, xx)))
+            if self.shift
+            else (0, 0, 0)
+        )
         h = nn.LayerNorm(dtype=self.dtype)(x)
         if any(shift):
             h = jnp.roll(h, tuple(-s for s in shift), axis=(1, 2, 3))
+            mask = shift_attention_mask((z, y, xx), ws, shift)
+        else:
+            mask = None
         win = _window_partition(h, ws)
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.dim, dtype=self.dtype
-        )(win, win)
+        attn = WindowAttention(self.dim, self.num_heads, ws, dtype=self.dtype)(
+            win, mask
+        )
         h = _window_unpartition(attn, ws, (z, y, xx), b)
         if any(shift):
             h = jnp.roll(h, shift, axis=(1, 2, 3))
