@@ -220,12 +220,22 @@ int64_t affinity_cc(const float* aff, int64_t Z, int64_t Y, int64_t X,
 
 // waterz-style hierarchical agglomeration: given fragments and 3-channel
 // cardinal affinities, build a region adjacency graph scored by mean
-// boundary affinity and merge edges above `threshold` in descending score
-// order, recomputing means lazily on merge (waterz mean-edge scorer).
-int64_t agglomerate_mean(const uint32_t* fragments, const float* aff,
-                         int64_t Z, int64_t Y, int64_t X, float threshold,
-                         uint32_t* out) {
+// boundary affinity and merge edges above each threshold in descending
+// score order, recomputing means lazily on merge (waterz mean-edge scorer).
+//
+// Multi-threshold form (waterz batch semantics, reference
+// ``decoding/tuning/optuna_tuner.py:1155``): the merge sequence at a lower
+// threshold extends the sequence at a higher one, so one watershed + one
+// RAG serves all thresholds. `thresholds` must be sorted DESCENDING;
+// out[t*n .. (t+1)*n) receives the segmentation at thresholds[t] and
+// counts[t] its segment count.
+static int64_t agglomerate_mean_impl(const uint32_t* fragments,
+                                     const float* aff, int64_t Z, int64_t Y,
+                                     int64_t X, const float* thresholds,
+                                     int64_t T, uint32_t* out,
+                                     int64_t* counts) {
   const int64_t n = Z * Y * X;
+  const float min_thr = thresholds[T - 1];
   uint32_t max_label = 0;
   for (int64_t i = 0; i < n; ++i) max_label = std::max(max_label, fragments[i]);
   // RAG accumulation: edge (a<b) -> (sum, count)
@@ -259,13 +269,26 @@ int64_t agglomerate_mean(const uint32_t* fragments, const float* aff,
   for (auto& kv : rag) {
     uint32_t a = (uint32_t)(kv.first >> 32), b = (uint32_t)kv.first;
     float mean = (float)(kv.second.sum / kv.second.cnt);
-    if (mean > threshold) pq.emplace(mean, a, b);
+    if (mean > min_thr) pq.emplace(mean, a, b);
   }
   auto edge_key = [](uint32_t a, uint32_t b) {
     if (a > b) std::swap(a, b);
     return ((uint64_t)a << 32) | b;
   };
-  while (!pq.empty()) {
+  auto snapshot = [&](uint32_t* dst) -> int64_t {
+    std::unordered_map<uint32_t, uint32_t> root2label;
+    uint32_t next = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      if (!fragments[i]) { dst[i] = 0; continue; }
+      uint32_t r = uf.find(fragments[i]);
+      auto it = root2label.find(r);
+      if (it == root2label.end()) { root2label.emplace(r, ++next); dst[i] = next; }
+      else dst[i] = it->second;
+    }
+    return (int64_t)next;
+  };
+  int64_t t = 0;
+  while (!pq.empty() && t < T) {
     auto [score, a, b] = pq.top();
     pq.pop();
     uint32_t ra = uf.find(a), rb = uf.find(b);
@@ -273,11 +296,17 @@ int64_t agglomerate_mean(const uint32_t* fragments, const float* aff,
     auto it = rag.find(edge_key(ra, rb));
     if (it == rag.end()) continue;  // stale edge
     float mean = (float)(it->second.sum / it->second.cnt);
-    if (mean <= threshold) continue;
     if (std::abs(mean - score) > 1e-6f) {  // stale score: re-push
-      pq.emplace(mean, ra, rb);
+      if (mean > min_thr) pq.emplace(mean, ra, rb);
       continue;
     }
+    // fresh top edge: every remaining edge scores <= mean, so thresholds
+    // above it are final — snapshot them before merging across
+    while (t < T && mean <= thresholds[t]) {
+      counts[t] = snapshot(out + t * n);
+      ++t;
+    }
+    if (t >= T) break;
     // merge rb into ra (uf keeps the min root)
     uf.unite(ra, rb);
     uint32_t keep = uf.find(ra);
@@ -300,20 +329,33 @@ int64_t agglomerate_mean(const uint32_t* fragments, const float* aff,
       e.cnt += mv.second.cnt;
       uint32_t ea = (uint32_t)(mv.first >> 32), eb = (uint32_t)mv.first;
       float m2 = (float)(e.sum / e.cnt);
-      if (m2 > threshold) pq.emplace(m2, ea, eb);
+      if (m2 > min_thr) pq.emplace(m2, ea, eb);
     }
   }
-  // write merged labels, renumbered contiguously
-  std::unordered_map<uint32_t, uint32_t> root2label;
-  uint32_t next = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    if (!fragments[i]) { out[i] = 0; continue; }
-    uint32_t r = uf.find(fragments[i]);
-    auto it = root2label.find(r);
-    if (it == root2label.end()) { root2label.emplace(r, ++next); out[i] = next; }
-    else out[i] = it->second;
+  // queue exhausted: remaining thresholds all see the final merge state
+  while (t < T) {
+    counts[t] = snapshot(out + t * n);
+    ++t;
   }
-  return (int64_t)next;
+  return counts[T - 1];
+}
+
+int64_t agglomerate_mean(const uint32_t* fragments, const float* aff,
+                         int64_t Z, int64_t Y, int64_t X, float threshold,
+                         uint32_t* out) {
+  int64_t count = 0;
+  return agglomerate_mean_impl(fragments, aff, Z, Y, X, &threshold, 1, out,
+                               &count);
+}
+
+// Batch agglomeration over many thresholds (sorted descending) in one
+// RAG + merge pass. out: [T][z][y][x]; counts: [T].
+int64_t agglomerate_mean_multi(const uint32_t* fragments, const float* aff,
+                               int64_t Z, int64_t Y, int64_t X,
+                               const float* thresholds, int64_t T,
+                               uint32_t* out, int64_t* counts) {
+  return agglomerate_mean_impl(fragments, aff, Z, Y, X, thresholds, T, out,
+                               counts);
 }
 
 // Mutex watershed (Wolf et al.): attractive cardinal short-range edges +

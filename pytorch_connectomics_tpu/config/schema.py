@@ -692,9 +692,15 @@ class TuningConfig:
     pruner: Optional[str] = None
     metric: str = "adapted_rand"
     direction: str = "minimize"
+    # multi-objective mode: when set, overrides metric/direction; trials get
+    # a values vector and the study reports a Pareto front
+    metrics: Optional[List[str]] = None
+    directions: Optional[List[str]] = None
     params: List[TuningParamConfig] = field(default_factory=list)
     timeout_per_trial: Optional[float] = None
     seed: int = 0
+    # waterz batch mode: sweep these merge thresholds inside ONE decode per
+    # trial (watershed + RAG computed once; reference optuna_tuner.py:1155)
     batch_thresholds: Optional[List[float]] = None
 
 

@@ -111,11 +111,18 @@ def decode_waterz(
     fragments="watershed",
     fragment_threshold=0.5,
     min_size=0,
+    thresholds=None,
+    return_all_thresholds=False,
     **kw,
 ):
     """waterz-equivalent: watershed fragments over mean short-range affinity,
     then hierarchical mean-affinity agglomeration to ``threshold``
-    (reference ``decoders/waterz.py:33``)."""
+    (reference ``decoders/waterz.py:33``).
+
+    Batch mode (reference ``tuning/optuna_tuner.py:1155``): pass
+    ``thresholds=[...]`` with ``return_all_thresholds=True`` to sweep many
+    merge thresholds in ONE watershed + RAG pass; returns {thr: labels}.
+    """
     p = _chan(np.asarray(pred, dtype=np.float32))[:3]
     mean_aff = p.mean(axis=0)
     if fragments == "cc":
@@ -127,6 +134,16 @@ def decode_waterz(
         maxima = smooth > (ndimage.maximum_filter(smooth, size=3) - 1e-6)
         seeds, _ = connected_components(maxima & fg, 6)
         frags = watershed((-smooth).astype(np.float32), seeds, mask=fg)
+    if thresholds is not None and return_all_thresholds:
+        from ..ops.native import agglomerate_multi
+
+        by_thr = agglomerate_multi(frags, p, thresholds)
+        out = {}
+        for thr, (labels, _) in by_thr.items():
+            if min_size:
+                labels, _ = remove_small(labels.copy(), min_size)
+            out[thr] = labels
+        return out
     labels, _ = agglomerate(frags, p, threshold)
     if min_size:
         labels, _ = remove_small(labels, min_size)

@@ -40,8 +40,58 @@ class Trial:
     number: int
     params: Dict[str, Any]
     value: Optional[float] = None
+    values: Optional[List[float]] = None  # multi-objective
     state: str = "running"  # complete | failed | pruned
     duration: float = 0.0
+    user_attrs: Dict[str, Any] = field(default_factory=dict)
+
+
+# sign convention: +1 = minimize (smaller better), -1 = maximize
+_DEFAULT_DIRECTION = {
+    "adapted_rand": "minimize",
+    "voi": "minimize",
+    "voi_split": "minimize",
+    "voi_merge": "minimize",
+    "nerl": "maximize",
+    "instance_f1": "maximize",
+    "f1": "maximize",
+    "jaccard": "maximize",
+}
+
+
+def _signs(metrics: Sequence[str], directions: Optional[Sequence[str]]) -> List[float]:
+    if directions:
+        return [1.0 if d != "maximize" else -1.0 for d in directions]
+    return [
+        1.0 if _DEFAULT_DIRECTION.get(m, "minimize") != "maximize" else -1.0
+        for m in metrics
+    ]
+
+
+def pareto_rank(values: np.ndarray) -> np.ndarray:
+    """Non-dominated sorting rank (0 = Pareto front) of an (N, M) matrix
+    where smaller is better on every column."""
+    n = len(values)
+    ranks = np.full(n, -1, dtype=int)
+    remaining = list(range(n))
+    rank = 0
+    while remaining:
+        front = []
+        for i in remaining:
+            dominated = False
+            for j in remaining:
+                if i == j:
+                    continue
+                if (values[j] <= values[i]).all() and (values[j] < values[i]).any():
+                    dominated = True
+                    break
+            if not dominated:
+                front.append(i)
+        for i in front:
+            ranks[i] = rank
+        remaining = [i for i in remaining if i not in front]
+        rank += 1
+    return ranks
 
 
 class SearchSpace:
@@ -185,11 +235,14 @@ class DecodingTuner:
     ``steps.0.kwargs.threshold``).
     """
 
-    def __init__(self, cfg: TuningConfig, objective: Callable[[Dict[str, Any]], float]):
+    def __init__(self, cfg: TuningConfig, objective: Callable[[Dict[str, Any]], Any]):
         self.cfg = cfg
         self.objective = objective
         self.space = SearchSpace(cfg.params)
-        self.minimize = cfg.direction != "maximize"
+        self.metrics: List[str] = list(cfg.metrics) if cfg.metrics else [cfg.metric]
+        self.multi = bool(cfg.metrics) and len(self.metrics) > 1
+        self.signs = _signs(self.metrics, cfg.directions if cfg.metrics else [cfg.direction])
+        self.minimize = self.signs[0] > 0
         self.trials: List[Trial] = []
         self._sampler = TPESampler(self.space, seed=cfg.seed) if cfg.sampler == "tpe" else None
         self._grid: Optional[List[Dict[str, Any]]] = (
@@ -201,13 +254,26 @@ class DecodingTuner:
         if self._grid is not None:
             return self._grid[i] if i < len(self._grid) else None
         if self._sampler is not None:
+            if self.multi:
+                # TPE over the Pareto rank: non-dominated trials are "good"
+                done = [t for t in self.trials if t.state == "complete" and t.values]
+                if done:
+                    vals = np.array([np.asarray(t.values) * self.signs for t in done])
+                    ranks = pareto_rank(vals)
+                    surrogate = [
+                        Trial(t.number, t.params, value=float(r), state="complete")
+                        for t, r in zip(done, ranks)
+                    ]
+                else:
+                    surrogate = []
+                return self._sampler.suggest(surrogate, minimize=True)
             return self._sampler.suggest(self.trials, self.minimize)
         return self.space.sample_random(self._rng)
 
-    def _run_objective(self, params: Dict[str, Any]) -> float:
+    def _run_objective(self, params: Dict[str, Any]):
         timeout = self.cfg.timeout_per_trial
         if not timeout:
-            return float(self.objective(params))
+            return self.objective(params)
         # per-trial subprocess timeout (reference ``optuna_tuner.py:436-508``)
         ctx = mp.get_context("fork")
         q = ctx.Queue()
@@ -221,7 +287,24 @@ class DecodingTuner:
         status, payload = q.get_nowait()
         if status == "err":
             raise RuntimeError(payload)
-        return float(payload)
+        return payload
+
+    def _record(self, trial: Trial, result: Any):
+        """Normalize objective results: float | sequence of floats (multi-
+        objective) | (either, attrs dict)."""
+        if isinstance(result, tuple) and len(result) == 2 and isinstance(result[1], dict):
+            result, attrs = result
+            trial.user_attrs.update(attrs)
+        if isinstance(result, (list, tuple, np.ndarray)):
+            trial.values = [float(v) for v in result]
+            trial.value = trial.values[0]
+        else:
+            trial.value = float(result)
+            if self.multi:
+                raise ValueError(
+                    f"multi-objective study (metrics={self.metrics}) needs a "
+                    "values sequence from the objective, got a scalar"
+                )
 
     def optimize(self, n_trials: Optional[int] = None) -> Trial:
         n = n_trials or self.cfg.n_trials
@@ -234,24 +317,46 @@ class DecodingTuner:
             trial = Trial(number=i, params=params)
             t0 = time.time()
             try:
-                trial.value = self._run_objective(params)
+                self._record(trial, self._run_objective(params))
                 trial.state = "complete"
             except Exception as e:
                 trial.state = "failed"
-                trial.value = math.inf if self.minimize else -math.inf
+                bad = [math.inf if s > 0 else -math.inf for s in self.signs]
+                trial.value = bad[0]
+                if self.multi:
+                    trial.values = bad
                 logger.warning("trial %d failed: %s", i, e)
             trial.duration = time.time() - t0
             self.trials.append(trial)
             logger.info(
-                "trial %d/%d %s -> %s (%.1fs)", i + 1, n, params, trial.value, trial.duration
+                "trial %d/%d %s -> %s (%.1fs)",
+                i + 1, n, params, trial.values if self.multi else trial.value,
+                trial.duration,
             )
         return self.best_trial
+
+    @property
+    def best_trials(self) -> List[Trial]:
+        """Pareto front (all completed trials in single-objective mode
+        collapse to the best one)."""
+        done = [t for t in self.trials if t.state == "complete"]
+        if not done:
+            raise RuntimeError("no completed trials")
+        if not self.multi:
+            return [self.best_trial]
+        vals = np.array([np.asarray(t.values) * self.signs for t in done])
+        ranks = pareto_rank(vals)
+        return [t for t, r in zip(done, ranks) if r == 0]
 
     @property
     def best_trial(self) -> Trial:
         done = [t for t in self.trials if t.state == "complete"]
         if not done:
             raise RuntimeError("no completed trials")
+        if self.multi:
+            # representative point: best primary metric on the Pareto front
+            front = self.best_trials
+            return min(front, key=lambda t: self.signs[0] * t.values[0])
         key = (lambda t: t.value) if self.minimize else (lambda t: -t.value)
         return min(done, key=key)
 
@@ -266,14 +371,31 @@ class DecodingTuner:
         payload = {
             "best_params": best.params,
             "best_value": best.value,
-            "metric": self.cfg.metric,
+            "metric": self.metrics[0] if self.multi else self.cfg.metric,
             "direction": self.cfg.direction,
             "n_trials": len(self.trials),
             "trials": [
-                {"number": t.number, "params": t.params, "value": t.value, "state": t.state}
+                {
+                    "number": t.number, "params": t.params, "value": t.value,
+                    "state": t.state,
+                    **({"values": t.values} if t.values else {}),
+                    **({"user_attrs": t.user_attrs} if t.user_attrs else {}),
+                }
                 for t in self.trials
             ],
         }
+        if self.multi:
+            payload["metrics"] = self.metrics
+            payload["directions"] = [
+                "minimize" if s > 0 else "maximize" for s in self.signs
+            ]
+            payload["best_values"] = best.values
+            payload["pareto_front"] = [
+                {"number": t.number, "params": t.params, "values": t.values}
+                for t in self.best_trials
+            ]
+        if best.user_attrs:
+            payload["best_user_attrs"] = best.user_attrs
         path.write_text(yaml.safe_dump(payload))
         return path
 
@@ -289,21 +411,88 @@ def make_decode_objective(
     prediction: np.ndarray,
     gt: np.ndarray,
     decoding_cfg_dict: Dict[str, Any],
-    metric: str = "adapted_rand",
-) -> Callable[[Dict[str, Any]], float]:
+    metric: "str | Sequence[str]" = "adapted_rand",
+) -> Callable[[Dict[str, Any]], Any]:
     """Builds the objective: patch decoding config with trial params (dotted
-    paths relative to ``decoding``), decode, score against GT."""
+    paths relative to ``decoding``), decode, score against GT. A list of
+    metrics makes the objective return a values vector (multi-objective)."""
     from ..config.schema import DecodingConfig, build_dataclass
     from .stage import run_decoding_stage
     import copy
 
-    def objective(params: Dict[str, Any]) -> float:
+    metrics = [metric] if isinstance(metric, str) else list(metric)
+
+    def objective(params: Dict[str, Any]):
         d = copy.deepcopy(decoding_cfg_dict)
         for k, v in params.items():
             _set_dotted_with_list_indices(d, k, v)
         cfg = build_dataclass(DecodingConfig, d)
         seg = run_decoding_stage(prediction, cfg)
-        return compute_segmentation_metric(metric, seg, gt)
+        vals = [compute_segmentation_metric(m, seg, gt) for m in metrics]
+        return vals[0] if len(vals) == 1 else vals
+
+    return objective
+
+
+def find_waterz_step(decoding_cfg_dict: Dict[str, Any]) -> Optional[int]:
+    """Index of the waterz step in the decoding config, or None."""
+    for i, step in enumerate(decoding_cfg_dict.get("steps") or []):
+        if step.get("name") == "waterz":
+            return i
+    return None
+
+
+def make_waterz_batch_objective(
+    prediction: np.ndarray,
+    gt: np.ndarray,
+    decoding_cfg_dict: Dict[str, Any],
+    metric: str,
+    batch_thresholds: Sequence[float],
+    minimize: bool = True,
+) -> Callable[[Dict[str, Any]], Tuple[float, Dict[str, Any]]]:
+    """Waterz batch objective (reference ``optuna_tuner.py:1155``): each
+    trial runs ONE watershed + RAG and sweeps every merge threshold via
+    incremental agglomeration, scoring each; returns the best metric with
+    per-threshold scores and the winning threshold as trial attrs.
+
+    The trial's other params (fragment_threshold, min_size, ...) are applied
+    normally; any sampled ``threshold`` param is ignored in favor of the
+    sweep.
+    """
+    from ..config.schema import DecodingStepConfig, DecodingPostprocessConfig, build_dataclass
+    from .decoders import decode_waterz
+    from .postprocess import apply_postprocessing
+    import copy
+
+    step_idx = find_waterz_step(decoding_cfg_dict)
+    if step_idx is None:
+        raise ValueError("waterz batch tuning needs a 'waterz' decoding step")
+
+    def objective(params: Dict[str, Any]) -> Tuple[float, Dict[str, Any]]:
+        d = copy.deepcopy(decoding_cfg_dict)
+        for k, v in params.items():
+            _set_dotted_with_list_indices(d, k, v)
+        step = build_dataclass(DecodingStepConfig, d["steps"][step_idx])
+        kwargs = dict(step.kwargs or {})
+        kwargs.pop("threshold", None)
+        pred = np.asarray(prediction, dtype=np.float32)
+        if pred.ndim == 4 and pred.shape[0] > pred.shape[-1]:
+            pass  # already channel-first
+        by_thr = decode_waterz(
+            pred, thresholds=list(batch_thresholds),
+            return_all_thresholds=True, **kwargs,
+        )
+        post = build_dataclass(DecodingPostprocessConfig, d.get("postprocessing") or {})
+        per_thr = {}
+        for thr, labels in by_thr.items():
+            seg = apply_postprocessing(labels, post)
+            per_thr[float(thr)] = compute_segmentation_metric(metric, seg, gt)
+        best_thr = (min if minimize else max)(per_thr, key=per_thr.get)
+        attrs = {
+            "best_threshold": float(best_thr),
+            "per_threshold_metric": {f"{t:g}": float(v) for t, v in per_thr.items()},
+        }
+        return per_thr[best_thr], attrs
 
     return objective
 

@@ -84,6 +84,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.affinity_cc.argtypes = [f32p, i64, i64, i64, f32, u32p]
     lib.agglomerate_mean.restype = i64
     lib.agglomerate_mean.argtypes = [u32p, f32p, i64, i64, i64, f32, u32p]
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.agglomerate_mean_multi.restype = i64
+    lib.agglomerate_mean_multi.argtypes = [
+        u32p, f32p, i64, i64, i64, f32p, i64, u32p, i64p,
+    ]
     lib.mutex_watershed.restype = i64
     lib.mutex_watershed.argtypes = [f32p, i32p, i64, i64, i64, i64, u32p]
     lib.binary_morph.restype = None
@@ -211,6 +216,30 @@ def agglomerate(fragments: np.ndarray, aff: np.ndarray, threshold: float = 0.5) 
     out = np.empty(fragments.shape, np.uint32)
     n = lib.agglomerate_mean(fragments, aff, *fragments.shape, float(threshold), out)
     return out, int(n)
+
+
+def agglomerate_multi(
+    fragments: np.ndarray, aff: np.ndarray, thresholds: Sequence[float]
+) -> "dict[float, Tuple[np.ndarray, int]]":
+    """Batch waterz agglomeration: one RAG + one merge pass serves every
+    threshold (waterz batch-threshold semantics, reference
+    ``decoding/tuning/optuna_tuner.py:1155``). Returns
+    {threshold: (labels, count)} in the caller's order."""
+    fragments = np.ascontiguousarray(fragments, dtype=np.uint32)
+    aff = np.ascontiguousarray(aff[:3], dtype=np.float32)
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("agglomerate_multi requires the native ops library")
+    thr = sorted(set(float(t) for t in thresholds), reverse=True)
+    thr_arr = np.asarray(thr, np.float32)
+    t = len(thr)
+    out = np.empty((t,) + fragments.shape, np.uint32)
+    counts = np.zeros(t, np.int64)
+    lib.agglomerate_mean_multi(
+        fragments, aff, *fragments.shape, thr_arr, t, out, counts
+    )
+    by_thr = {thr[i]: (out[i], int(counts[i])) for i in range(t)}
+    return {float(tv): by_thr[float(tv)] for tv in thresholds}
 
 
 def mutex_watershed(aff: np.ndarray, offsets: Sequence[Sequence[int]]) -> Tuple[np.ndarray, int]:

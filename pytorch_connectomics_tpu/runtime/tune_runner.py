@@ -65,10 +65,37 @@ def run_tuning(
     tuning = cfg.decoding.tuning
     decoding_dict = to_dict(cfg.decoding)
     decoding_dict.pop("tuning", None)
-    objective = make_decode_objective(pred, gt, decoding_dict, tuning.metric)
+    from ..decoding.tuning import find_waterz_step, make_waterz_batch_objective
+
+    if tuning.batch_thresholds and find_waterz_step(decoding_dict) is not None:
+        # waterz batch mode: one watershed+RAG per trial sweeps every
+        # merge threshold (reference optuna_tuner.py:1155)
+        objective = make_waterz_batch_objective(
+            pred, gt, decoding_dict, tuning.metric, tuning.batch_thresholds,
+            minimize=tuning.direction != "maximize",
+        )
+        logger.info(
+            "waterz batch tuning: sweeping %d thresholds per trial",
+            len(tuning.batch_thresholds),
+        )
+    else:
+        objective = make_decode_objective(
+            pred, gt, decoding_dict, tuning.metrics or tuning.metric
+        )
     tuner = DecodingTuner(tuning, objective)
     best = tuner.optimize()
-    logger.info("tuning done: best %s = %s with %s", tuning.metric, best.value, best.params)
+    logger.info(
+        "tuning done: best %s = %s with %s%s",
+        tuning.metrics or tuning.metric,
+        best.values if tuner.multi else best.value,
+        best.params,
+        f" (attrs {best.user_attrs})" if best.user_attrs else "",
+    )
+    if "best_threshold" in best.user_attrs:
+        # batch mode: fold the winning sweep threshold into best_params so
+        # tune-test applies it like any other tuned param
+        idx = find_waterz_step(decoding_dict)
+        best.params[f"steps.{idx}.kwargs.threshold"] = best.user_attrs["best_threshold"]
     study_path = out_dir / tuned_params_filename(tag)
     tuner.save_study(study_path)
     return study_path
