@@ -150,3 +150,50 @@ def build_target_fn(cfg: Optional[LabelTransformConfig]) -> Optional[Callable[[n
         return np.concatenate(outs, axis=0).astype(np.float32)
 
     return fn
+
+
+def target_channel_spans(
+    cfg: Optional[LabelTransformConfig],
+) -> List[Dict[str, Any]]:
+    """[{name, start, end, kwargs}] channel layout of the stacked target
+    tensor, probed by running each target on a tiny segmentation (channel
+    counts are data-independent)."""
+    if cfg is None or not cfg.targets:
+        return []
+    probe = np.zeros((6, 6, 6), np.uint32)
+    probe[1:3, 1:3, 1:3] = 1
+    probe[4:, 4:, 4:] = 2
+    spans = []
+    start = 0
+    for t in cfg.targets:
+        kw = dict(t.kwargs or {})
+        extra = getattr(t, "extra", None) or {}
+        kw.update({k: v for k, v in extra.items() if k not in ("name", "kwargs")})
+        if t.name == "affinity":
+            # one channel per offset; long offsets may exceed the probe
+            c = len(kw.get("offsets") or ["0-0-1", "0-1-0", "1-0-0"])
+        else:
+            c = int(_TARGETS[t.name](probe, **kw).shape[0])
+        spans.append({"name": t.name, "start": start, "end": start + c, "kwargs": kw})
+        start += c
+    return spans
+
+
+def affinity_target_groups(
+    cfg: Optional[LabelTransformConfig],
+) -> List[Dict[str, Any]]:
+    """[{start, end, offsets}] channel ranges of the target tensor holding
+    affinity channels, with parsed (dz, dy, dx) offsets — the affinity-aware
+    target-group map the loss orchestrator uses to auto-apply validity masks
+    (reference ``training/losses/orchestrator.py:29-53,411``)."""
+    from .affinity import parse_offsets
+
+    groups = []
+    for span in target_channel_spans(cfg):
+        if span["name"] != "affinity":
+            continue
+        offsets = span["kwargs"].get("offsets") or ["0-0-1", "0-1-0", "1-0-0"]
+        groups.append(
+            {"start": span["start"], "end": span["end"], "offsets": parse_offsets(offsets)}
+        )
+    return groups

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config.schema import LossConfig, LossTermConfig
-from ..utils.slicing import slice_channels
+from ..utils.slicing import parse_slice, slice_channels
 from .zoo import auto_pos_weight, get_loss
 
 _PAIR_LOSSES = {"ContourDTConsistency"}  # losses taking (pred, pred2)
@@ -40,12 +40,35 @@ class CompiledTerm:
     kwargs: Dict[str, Any]
 
 
+def _offset_valid_mask(spatial: Tuple[int, int, int], offset) -> jnp.ndarray:
+    """(Z, Y, X) validity of one affinity offset: positions whose offset
+    neighbor exists (deepem high-end convention; matches
+    ``data/targets/affinity.py::affinity_valid_mask``). Built from iotas so
+    it stays a cheap fused on-device op, not a giant HLO constant."""
+    m = jnp.ones(spatial, jnp.float32)
+    for d, o in enumerate(offset):
+        idx = jax.lax.broadcasted_iota(jnp.int32, spatial, d)
+        if o > 0:
+            m = m * (idx >= o)
+        elif o < 0:
+            m = m * (idx < spatial[d] + o)
+    return m
+
+
 class LossOrchestrator:
     """Builds once from config; ``__call__(outputs, targets, mask, weight)``
-    returns ``(total, per_term_dict)`` — fully traceable."""
+    returns ``(total, per_term_dict)`` — fully traceable.
 
-    def __init__(self, loss_cfg: LossConfig):
+    ``affinity_groups`` ([{start, end, offsets}], from
+    ``data.targets.build.affinity_target_groups``) makes the orchestrator
+    affinity-aware: any term whose target channels overlap an affinity group
+    automatically gets the per-offset validity mask (positions whose offset
+    neighbor exists) multiplied into its loss mask — the reference's
+    affinity-aware target groups (``orchestrator.py:29-53,411``)."""
+
+    def __init__(self, loss_cfg: LossConfig, affinity_groups=None):
         self.cfg = loss_cfg
+        self.affinity_groups = list(affinity_groups or [])
         self.terms: List[CompiledTerm] = []
         for i, t in enumerate(loss_cfg.losses):
             kwargs = dict(t.kwargs or {})
@@ -74,6 +97,31 @@ class LossOrchestrator:
 
     # -- single-scale ------------------------------------------------------
 
+    def _affinity_valid_mask(self, term: CompiledTerm, target) -> Optional[jnp.ndarray]:
+        """(1, Z, Y, X, Csel) validity mask when the term's target channels
+        overlap an affinity group; None otherwise. Static per jit trace."""
+        if not self.affinity_groups:
+            return None
+        total = target.shape[-1]
+        sel = list(range(*parse_slice(term.target_slice).indices(total)))
+        per_channel = [None] * len(sel)
+        hit = False
+        for g in self.affinity_groups:
+            for i, c in enumerate(sel):
+                if g["start"] <= c < g["end"]:
+                    per_channel[i] = g["offsets"][c - g["start"]]
+                    hit = True
+        if not hit:
+            return None
+        spatial = tuple(target.shape[1:4])
+        cols = [
+            _offset_valid_mask(spatial, off)
+            if off is not None
+            else jnp.ones(spatial, jnp.float32)
+            for off in per_channel
+        ]
+        return jnp.stack(cols, axis=-1)[None]
+
     def _term_loss(self, term: CompiledTerm, pred, target, mask=None, weight=None):
         p = slice_channels(pred, term.pred_slice)
         t = slice_channels(target, term.target_slice)
@@ -83,6 +131,9 @@ class LossOrchestrator:
         if term.mask_slice is not None:
             m2 = slice_channels(target, term.mask_slice)
             m = m2 if m is None else m * m2
+        mv = self._affinity_valid_mask(term, target)
+        if mv is not None:
+            m = mv if m is None else m * mv
         w = None
         if weight is not None:
             w = weight if weight.shape[-1] == 1 else slice_channels(weight, term.pred_slice)

@@ -60,7 +60,12 @@ class Trainer:
             mesh = make_mesh(axes)
         self.mesh = mesh
         self.model = build_model(cfg.model)
-        self.orchestrator = LossOrchestrator(cfg.model.loss)
+        from ..data.targets.build import affinity_target_groups
+
+        self.orchestrator = LossOrchestrator(
+            cfg.model.loss,
+            affinity_groups=affinity_target_groups(cfg.data.label_transform),
+        )
         self.steps_per_epoch = cfg.optimization.n_steps_per_epoch or 100
         self.tx, self.schedule = build_optimizer(cfg.optimization, self.steps_per_epoch)
         self.cfg_hash = config_hash(cfg)
