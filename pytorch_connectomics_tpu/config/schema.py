@@ -711,6 +711,12 @@ class QCConfig:
     enabled: bool = False
     z_mean_drift: float = 0.5
     border_low_intensity: float = 0.05
+    # full-scan knobs (reference AffinityQCParams, qc/affinity.py:24)
+    z_stride: int = 1
+    border_width: int = 8
+    bg_thresh: float = 30.0
+    # when set, the decoding stage writes the markdown QC report here
+    report_path: Optional[str] = None
 
 
 @dataclass

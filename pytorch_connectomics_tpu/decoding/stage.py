@@ -31,10 +31,24 @@ def run_decoding_stage(
         # assume channel-last input from inference: move to channel-first
         pred = np.moveaxis(pred, -1, 0)
     if cfg.qc.enabled:
-        mask, report = scan_affinity_quality(
-            pred, cfg.qc.z_mean_drift, cfg.qc.border_low_intensity
+        from .qc import AffinityQCParams, write_qc_report
+
+        params = AffinityQCParams(
+            z_stride=cfg.qc.z_stride,
+            drift_thresh=cfg.qc.z_mean_drift,
+            border_width=cfg.qc.border_width,
+            bg_thresh=cfg.qc.bg_thresh,
         )
-        logger.info("QC: %s", report.to_markdown().replace("\n", " | "))
+        mask, report = scan_affinity_quality(
+            pred, cfg.qc.z_mean_drift, cfg.qc.border_low_intensity,
+            border_width=cfg.qc.border_width,
+            img=(extra_inputs or {}).get("image"), params=params,
+        )
+        if cfg.qc.report_path:
+            write_qc_report(report, cfg.qc.report_path, params)
+            logger.info("QC report written to %s", cfg.qc.report_path)
+        else:
+            logger.info("QC: %s", report.to_markdown(params).replace("\n", " | "))
         pred = pred * mask[None]
     if cfg.graph:
         inputs = {"prediction": pred}

@@ -43,6 +43,60 @@ def test_streaming_qc_matches_batch():
     assert report.bad_slices == batch_report.bad_slices == [5]
 
 
+def test_qc_full_scan_report(tmp_path):
+    """Full scan: strided stats, z-cut refinement, border rows against the
+    raw image, markdown report with frontmatter (ref qc/affinity.py:307,361)."""
+    from pytorch_connectomics_tpu.decoding.qc import (
+        AffinityQCParams,
+        scan_prediction,
+        write_qc_report,
+    )
+
+    rng = np.random.default_rng(1)
+    pred = np.clip(rng.normal(0.7, 0.05, (3, 40, 64, 64)), 0, 1).astype(np.float32)
+    pred[:, :3] = 0.01  # dead head planes
+    pred[:, -2:] = 0.01  # dead tail planes
+    pred[0, 10, 0, 0] = np.nan
+    img = np.full((40, 64, 64), 120.0, np.float32)
+    img[:, :8, :] = 5.0  # dark border (background)
+    params = AffinityQCParams(z_stride=2, k_edge=4, refine_window=8, border_width=8)
+    report = scan_prediction(pred, img=img, params=params)
+    assert report.low_z == 3 and report.high_z == 38
+    assert report.nan_count == 1 and report.inf_count == 0
+    assert report.g_mean.shape == (3,) and report.means.shape[1] == 3
+    md = write_qc_report(
+        report, tmp_path / "qc.md", params, mask_path="m.h5", image_path="i.h5"
+    ).read_text()
+    assert md.startswith("---")  # frontmatter
+    assert "low_z: 3" in md and "high_z: 38" in md
+    assert "ch0(x-aff)" in md and "XY-border" in md
+    assert any("z=" in r for r in report.border_rows)
+
+
+def test_streaming_qc_full_stats():
+    from pytorch_connectomics_tpu.decoding.qc import scan_prediction
+
+    from pytorch_connectomics_tpu.decoding.qc import AffinityQCParams
+
+    rng = np.random.default_rng(2)
+    pred = np.clip(rng.normal(0.6, 0.1, (3, 24, 32, 32)), 0, 1).astype(np.float32)
+    acc = StreamingQCAccumulator(24)
+    for z0 in range(0, 24, 6):
+        acc.update(pred[:, z0 : z0 + 6], z0)
+    rep = acc.finalize()
+    full = scan_prediction(pred, params=AffinityQCParams(z_stride=1))
+    np.testing.assert_allclose(rep.g_mean, full.g_mean, rtol=1e-5)
+    np.testing.assert_allclose(rep.means, full.means, rtol=1e-5)
+    np.testing.assert_allclose(rep.g_min, full.g_min, rtol=1e-6)
+    np.testing.assert_allclose(rep.g_max, full.g_max, rtol=1e-6)
+    # inf counting
+    bad = pred.copy()
+    bad[1, 4, 0, 0] = np.inf
+    acc2 = StreamingQCAccumulator(24)
+    acc2.update(bad, 0)
+    assert acc2.inf_count == 1
+
+
 def test_decode_graph_dag():
     pred = np.zeros((1, 4, 8, 8), np.float32)
     pred[0, 1:3, 2:6, 2:6] = 0.9
