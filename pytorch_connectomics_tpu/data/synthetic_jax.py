@@ -1,0 +1,103 @@
+"""On-device synthetic EM volume generator (JAX).
+
+Produces Lucchi++-style mitochondria segmentation tasks entirely on the
+accelerator — no host<->device volume transfer (the dev TPU tunnel moves
+~1 MB/s, CLAUDE.md). Used by the quality benchmark
+(``scripts/train_lucchi_synthetic_tpu.py``, ``just quality``) to train and
+evaluate the FULL pipeline (train -> sliding-window/TTA inference -> eval)
+when the real Lucchi++ volumes cannot reach the host.
+
+Image model (EM-like appearance):
+- mitochondria: smooth random-field blobs with darker, textured interiors
+  and a dark membrane rim (gradient shell), like OsO4-stained cristae;
+- distractor organelles: an INDEPENDENT blob field that darkens the image
+  but is NOT in the label -> the model must learn texture, not threshold;
+- cytoplasm: band-passed granular texture;
+- low-frequency intensity inhomogeneity (stage/beam gain) and per-slice
+  brightness jitter (z-anisotropy of serial sectioning);
+- Gaussian sensor noise.
+
+Reference task: Lucchi++ binary mito segmentation (reference README.md:42,
+``tutorials/mito_lucchi++``)."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _smooth_field(key, shape: Tuple[int, int, int], feature_voxels: float) -> jnp.ndarray:
+    """Smooth random field in [0, 1]: low-res normal noise upsampled."""
+    low = tuple(max(2, int(round(s / feature_voxels))) for s in shape)
+    noise = jax.random.normal(key, low, jnp.float32)
+    field = jax.image.resize(noise, shape, method="cubic")
+    lo = jnp.percentile(field, 2.0)
+    hi = jnp.percentile(field, 98.0)
+    return jnp.clip((field - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
+
+
+def _band_noise(key, shape, feature_voxels: float, amp: float) -> jnp.ndarray:
+    return amp * (2.0 * _smooth_field(key, shape, feature_voxels) - 1.0)
+
+
+@partial(jax.jit, static_argnames=("shape", "mito_fraction"))
+def synthetic_em_volume(
+    key: jax.Array,
+    shape: Tuple[int, int, int] = (64, 256, 256),
+    mito_fraction: float = 0.12,
+):
+    """Returns (image float32 [0,1] (Z,Y,X), label uint8 (Z,Y,X))."""
+    ks = jax.random.split(key, 8)
+    # --- mitochondria blobs (the labeled class) ---
+    mito_field = _smooth_field(ks[0], shape, feature_voxels=22.0)
+    thr = jnp.percentile(mito_field, 100.0 * (1.0 - mito_fraction))
+    mito = mito_field > thr
+    # membrane rim: shell where the field is just below threshold
+    rim = (mito_field > thr - 0.035) & ~mito
+    # cristae texture inside mitochondria (fine anisotropic bands)
+    cristae = _smooth_field(ks[1], shape, feature_voxels=4.0)
+    # --- distractor organelles: dark but NOT labeled ---
+    distract_field = _smooth_field(ks[2], shape, feature_voxels=15.0)
+    dthr = jnp.percentile(distract_field, 94.0)
+    distract = distract_field > dthr
+    # --- compose intensity ---
+    img = jnp.full(shape, 0.72, jnp.float32)
+    img = img + _band_noise(ks[3], shape, feature_voxels=9.0, amp=0.06)  # cytoplasm
+    img = jnp.where(mito, 0.42 + 0.18 * cristae, img)  # dark textured interior
+    img = jnp.where(rim, 0.18, img)  # membrane
+    img = jnp.where(distract & ~mito & ~rim, 0.50 + 0.10 * cristae, img)
+    # low-frequency gain + per-slice jitter + sensor noise
+    img = img * (1.0 + _band_noise(ks[4], shape, feature_voxels=90.0, amp=0.08))
+    slice_gain = 1.0 + 0.03 * jax.random.normal(ks[5], (shape[0], 1, 1))
+    img = img * slice_gain
+    img = img + 0.03 * jax.random.normal(ks[6], shape)
+    return jnp.clip(img, 0.0, 1.0), mito.astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("patch", "batch"))
+def sample_patches(
+    key: jax.Array,
+    image: jnp.ndarray,
+    label: jnp.ndarray,
+    patch: Tuple[int, int, int],
+    batch: int,
+):
+    """Random crops + on-device flip augmentation.
+    Returns (img (B,*patch,1) float32, lbl (B,*patch,1) float32)."""
+    def one(k):
+        ko, kf = jax.random.split(k)
+        maxs = jnp.array([s - p for s, p in zip(image.shape, patch)])
+        off = (jax.random.uniform(ko, (3,)) * (maxs + 1)).astype(jnp.int32)
+        im = jax.lax.dynamic_slice(image, off, patch)
+        lb = jax.lax.dynamic_slice(label, off, patch).astype(jnp.float32)
+        flips = jax.random.bernoulli(kf, 0.5, (3,))
+        for ax in range(3):
+            im = jnp.where(flips[ax], jnp.flip(im, ax), im)
+            lb = jnp.where(flips[ax], jnp.flip(lb, ax), lb)
+        return im, lb
+
+    ims, lbs = jax.vmap(one)(jax.random.split(key, batch))
+    return ims[..., None], lbs[..., None]

@@ -1,0 +1,234 @@
+#!/usr/bin/env python
+"""Quality benchmark: train MedNeXt-S on the on-device synthetic EM task and
+evaluate through the FULL inference stack (sliding window, overlap 0.5, bump
+blending, flip TTA) — the Lucchi++ recipe (tutorials/mito_lucchi.yaml;
+reference headline Jaccard 0.935, README.md:42) on the highest-fidelity
+synthetic stand-in we can generate, since the real volumes cannot reach this
+host (zero egress) and the TPU tunnel moves ~1 MB/s (CLAUDE.md).
+
+Everything stays on device: data generation (data/synthetic_jax.py), crop
+sampling + flips, train steps, sliding-window inference, and the Jaccard
+reduction; only scalars are fetched.
+
+Env knobs: QB_STEPS (default 600), QB_PATCH (64), QB_BATCH (8),
+QB_TRAIN_SHAPE / QB_TEST_SHAPE, QB_TTA (1), QB_PLATFORM (e.g. cpu).
+Prints one JSON line {"metric": "synthetic_em_jaccard", ...} and appends to
+QUALITY.md.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+
+if os.environ.get("QB_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["QB_PLATFORM"])
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _shape(env, default):
+    v = os.environ.get(env)
+    return tuple(int(x) for x in v.split(",")) if v else default
+
+
+def main():
+    from pytorch_connectomics_tpu.config.schema import ModelConfig, build_dataclass
+    from pytorch_connectomics_tpu.data.synthetic_jax import (
+        sample_patches,
+        synthetic_em_volume,
+    )
+    from pytorch_connectomics_tpu.inference.window import (
+        _sliding_window_regular_device,
+        importance_map,
+    )
+    from pytorch_connectomics_tpu.losses.orchestrator import LossOrchestrator
+    from pytorch_connectomics_tpu.metrics.binary import jaccard_index
+    from pytorch_connectomics_tpu.models import build_model, init_model
+    from pytorch_connectomics_tpu.training.optim import build_optimizer
+    from pytorch_connectomics_tpu.config.schema import OptimizationConfig
+    from pytorch_connectomics_tpu.training.state import create_train_state, make_train_step
+
+    steps = int(os.environ.get("QB_STEPS", "600"))
+    patch = int(os.environ.get("QB_PATCH", "64"))
+    batch = int(os.environ.get("QB_BATCH", "8"))
+    train_shape = _shape("QB_TRAIN_SHAPE", (64, 384, 384))
+    test_shape = _shape("QB_TEST_SHAPE", (64, 256, 256))
+    tta = os.environ.get("QB_TTA", "1") == "1"
+
+    print(f"devices: {jax.devices()}", flush=True)
+    t_all = time.time()
+
+    # ---- data (on device) ----
+    img_tr, lbl_tr = synthetic_em_volume(jax.random.PRNGKey(1), train_shape)
+    img_te, lbl_te = synthetic_em_volume(jax.random.PRNGKey(2), test_shape)
+
+    # ---- model + loss + optimizer (the Lucchi recipe, patch-size scaled) ----
+    cfg = build_dataclass(
+        ModelConfig,
+        {
+            "arch": {"type": "mednext"},
+            "in_channels": 1,
+            "out_channels": 1,
+            "input_size": [patch] * 3,
+            "mednext": {"size": "S", "kernel_size": 3},
+            "loss": {
+                "losses": [
+                    {"function": "BCEWithLogitsLoss", "weight": 1.0},
+                    {"function": "DiceLoss", "weight": 1.0},
+                ]
+            },
+            "compute_dtype": "bfloat16",
+        },
+    )
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(0))
+    opt_cfg = build_dataclass(
+        OptimizationConfig,
+        {
+            "optimizer": {"name": "AdamW", "lr": 1e-3, "weight_decay": 0.01},
+            "scheduler": {
+                "name": "WarmupCosineLR",
+                "warmup_steps": max(1, min(50, steps // 10)),
+            },
+            "max_epochs": 1,
+            "n_steps_per_epoch": steps,
+            "gradient_clip_val": 1.0,
+        },
+    )
+    tx, _ = build_optimizer(opt_cfg, steps)
+    orch = LossOrchestrator(cfg.loss)
+
+    def apply_fn(v, x, train=False):
+        return model.apply(v, x)
+
+    train_step = jax.jit(make_train_step(apply_fn, orch, tx))
+    state = create_train_state(variables["params"], tx)
+
+    sample = jax.jit(
+        lambda k: sample_patches(k, img_tr, lbl_tr, (patch,) * 3, batch)
+    )
+
+    # ---- train ----
+    key = jax.random.PRNGKey(42)
+    t0 = time.time()
+    logs = {}
+    for step in range(steps):
+        im, lb = sample(jax.random.fold_in(key, step))
+        state, logs = train_step(state, {"image": im, "label": lb})
+        if step % 100 == 0 or step == steps - 1:
+            loss = float(logs["loss_total"])  # sync point
+            print(f"step {step:5d} loss={loss:.4f} ({time.time()-t0:.0f}s)", flush=True)
+            if not np.isfinite(loss):
+                raise RuntimeError(f"non-finite loss at step {step}")
+    train_s = time.time() - t0
+
+    # ---- full sliding-window inference (overlap 0.5, bump) ----
+    window = (patch,) * 3
+    stride = tuple(w // 2 for w in window)
+    cover = []
+    for size, w, st in zip(test_shape, window, stride):
+        n = max(1, -(-(size - w) // st) + 1)
+        cover.append((n - 1) * st + w)
+    cover = tuple(cover)
+    imp_np = importance_map(window, "bump")
+    imp = jnp.asarray(imp_np[..., None])
+    c = tuple(w // 2 for w in window)
+    profiles = [imp_np[:, c[1], c[2]], imp_np[c[0], :, c[2]], imp_np[c[0], c[1], :]]
+    w1d = []
+    for d, (size, w, st) in enumerate(zip(cover, window, stride)):
+        wd = np.zeros(size, np.float64)
+        for o in range(0, size - w + 1, st):
+            wd[o : o + w] += profiles[d]
+        w1d.append(jnp.asarray(wd, jnp.float32))
+    center = float(imp_np[c])
+    inv_weight = (
+        1.0
+        / jnp.maximum(
+            w1d[0][:, None, None] * w1d[1][None, :, None] * w1d[2][None, None, :]
+            / center**2,
+            1e-8,
+        )
+    )[..., None]
+    vol = jnp.pad(
+        img_te.astype(jnp.bfloat16),
+        [(0, cv - s) for cv, s in zip(cover, test_shape)],
+        mode="reflect",
+    )[..., None]
+
+    params = {"params": state.params["model"]}
+
+    @jax.jit
+    def infer(p, v):
+        def afn(pp, windows):
+            return model.apply(pp, windows)
+
+        variants = [(v, None)]
+        if tta:
+            variants = [
+                (v, None), (jnp.flip(v, 0), 0), (jnp.flip(v, 1), 1), (jnp.flip(v, 2), 2),
+            ]
+        acc = jnp.zeros(cover + (1,), jnp.float32)
+        for vv, ax in variants:
+            out = _sliding_window_regular_device(
+                p, vv, imp, inv_weight, apply_fn=afn, window=window,
+                stride=stride, sw_batch=batch, out_channels=1,
+                acc_dtype=jnp.float32,
+            )
+            if ax is not None:
+                out = jnp.flip(out, ax)
+            acc = acc + out
+        return acc / len(variants)
+
+    t0 = time.time()
+    pred = infer(params, vol)
+    pred = pred[: test_shape[0], : test_shape[1], : test_shape[2], 0]
+    jac = float(jaccard_index(pred, lbl_te.astype(jnp.float32), from_logits=True))
+    infer_s = time.time() - t0
+
+    result = {
+        "metric": "synthetic_em_jaccard",
+        "value": round(jac, 4),
+        "unit": "jaccard",
+        "vs_baseline": round(jac / 0.935, 3),
+        "detail": {
+            "steps": steps, "patch": patch, "batch": batch,
+            "train_s": round(train_s, 1), "infer_s": round(infer_s, 1),
+            "tta": tta, "final_loss": round(float(logs["loss_total"]), 4),
+            "platform": jax.devices()[0].platform,
+        },
+    }
+    print(json.dumps(result), flush=True)
+    qfile = ROOT / "QUALITY.md"
+    stamp = time.strftime("%Y-%m-%d %H:%M")
+    line = (
+        f"| {stamp} | {jac:.4f} | {steps} | {patch}^3 | "
+        f"{'on' if tta else 'off'} | {jax.devices()[0].platform} | "
+        f"{train_s:.0f}s + {infer_s:.0f}s |\n"
+    )
+    if not qfile.exists():
+        qfile.write_text(
+            "# Quality tracking — synthetic EM mito Jaccard\n\n"
+            "Full-pipeline (train -> sliding-window 0.5-overlap bump + flip-TTA ->\n"
+            "Jaccard) on the on-device synthetic EM task (data/synthetic_jax.py).\n"
+            "Stand-in for the Lucchi++ headline (0.935) until real data can reach\n"
+            "the TPU host; tracked round-over-round.\n\n"
+            "| date | jaccard | steps | patch | tta | platform | time |\n"
+            "|---|---|---|---|---|---|---|\n"
+        )
+    with qfile.open("a") as f:
+        f.write(line)
+    print(f"total {time.time()-t_all:.0f}s; appended to QUALITY.md", flush=True)
+
+
+if __name__ == "__main__":
+    main()
