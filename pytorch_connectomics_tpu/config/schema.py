@@ -325,6 +325,9 @@ class DatasetSplitConfig:
     transpose: Optional[List[int]] = None
     pad: Optional[List[int]] = None
     image_internal_path: Optional[str] = None
+    # per-axis read-downscale in (0, 1]: lazy reads fetch the covering native
+    # crop and resample (reference lazy.py:422-454, data_factory.py:84)
+    read_scale: Optional[List[float]] = None
     label_internal_path: Optional[str] = None
 
 
@@ -579,6 +582,10 @@ class SlidingWindowConfig:
     padding_mode: str = "reflect"
     border_mask: Optional[List[int]] = None
     snap_to_edge: bool = True
+    # HBM accumulator dtype for overlap-add ("float32" | "bfloat16" |
+    # "float16"); compact accumulators halve accumulation memory
+    # (reference lazy fp16 accumulators, lazy.py:1133-1139)
+    acc_dtype: str = "float32"
 
 
 @dataclass

@@ -587,6 +587,7 @@ def make_engine(apply_fn, cfg: SlidingWindowConfig, input_size: Sequence[int]):
         padding_mode=cfg.padding_mode,
         snap_to_edge=cfg.snap_to_edge,
         border_mask=cfg.border_mask,
+        acc_dtype=jnp.dtype(cfg.acc_dtype),
     )
 
 

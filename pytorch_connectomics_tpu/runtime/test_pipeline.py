@@ -103,6 +103,7 @@ def run_test_pipeline(
                 transpose=cfg.data.test.transpose,
                 pad=cfg.data.test.pad,
                 normalize=cfg.data.preprocessing.normalize,
+                scale=cfg.data.test.read_scale,
             )
             run_chunked_inference(
                 manager.predictor,
@@ -118,10 +119,18 @@ def run_test_pipeline(
         else:
             from ..data.preprocess import normalize_volume
 
-            vol = read_volume(image_path)
-            if cfg.data.test.transpose:
-                vol = np.transpose(vol, cfg.data.test.transpose)
-            vol = normalize_volume(vol, cfg.data.preprocessing.normalize)
+            if cfg.data.test.read_scale:
+                vol = LazyVolumeAccessor(
+                    image_path,
+                    transpose=cfg.data.test.transpose,
+                    normalize=cfg.data.preprocessing.normalize,
+                    scale=cfg.data.test.read_scale,
+                ).read_all()
+            else:
+                vol = read_volume(image_path)
+                if cfg.data.test.transpose:
+                    vol = np.transpose(vol, cfg.data.test.transpose)
+                vol = normalize_volume(vol, cfg.data.preprocessing.normalize)
             prediction = manager.predict(params, vol)  # (Z,Y,X,C)
             if cfg.inference.output.save_raw:
                 stored = np.moveaxis(
