@@ -733,6 +733,9 @@ class DecodingConfig:
     enabled: bool = False
     steps: List[DecodingStepConfig] = field(default_factory=list)
     graph: Optional[Dict[str, Any]] = None
+    # user-controlled suffix for decoded artifact names (overrides the
+    # auto decode-recipe tag; reference output_naming.py:382)
+    save_suffix: Optional[str] = None
     postprocessing: DecodingPostprocessConfig = field(default_factory=DecodingPostprocessConfig)
     tuning: TuningConfig = field(default_factory=TuningConfig)
     qc: QCConfig = field(default_factory=QCConfig)

@@ -59,21 +59,27 @@ def synthetic_em_volume(
     rim = (mito_field > thr - 0.035) & ~mito
     # cristae texture inside mitochondria (fine anisotropic bands)
     cristae = _smooth_field(ks[1], shape, feature_voxels=4.0)
-    # --- distractor organelles: dark but NOT labeled ---
-    distract_field = _smooth_field(ks[2], shape, feature_voxels=15.0)
-    dthr = jnp.percentile(distract_field, 94.0)
+    # --- distractor organelles: near-identical appearance, NOT labeled ---
+    # (interior intensity/texture overlaps the mito distribution; the main
+    # discriminative cues are the rim contrast and texture scale, so a
+    # thresholding shortcut cannot solve the task)
+    distract_field = _smooth_field(ks[2], shape, feature_voxels=14.0)
+    dthr = jnp.percentile(distract_field, 91.0)
     distract = distract_field > dthr
+    drim = (distract_field > dthr - 0.030) & ~distract
+    dtex = _smooth_field(ks[7], shape, feature_voxels=7.0)
     # --- compose intensity ---
-    img = jnp.full(shape, 0.72, jnp.float32)
-    img = img + _band_noise(ks[3], shape, feature_voxels=9.0, amp=0.06)  # cytoplasm
-    img = jnp.where(mito, 0.42 + 0.18 * cristae, img)  # dark textured interior
-    img = jnp.where(rim, 0.18, img)  # membrane
-    img = jnp.where(distract & ~mito & ~rim, 0.50 + 0.10 * cristae, img)
+    img = jnp.full(shape, 0.70, jnp.float32)
+    img = img + _band_noise(ks[3], shape, feature_voxels=9.0, amp=0.08)  # cytoplasm
+    img = jnp.where(mito, 0.45 + 0.16 * cristae, img)  # dark textured interior
+    img = jnp.where(rim, 0.22, img)  # membrane
+    img = jnp.where(distract & ~mito & ~rim, 0.47 + 0.15 * dtex, img)
+    img = jnp.where(drim & ~mito & ~rim & ~distract, 0.34, img)  # weaker rim
     # low-frequency gain + per-slice jitter + sensor noise
-    img = img * (1.0 + _band_noise(ks[4], shape, feature_voxels=90.0, amp=0.08))
-    slice_gain = 1.0 + 0.03 * jax.random.normal(ks[5], (shape[0], 1, 1))
+    img = img * (1.0 + _band_noise(ks[4], shape, feature_voxels=90.0, amp=0.10))
+    slice_gain = 1.0 + 0.05 * jax.random.normal(ks[5], (shape[0], 1, 1))
     img = img * slice_gain
-    img = img + 0.03 * jax.random.normal(ks[6], shape)
+    img = img + 0.06 * jax.random.normal(ks[6], shape)
     return jnp.clip(img, 0.0, 1.0), mito.astype(jnp.uint8)
 
 

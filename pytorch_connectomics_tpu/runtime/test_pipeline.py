@@ -89,7 +89,10 @@ def run_test_pipeline(
     for vi, image_path in enumerate(images):
         vol_name = volume_name_from_path(image_path)
         pred_path = out_dir / prediction_filename(vol_name, tag)
-        dec_path = out_dir / decoded_filename(vol_name, tag)
+        dec_path = out_dir / decoded_filename(
+            vol_name, tag,
+            decoding_cfg=cfg.decoding if cfg.decoding.enabled else None,
+        )
         t0 = time.time()
 
         prediction = None
