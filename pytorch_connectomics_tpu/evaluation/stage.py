@@ -97,6 +97,20 @@ def run_evaluation_stage(
     if not cfg.enabled or not cfg.metrics:
         return {}
     results = compute_test_metrics(prediction, decoded, gt, cfg.metrics, cfg.nerl)
+    if "tube" in [m.lower() for m in cfg.metrics] and decoded is not None:
+        from ..metrics.tube import tube_instance_qc, tube_qc_summary
+
+        kw = dict(cfg.tube or {})
+        results.update(
+            {f"tube_{k}": v for k, v in tube_qc_summary(decoded, **kw).items()}
+        )
+        if output_dir:
+            from .report import save_tube_instances
+
+            save_tube_instances(
+                output_dir, volume_name, tube_instance_qc(decoded, **kw),
+                volume_shape=np.asarray(decoded).shape, config=kw,
+            )
     logger.info("evaluation[%s]: %s", volume_name, {k: round(v, 4) for k, v in results.items()})
     if output_dir:
         from .report import write_metrics_report

@@ -180,4 +180,8 @@ def run_test_pipeline(
             all_metrics[vol_name] = metrics
         else:
             all_metrics[vol_name] = {}
+    if cfg.evaluation.enabled and any(all_metrics.values()):
+        from ..evaluation.report import aggregate_metrics_summary
+
+        aggregate_metrics_summary(out_dir)  # cross-volume epoch-end report
     return all_metrics

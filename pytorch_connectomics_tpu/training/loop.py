@@ -127,7 +127,12 @@ class Trainer:
             mode=cfg.monitor.checkpoint.mode,
             save_last=cfg.monitor.checkpoint.save_last,
         )
-        self.metrics_logger = MetricsLogger(self.run_dir, cfg.monitor.logging.backend)
+        self.metrics_logger = MetricsLogger(
+            self.run_dir,
+            cfg.monitor.logging.backend,
+            wandb_cfg=cfg.monitor.wandb,
+            config={"config_hash": self.cfg_hash},
+        )
         self._plateau = cfg.optimization.scheduler.name == "ReduceLROnPlateau"
         self._plateau_best = math.inf
         self._plateau_bad = 0
