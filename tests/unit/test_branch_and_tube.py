@@ -38,8 +38,89 @@ def test_branch_merge_z_continuity():
     lab = np.zeros((6, 8, 8), np.uint32)
     lab[0:3, 2:6, 2:6] = 1  # tube A ends at z=2
     lab[3:6, 2:6, 2:6] = 2  # tube B starts at z=3 (same footprint)
-    merged = branch_merge(lab, min_overlap=4)
+    merged = branch_merge(lab, min_overlap=4, min_size=20, weak_min_size=20)
     assert len(np.unique(merged)) == 2  # bg + merged tube
+
+
+def test_branch_merge_margin_rejects_ambiguous():
+    """Two equally-good continuation candidates -> the margin gate keeps the
+    pair split (reference merge.py:629 docstring: a false merge costs more
+    than a residual split)."""
+    lab = np.zeros((8, 12, 20), np.uint32)
+    lab[0:4, 4:8, 4:16] = 1  # wide tube A ends at z=3
+    lab[4:8, 4:8, 4:10] = 2  # candidate B (left half)
+    lab[4:8, 4:8, 10:16] = 3  # candidate C (right half), equal IoU
+    out = branch_merge(lab, min_size=20, weak_min_size=10_000)
+    assert len(np.unique(out)) == 4  # bg + all three stay distinct
+
+
+def test_branch_merge_seam_affinity_floor():
+    """A background-level seam z-affinity vetoes an otherwise-perfect IoU
+    match (reference merge.py:221 aff_lo)."""
+    lab = np.zeros((6, 8, 8), np.uint32)
+    lab[0:3, 2:6, 2:6] = 1
+    lab[3:6, 2:6, 2:6] = 2
+    aff = np.ones((3, 6, 8, 8), np.float32)
+    merged = branch_merge(lab, affinity=aff, min_size=20, weak_min_size=20)
+    assert len(np.unique(merged)) == 2  # strong seam -> merged
+    aff[2, 3] = 0.0  # kill the z-affinity at the seam
+    kept = branch_merge(
+        lab, affinity=aff, min_size=20, weak_min_size=10_000, weak_max_gap=0
+    )
+    assert len(np.unique(kept)) == 3  # vetoed -> still split
+
+
+def test_complete_fragments_absorbs_specks():
+    from pytorch_connectomics_tpu.decoding.branch import complete_fragments
+
+    lab = np.zeros((6, 12, 12), np.uint32)
+    lab[:, 2:9, 2:9] = 1  # big tube (6*49 = 294 voxels)
+    lab[2, 9, 5] = 2  # 1-voxel lateral speck touching the tube
+    out = complete_fragments(lab, min_size=50)
+    assert (out == 2).sum() == 0
+    assert out[2, 9, 5] == 1  # absorbed into its contact
+
+
+def test_bridge_weak_gaps_spans_gap_with_velocity():
+    """A tube drifting in +y, interrupted for 2 slices, reconnects via the
+    velocity-projected match (reference merge.py:348)."""
+    lab = np.zeros((12, 24, 12), np.uint32)
+    for z in range(5):
+        lab[z, 2 + z : 6 + z, 4:8] = 1  # drifts +1 y per z, ends z=4
+    for z in range(7, 12):
+        lab[z, 2 + z : 6 + z, 4:8] = 2  # resumes at z=7 on the same track
+    out = branch_merge(
+        lab, min_size=20, weak_min_size=20, weak_max_gap=3, rounds=1
+    )
+    assert len(np.unique(out)) == 2  # bg + one reconnected tube
+
+
+def test_longrange_guided_split_by_guide_seg(tmp_path):
+    """Guide-seg mode (reference longrange_guided_split.py:534): a primary
+    label containing two large guide components splits by nearest seed."""
+    from pytorch_connectomics_tpu.decoding.branch import longrange_guided_split
+
+    primary = np.zeros((8, 10, 30), np.uint32)
+    primary[:, 2:8, 2:28] = 1  # one falsely-merged slab (8*6*26 = 1248 vox)
+    guide = np.zeros_like(primary)
+    guide[:, 3:7, 3:12] = 5  # left guide body
+    guide[:, 3:7, 18:27] = 9  # right guide body
+    out = longrange_guided_split(
+        primary, guide_seg=guide,
+        min_parent_voxels=500, min_seed_voxels=100,
+        min_seed_overlap_voxels=50, report_dir=str(tmp_path),
+    )
+    left, right = out[4, 5, 6], out[4, 5, 22]
+    assert left > 0 and right > 0 and left != right
+    # nearest-seed assignment covers the whole parent (nothing dropped)
+    assert (out > 0).sum() == (primary > 0).sum()
+    assert (tmp_path / "longrange_guided_split.csv").exists()
+    # a parent with only ONE retained seed stays intact
+    out2 = longrange_guided_split(
+        primary, guide_seg=(guide == 5).astype(np.uint32) * 5,
+        min_parent_voxels=500, min_seed_voxels=100, min_seed_overlap_voxels=50,
+    )
+    assert len(np.unique(out2)) == 2
 
 
 def test_branch_split_detects_multi_component():
