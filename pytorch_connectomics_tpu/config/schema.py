@@ -736,6 +736,9 @@ class DecodingConfig:
     # user-controlled suffix for decoded artifact names (overrides the
     # auto decode-recipe tag; reference output_naming.py:382)
     save_suffix: Optional[str] = None
+    # decode-only mode: load this (C,Z,Y,X) prediction instead of running
+    # inference (reference waterz_decoding.yaml load_prediction_path)
+    load_prediction_path: Optional[str] = None
     postprocessing: DecodingPostprocessConfig = field(default_factory=DecodingPostprocessConfig)
     tuning: TuningConfig = field(default_factory=TuningConfig)
     qc: QCConfig = field(default_factory=QCConfig)

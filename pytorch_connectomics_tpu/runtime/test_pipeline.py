@@ -86,6 +86,12 @@ def run_test_pipeline(
     )
     all_metrics: Dict[str, Dict[str, float]] = {}
 
+    # decode-only mode: an external prediction replaces inference entirely
+    # (reference waterz_decoding.yaml load_prediction_path)
+    ext_pred = cfg.decoding.load_prediction_path if cfg.decoding.enabled else None
+    if ext_pred and not images:
+        images = [ext_pred]
+
     for vi, image_path in enumerate(images):
         vol_name = volume_name_from_path(image_path)
         pred_path = out_dir / prediction_filename(vol_name, tag)
@@ -96,7 +102,15 @@ def run_test_pipeline(
         t0 = time.time()
 
         prediction = None
-        if validate_prediction_cache(pred_path, cfg_hash):
+        if ext_pred:
+            logger.info("decode-only: loading prediction %s", ext_pred)
+            prediction = read_volume(ext_pred)
+            if prediction.ndim == 3:
+                prediction = prediction[None]
+            if prediction.dtype == np.uint8:  # uint8 affinity convention
+                prediction = prediction.astype(np.float32) / 255.0
+            prediction = np.moveaxis(prediction, 0, -1)  # stored (C,Z,Y,X)
+        elif validate_prediction_cache(pred_path, cfg_hash):
             logger.info("cache hit: %s", pred_path)
             prediction = read_volume(str(pred_path))
             prediction = np.moveaxis(prediction, 0, -1)  # stored (C,Z,Y,X)

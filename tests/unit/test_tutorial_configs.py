@@ -13,7 +13,14 @@ TUTORIALS = sorted((Path(__file__).resolve().parents[2] / "tutorials").glob("*.y
 
 @pytest.mark.parametrize("path", TUTORIALS, ids=[p.stem for p in TUTORIALS])
 def test_tutorial_config_loads_train(path):
-    cfg = load_config(path, mode="train")
+    from pytorch_connectomics_tpu.config.schema import ConfigError
+
+    try:
+        cfg = load_config(path, mode="train")
+    except ConfigError as e:
+        if "data.train.image" in str(e):
+            pytest.skip("decode/eval-only workload (no train split)")
+        raise
     assert cfg.model.loss.losses, f"{path.stem}: no loss terms resolved"
     # model must be constructible
     model = build_model(cfg.model)
