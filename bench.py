@@ -112,11 +112,15 @@ def main():
     # reliable on the experimental axon platform)
     _ = float(run())
     # measure the tunnel round-trip latency of a scalar fetch so it can be
-    # subtracted (this dev environment reaches the TPU through a slow relay)
-    lat0 = time.time()
-    _ = float(jnp.zeros(()) + 1.0)
-    fetch_latency = time.time() - lat0
-    reps = 2 if os.environ.get("BENCH_SMALL") != "1" else 5
+    # subtracted (this dev environment reaches the TPU through a slow relay);
+    # median of 3 — single samples jitter by hundreds of ms
+    lats = []
+    for _ in range(3):
+        lat0 = time.time()
+        _ = float(jnp.zeros(()) + 1.0)
+        lats.append(time.time() - lat0)
+    fetch_latency = sorted(lats)[1]
+    reps = int(os.environ.get("BENCH_REPS", "5" if small else "3"))
     t0 = time.time()
     acc = jnp.zeros(())
     for _ in range(reps):
@@ -125,6 +129,29 @@ def main():
     dt = max(1e-6, (time.time() - t0) - fetch_latency)
     voxels = float(np.prod(vol_shape)) * reps
     mvox_s = voxels / dt / 1e6
+
+    if os.environ.get("BENCH_BREAKDOWN") == "1":
+        # per-stage breakdown to stderr (stdout stays one JSON line):
+        # model-forward-only rate vs full engine rate isolates window
+        # extract/scatter overhead from conv time
+        bs = int(sw_batch)
+        wins = jax.random.uniform(jax.random.PRNGKey(2), (bs, *window, 1), jnp.bfloat16)
+        _ = float(jnp.sum(apply_fn(params, wins).astype(jnp.float32)))
+        t0 = time.time()
+        out = apply_fn(params, wins)
+        _ = float(jnp.sum(out.astype(jnp.float32)))
+        fwd = max(1e-6, time.time() - t0 - fetch_latency)
+        n_windows = 1
+        for size, w, st in zip(cover, window, stride):
+            n_windows *= (size - w) // st + 1
+        processed = n_windows * float(np.prod(window))
+        print(
+            f"[breakdown] model fwd: {bs * np.prod(window) / fwd / 1e6:.1f} Mvox/s"
+            f" processed | windows: {n_windows} ({processed / np.prod(vol_shape):.2f}x"
+            f" inflation) | engine e2e: {mvox_s:.2f} Mvox/s output",
+            file=sys.stderr,
+        )
+
     print(
         json.dumps(
             {

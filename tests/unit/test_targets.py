@@ -139,3 +139,64 @@ def test_target_pipeline_affinity_with_erosion():
     # erosion shrinks instances -> fewer positive affinities than without
     out_noero = seg_to_affinity(seg, ["0-0-1", "0-1-0", "1-0-0"])
     assert out.sum() < out_noero.sum()
+
+
+def test_lsd_full_semantics():
+    """Pearson off-diagonals 0.5-centered, variance sigma^2-normalized,
+    mean offsets 0.5-centered, size = fill fraction (reference lsd.py:296)."""
+    from pytorch_connectomics_tpu.data.targets.lsd import seg_to_lsd
+
+    seg = np.zeros((16, 16, 16), np.uint32)
+    seg[4:12, 4:12, 4:12] = 1  # symmetric cube
+    lsd = seg_to_lsd(seg, sigma=(3.0, 3.0, 3.0))
+    center = (8, 8, 8)
+    # at the cube center: zero mean offset -> 0.5; zero correlation -> 0.5
+    for ch in (0, 1, 2, 6, 7, 8):
+        assert abs(lsd[ch][center] - 0.5) < 0.1, (ch, lsd[ch][center])
+    # fill fraction at the center of an 8-cube with sigma 3: ~0.82^3
+    assert 0.4 < lsd[9][center] < 0.7
+    # near the +z face the center of mass is at lower z -> offset < 0.5
+    assert lsd[0][11, 8, 8] < 0.45
+    assert lsd[0][4, 8, 8] > 0.55  # -z face: offset toward +z
+
+
+def test_lsd_anisotropic_object_correlation():
+    """A diagonal plate in yx must produce strong |pearson_yx - 0.5|."""
+    from pytorch_connectomics_tpu.data.targets.lsd import seg_to_lsd
+
+    seg = np.zeros((8, 24, 24), np.uint32)
+    for i in range(20):
+        seg[2:6, i : i + 3, i : i + 3] = 1  # yx-diagonal bar
+    lsd = seg_to_lsd(seg, sigma=(4.0, 4.0, 4.0))
+    yx = lsd[8][4, 12, 12]  # pearson(y, x) channel at the bar center
+    assert yx > 0.8, yx  # strong positive y-x correlation
+
+
+def test_lsd_components_and_2d():
+    from pytorch_connectomics_tpu.data.targets.lsd import seg_to_lsd
+
+    seg = np.zeros((12, 12, 12), np.uint32)
+    seg[3:9, 3:9, 3:9] = 2
+    sub = seg_to_lsd(seg, sigma=3.0, components="0129")
+    assert sub.shape == (4, 12, 12, 12)
+    full = seg_to_lsd(seg, sigma=3.0)
+    np.testing.assert_allclose(sub[0], full[0])
+    np.testing.assert_allclose(sub[3], full[9])
+    # 2-D: 6 channels
+    seg2 = np.zeros((20, 20), np.uint32)
+    seg2[5:15, 5:15] = 1
+    lsd2 = seg_to_lsd(seg2, sigma=4.0)
+    assert lsd2.shape == (6, 20, 20)
+    assert abs(lsd2[4][10, 10] - 0.5) < 0.1  # pearson at center
+
+
+def test_lsd_downsample_close_to_full():
+    from pytorch_connectomics_tpu.data.targets.lsd import seg_to_lsd
+
+    seg = np.zeros((16, 16, 16), np.uint32)
+    seg[4:12, 4:12, 4:12] = 1
+    full = seg_to_lsd(seg, sigma=4.0)
+    ds = seg_to_lsd(seg, sigma=4.0, downsample=2)
+    assert ds.shape == full.shape
+    inside = seg > 0
+    assert np.abs(full[9][inside] - ds[9][inside]).mean() < 0.15
