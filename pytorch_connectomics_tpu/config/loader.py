@@ -193,6 +193,48 @@ def validate_config(cfg: Config, mode: str = "train") -> List[str]:
     return warnings
 
 
+def available_cpus() -> int:
+    """CPU slots visible to this process, cgroup/SLURM aware (reference
+    ``_available_cpus_for_current_run``, hardware/auto_config.py:37):
+    affinity mask > SLURM_CPUS_PER_TASK > os.cpu_count()."""
+    try:
+        aff = os.sched_getaffinity(0)
+        if aff:
+            return len(aff)
+    except (AttributeError, OSError):
+        pass
+    slurm = os.environ.get("SLURM_CPUS_PER_TASK", "")
+    if slurm.isdigit():
+        return max(int(slurm), 1)
+    return max(os.cpu_count() or 1, 1)
+
+
+_MALIS_WORKER_CAP = 8
+
+
+def resolve_malis_worker_budget(cfg: Config) -> int:
+    """Inject the MalisLoss ``num_workers`` auto-default
+    (min(2*batch, cap)) for unset entries and return the total thread
+    reservation (reference ``_resolve_malis_worker_budget``,
+    hardware/auto_config.py:96)."""
+    losses = cfg.model.loss.losses or []
+    batch = int(cfg.data.dataloader.batch_size or 1)
+    default = max(1, min(batch * 2, _MALIS_WORKER_CAP))
+    total = 0
+    for term in losses:
+        if term.function != "MalisLoss":
+            continue
+        kwargs = dict(term.kwargs or {})
+        explicit = kwargs.get("num_workers")
+        if explicit is None:
+            kwargs["num_workers"] = default
+            term.kwargs = kwargs
+            total += default
+        elif int(explicit) > 1:
+            total += int(explicit)
+    return total
+
+
 def resolve_system_sentinels(cfg: Config) -> None:
     """Resolve ``-1`` hardware sentinels against visible JAX devices / CPUs
     (reference ``config/hardware/auto_config.py:142``)."""
@@ -203,12 +245,11 @@ def resolve_system_sentinels(cfg: Config) -> None:
             cfg.system.num_devices = jax.device_count()
         except Exception:
             cfg.system.num_devices = 1
+    malis_threads = resolve_malis_worker_budget(cfg)
     if cfg.system.num_workers in (-1, None):
-        try:
-            n = len(os.sched_getaffinity(0))
-        except AttributeError:
-            n = os.cpu_count() or 1
-        cfg.system.num_workers = max(1, min(8, n - 1))
+        # leave one CPU for the main loop and reserve the MALIS thread pool
+        n = available_cpus()
+        cfg.system.num_workers = max(1, min(8, n - 1 - malis_threads))
     mesh = dict(cfg.system.mesh or {"data": -1})
     unknown = [k for k, v in mesh.items() if v in (-1, None)]
     known = 1

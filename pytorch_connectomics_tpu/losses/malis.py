@@ -78,9 +78,18 @@ class MalisLoss:
     (deterministic per step via the fold-in of ``step``).
     """
 
-    def __init__(self, sigmoid: bool = True, crop_size: Optional[int] = None):
+    def __init__(
+        self,
+        sigmoid: bool = True,
+        crop_size: Optional[int] = None,
+        num_workers: int = 1,
+    ):
         self.sigmoid = sigmoid
         self.crop_size = crop_size
+        # thread-parallelize the per-batch maximin passes (the C kernel
+        # releases the GIL via ctypes); auto-defaulted by the config loader
+        # to min(2*batch, 8) (reference hardware/auto_config.py:96)
+        self.num_workers = max(1, int(num_workers))
 
     def __call__(self, pred, seg, weight=None, mask=None, step: int = 0, **kw):
         p = pred.astype(jnp.float32)
@@ -108,11 +117,23 @@ class MalisLoss:
                 s_cf, (0, starts[0], starts[1], starts[2]), (s_cf.shape[0], *sizes)
             )
 
+        n_workers = self.num_workers
+
         def weights_cb(aff_np, seg_np):
             wp = np.zeros_like(aff_np)
             wn = np.zeros_like(aff_np)
-            for b in range(aff_np.shape[0]):
-                wp[b], wn[b] = _malis_weights_host(aff_np[b], seg_np[b])
+            bsz = aff_np.shape[0]
+            if n_workers > 1 and bsz > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                def one(b):
+                    wp[b], wn[b] = _malis_weights_host(aff_np[b], seg_np[b])
+
+                with ThreadPoolExecutor(max_workers=min(n_workers, bsz)) as ex:
+                    list(ex.map(one, range(bsz)))
+            else:
+                for b in range(bsz):
+                    wp[b], wn[b] = _malis_weights_host(aff_np[b], seg_np[b])
             return wp, wn
 
         shape = jax.ShapeDtypeStruct(p_cf.shape, jnp.float32)
@@ -127,7 +148,12 @@ class MalisLoss:
         return loss
 
 
-def malis_loss(pred, target, weight=None, mask=None, sigmoid=True, crop_size=None, **kw):
+def malis_loss(
+    pred, target, weight=None, mask=None, sigmoid=True, crop_size=None,
+    num_workers=1, **kw,
+):
     """Functional form for the loss registry; ``target`` is the instance
     segmentation (not affinities)."""
-    return MalisLoss(sigmoid=sigmoid, crop_size=crop_size)(pred, target, weight, mask)
+    return MalisLoss(sigmoid=sigmoid, crop_size=crop_size, num_workers=num_workers)(
+        pred, target, weight, mask
+    )

@@ -232,3 +232,30 @@ def test_reference_minimal_tutorial_loads():
     cfg = load_config(ref, mode="train")
     assert cfg.model.arch.type == "monai_unet"
     assert cfg.data.dataloader.patch_size == [32, 64, 64]
+
+
+def test_malis_worker_budget_and_cpu_detection():
+    """SLURM/cgroup-aware CPU detection + MALIS thread auto-default
+    (reference hardware/auto_config.py:37,96)."""
+    from pytorch_connectomics_tpu.config.loader import (
+        available_cpus,
+        resolve_malis_worker_budget,
+    )
+    from pytorch_connectomics_tpu.config.schema import Config, build_dataclass
+
+    assert available_cpus() >= 1
+    cfg = build_dataclass(
+        Config,
+        {"model": {"loss": {"losses": [
+            {"function": "MalisLoss"},
+            {"function": "MalisLoss", "kwargs": {"num_workers": 3}},
+            {"function": "DiceLoss"},
+        ]}},
+         "data": {"dataloader": {"batch_size": 2}}},
+    )
+    total = resolve_malis_worker_budget(cfg)
+    # auto entry gets min(2*2, 8) = 4; explicit keeps 3
+    assert cfg.model.loss.losses[0].kwargs["num_workers"] == 4
+    assert cfg.model.loss.losses[1].kwargs["num_workers"] == 3
+    assert "num_workers" not in (cfg.model.loss.losses[2].kwargs or {})
+    assert total == 7

@@ -200,3 +200,32 @@ def test_lsd_downsample_close_to_full():
     assert ds.shape == full.shape
     inside = seg > 0
     assert np.abs(full[9][inside] - ds[9][inside]).mean() < 0.15
+
+
+def test_split_masks_and_padding(tmp_path):
+    from pytorch_connectomics_tpu.data.split import (
+        create_split_masks,
+        pad_volume_to_size,
+        save_split_masks_h5,
+        split_and_pad_volume,
+        split_slices,
+    )
+
+    tr, va = split_slices((100, 64, 64), train_ratio=0.8)
+    assert tr[0] == slice(0, 80) and va[0] == slice(80, 100)
+    tr, va = split_slices((100, 64, 64), train_ratio=0.95, min_val_size=30)
+    assert va[0] == slice(70, 100)
+    tm, vm = create_split_masks((10, 4, 4), 0.7)
+    assert tm.sum() == 7 * 16 and vm.sum() == 3 * 16
+    assert ((tm + vm) == 1).all()
+    v = np.random.rand(18, 40, 40).astype(np.float32)
+    p = pad_volume_to_size(v, (32, 40, 48))
+    assert p.shape == (32, 40, 48)
+    np.testing.assert_array_equal(p[7:25, :, 4:44], v)
+    tr_v, va_v = split_and_pad_volume(v, 0.8, target_size=(8, 40, 40))
+    assert tr_v.shape[0] == 14 and va_v.shape == (8, 40, 40)
+    f1, f2 = save_split_masks_h5(tmp_path, (10, 4, 4))
+    import h5py
+
+    with h5py.File(f1) as f:
+        assert f["main"][:].sum() == 8 * 16
