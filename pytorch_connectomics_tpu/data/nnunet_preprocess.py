@@ -27,35 +27,69 @@ class PreprocessRecord:
     target_spacing: Optional[Tuple[float, ...]] = None
 
 
+def resolve_separate_z(
+    source_spacing: Sequence[float],
+    target_spacing: Sequence[float],
+    anisotropy_threshold: float = 3.0,
+    force_separate_z: Optional[bool] = None,
+) -> Tuple[bool, Optional[int]]:
+    """nnU-Net separate-z rule (reference ``_resolve_separate_z``,
+    nnunet_preprocess.py:456): split the resample when EITHER spacing is
+    more anisotropic than the threshold; the low-res axis is the largest
+    source spacing (not assumed to be z)."""
+    if force_separate_z is not None:
+        if not force_separate_z:
+            return False, None
+        return True, int(np.argmax(np.asarray(source_spacing)))
+    for spacing in (source_spacing, target_spacing):
+        s = np.asarray(spacing, np.float64)
+        if float(s.max() / max(s.min(), 1e-8)) > anisotropy_threshold:
+            return True, int(np.argmax(np.asarray(source_spacing)))
+    return False, None
+
+
 def resample_volume(
     vol: np.ndarray,
     source_spacing: Sequence[float],
     target_spacing: Sequence[float],
     is_label: bool = False,
     separate_z_threshold: float = 3.0,
+    force_separate_z: Optional[bool] = None,
 ) -> np.ndarray:
-    """Spacing-aware resample. When z-spacing is >= ``separate_z_threshold``
-    times the in-plane spacing (EM anisotropy), resample XY per-slice and
-    use nearest neighbor along z (nnU-Net separate-z rule)."""
+    """Spacing-aware resample. In separate-z mode the in-plane axes are
+    resampled per low-res slice at full order and the low-res axis uses
+    nearest-neighbor (order 0), matching nnU-Net for anisotropic EM."""
     src = np.asarray(source_spacing, float)
     tgt = np.asarray(target_spacing, float)
     if np.allclose(src, tgt):
         return vol
     zoom = src / tgt
     order = 0 if is_label else 1
-    aniso = src[0] / max(src[1], src[2])
-    if aniso >= separate_z_threshold:
-        # in-plane resample per slice
-        new_yx = tuple(int(round(s * z)) for s, z in zip(vol.shape[1:], zoom[1:]))
+    separate, axis = resolve_separate_z(
+        src, tgt, separate_z_threshold, force_separate_z
+    )
+    if separate and axis is not None:
+        v = np.moveaxis(vol, axis, 0)
+        zm = [zoom[axis]] + [zoom[d] for d in range(3) if d != axis]
+        plane_zoom = tuple(zm[1:])
+        new_plane = tuple(
+            int(round(s * z)) for s, z in zip(v.shape[1:], plane_zoom)
+        )
         planes = [
-            ndimage.zoom(vol[z], (new_yx[0] / vol.shape[1], new_yx[1] / vol.shape[2]), order=order)
-            for z in range(vol.shape[0])
+            ndimage.zoom(
+                v[k],
+                (new_plane[0] / v.shape[1], new_plane[1] / v.shape[2]),
+                order=order,
+            )
+            for k in range(v.shape[0])
         ]
         stacked = np.stack(planes)
-        # nearest along z
-        new_z = int(round(vol.shape[0] * zoom[0]))
-        idx = np.clip(np.round(np.linspace(0, vol.shape[0] - 1, new_z)).astype(int), 0, vol.shape[0] - 1)
-        return stacked[idx]
+        new_low = int(round(v.shape[0] * zm[0]))
+        idx = np.clip(
+            np.round(np.linspace(0, v.shape[0] - 1, new_low)).astype(int),
+            0, v.shape[0] - 1,
+        )
+        return np.moveaxis(stacked[idx], 0, axis)
     return ndimage.zoom(vol, tuple(zoom), order=order)
 
 

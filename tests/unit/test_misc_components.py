@@ -210,3 +210,33 @@ def test_multihead_inference_merge():
     m2 = InferenceManager(cfg, model)
     out2 = m2.predict(params, vol)
     assert out2.shape == (16, 16, 16, 1)
+
+
+def test_nnunet_separate_z_rules():
+    """Separate-z triggers on either-spacing anisotropy, force override, and
+    non-z low-res axes (reference nnunet_preprocess.py:456)."""
+    import numpy as np
+
+    from pytorch_connectomics_tpu.data.nnunet_preprocess import (
+        resample_volume,
+        resolve_separate_z,
+    )
+
+    # isotropic -> no split
+    assert resolve_separate_z((1, 1, 1), (1, 1, 1)) == (False, None)
+    # anisotropic source -> split on z
+    assert resolve_separate_z((8, 1, 1), (8, 1, 1)) == (True, 0)
+    # isotropic source but anisotropic TARGET -> split
+    assert resolve_separate_z((2, 2, 2), (8, 1, 1))[0] is True
+    # low-res axis follows the largest source spacing (x here)
+    assert resolve_separate_z((1, 1, 8), (1, 1, 8)) == (True, 2)
+    # force override
+    assert resolve_separate_z((8, 1, 1), (8, 1, 1), force_separate_z=False) == (False, None)
+    assert resolve_separate_z((1.1, 1, 1), (1.1, 1, 1), force_separate_z=True) == (True, 0)
+
+    # x-axis separate resample keeps label values intact (nearest on x)
+    lbl = np.zeros((8, 8, 6), np.uint32)
+    lbl[2:6, 2:6, 2:4] = 7
+    out = resample_volume(lbl, (1, 1, 8), (1, 1, 4), is_label=True)
+    assert out.shape == (8, 8, 12)
+    assert set(np.unique(out)) <= {0, 7}
