@@ -9,6 +9,8 @@ from __future__ import annotations
 import logging
 from typing import List
 
+import numpy as np
+
 from ..config.schema import Config
 
 logger = logging.getLogger(__name__)
@@ -51,8 +53,62 @@ def preflight_check(cfg: Config, mode: str = "train") -> List[str]:
         targets = {t.name for t in (cfg.data.label_transform.targets or [])}
         if "affinity" in targets and m.out_channels < 3:
             warnings.append("affinity targets with <3 out_channels")
+        warnings += _train_path_issues(cfg)
+        # patch-size sanity (reference preflight.py:380-388)
+        ps = dl.patch_size or []
+        if ps and min(ps) < 16 and min(ps) != 1:  # 1 = 2-D workloads
+            warnings.append(f"very small patch size {ps} (little spatial context)")
+        if ps and max(ps) > 256:
+            warnings.append(f"very large patch size {ps} (HBM pressure; watch for OOM)")
+        # learning-rate sanity (reference preflight.py:390-397)
+        lr = cfg.optimization.optimizer.lr
+        if lr is not None and lr > 1e-2:
+            warnings.append(f"learning rate {lr} is very high (instability risk)")
+        if lr is not None and 0 < lr < 1e-6:
+            warnings.append(f"learning rate {lr} is very low (training will crawl)")
+        # rough activation-memory estimate vs device HBM
+        try:
+            import jax
+
+            dev = jax.devices()[0]
+            stats = dev.memory_stats() or {}
+            hbm_gb = stats.get("bytes_limit", 0) / 1e9
+            if hbm_gb:
+                est_gb = (
+                    dl.batch_size
+                    * float(np.prod(ps or m.input_size))
+                    * m.in_channels * 4 * 10 / 1e9
+                )
+                if est_gb > 0.8 * hbm_gb:
+                    warnings.append(
+                        f"estimated activation memory ~{est_gb:.1f} GB may exceed "
+                        f"{hbm_gb:.0f} GB HBM; reduce batch/patch or enable remat"
+                    )
+        except Exception:
+            pass
     if mode in ("tune", "tune-test") and not cfg.decoding.tuning.params:
         warnings.append("tune mode without decoding.tuning.params does nothing")
     for msg in warnings:
         logger.warning("preflight: %s", msg)
     return warnings
+
+
+def _train_path_issues(cfg: Config) -> List[str]:
+    """Missing/unmatched training data paths (reference preflight.py:331)."""
+    from glob import glob
+    from pathlib import Path
+
+    issues: List[str] = []
+    for kind in ("image", "label"):
+        value = getattr(cfg.data.train, kind)
+        paths = value if isinstance(value, list) else ([value] if value else [])
+        for raw in paths:
+            raw = str(raw).split(":")[0]
+            if raw.startswith("random://"):
+                continue
+            if "*" in raw or "?" in raw:
+                if not glob(raw):
+                    issues.append(f"train {kind} pattern matched no files: {raw}")
+            elif not Path(raw).exists():
+                issues.append(f"train {kind} not found: {raw}")
+    return issues
