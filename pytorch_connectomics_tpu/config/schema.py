@@ -356,6 +356,10 @@ class DataloaderConfig:
     use_lazy_zarr: bool = False
     persistent_workers: bool = True
     prefetch: int = 2
+    # read patch + context voxels per axis so long-range affinity targets
+    # are valid at patch borders; cropped back after target generation
+    # (reference banis target_context)
+    target_context: Optional[List[int]] = None
     # foreground rejection sampling (reference dataset_volume_cached.py:75)
     reject_sampling: Optional[Dict[str, Any]] = None
     pin_memory: bool = True

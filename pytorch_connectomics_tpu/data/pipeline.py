@@ -41,6 +41,11 @@ def _reject_from_cfg(block) -> Optional[RejectConfig]:
 def build_dataset(cfg: Config, split_cfg: DatasetSplitConfig, train: bool = True):
     dl = cfg.data.dataloader
     patch = tuple(dl.patch_size)
+    if dl.target_context:
+        # read patch + context so long-range affinity edges at patch borders
+        # see real data; the pipeline crops back after target generation
+        # (reference data_factory target_context, banis configs)
+        patch = tuple(p + 2 * int(c) for p, c in zip(patch, dl.target_context))
     use_cache = dl.use_preloaded_cache_train if train else dl.use_preloaded_cache_val
     reject = _reject_from_cfg(dl.reject_sampling)
     if dl.use_lazy_zarr or not use_cache:
@@ -103,6 +108,7 @@ class PatchPipeline:
         train: bool = True,
         process_index: int = 0,
         process_count: int = 1,
+        target_context=None,
     ):
         """``batch_size`` is the GLOBAL batch. In a multi-host run each
         process assembles only its slice of slots; sample RNG is keyed by the
@@ -124,6 +130,7 @@ class PatchPipeline:
             sample_other=lambda rng: self.dataset.sample(rng),
         )
         self.target_fn = build_target_fn(target_cfg)
+        self.target_context = tuple(int(c) for c in (target_context or ()))
         self.num_threads = max(1, num_threads)
         self.prefetch = prefetch
 
@@ -140,6 +147,12 @@ class PatchPipeline:
         # reference data_factory.py:113-218) append as extra label channels
         if "label_aux" in s and "label" in s:
             s["label"] = np.concatenate([s["label"], s.pop("label_aux")], axis=0)
+        if any(self.target_context):
+            # crop the context margin back off every array (targets computed
+            # with valid long-range neighborhoods at the patch border)
+            cz, cy, cx = self.target_context
+            sl = (slice(None), slice(cz, -cz or None), slice(cy, -cy or None), slice(cx, -cx or None))
+            s = {k: v[sl] for k, v in s.items()}
         return s
 
     def make_batch(self, step: int) -> Dict[str, np.ndarray]:
@@ -216,6 +229,7 @@ def build_pipelines(cfg: Config, process_index: Optional[int] = None, process_co
         train=True,
         process_index=process_index,
         process_count=process_count,
+        target_context=dl.target_context,
     )
     val_pipe = None
     if val_ds is not None:
@@ -230,5 +244,6 @@ def build_pipelines(cfg: Config, process_index: Optional[int] = None, process_co
             train=False,
             process_index=process_index,
             process_count=process_count,
+            target_context=dl.target_context,
         )
     return train_pipe, val_pipe

@@ -229,3 +229,46 @@ def test_split_masks_and_padding(tmp_path):
 
     with h5py.File(f1) as f:
         assert f["main"][:].sum() == 8 * 16
+
+
+def test_target_context_crops_back(tmp_path):
+    """target_context: long-range affinity edges at the patch border see
+    real context; the pipeline crops back to the configured patch size."""
+    import h5py
+
+    from pytorch_connectomics_tpu.config.schema import Config, build_dataclass
+    from pytorch_connectomics_tpu.data.pipeline import build_pipelines
+
+    rng = np.random.default_rng(0)
+    img = rng.random((32, 48, 48)).astype(np.float32)
+    lbl = np.zeros((32, 48, 48), np.uint32)
+    lbl[4:28, 8:40, 8:40] = 1
+    with h5py.File(tmp_path / "im.h5", "w") as f:
+        f["main"] = img
+    with h5py.File(tmp_path / "lb.h5", "w") as f:
+        f["main"] = lbl
+    cfg = build_dataclass(
+        Config,
+        {
+            "data": {
+                "train": {"image": str(tmp_path / "im.h5"), "label": str(tmp_path / "lb.h5")},
+                "dataloader": {
+                    "batch_size": 2,
+                    "patch_size": [8, 16, 16],
+                    "target_context": [2, 4, 4],
+                },
+                "label_transform": {
+                    "targets": [
+                        {"name": "affinity",
+                         "kwargs": {"offsets": ["0-0-1", "0-1-0", "1-0-0", "0-0-4"]}}
+                    ]
+                },
+            },
+            "system": {"num_workers": 1, "num_devices": 1},
+        },
+    )
+    train_pipe, _ = build_pipelines(cfg, process_index=0, process_count=1)
+    batch = train_pipe.make_batch(0)
+    # cropped back to the configured patch despite the context read
+    assert batch["image"].shape == (2, 8, 16, 16, 1)
+    assert batch["label"].shape == (2, 8, 16, 16, 4)
