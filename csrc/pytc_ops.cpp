@@ -14,6 +14,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <queue>
 #include <tuple>
 #include <unordered_map>
@@ -646,6 +647,176 @@ void malis_counts(const float* aff, const uint32_t* seg, int64_t Z, int64_t Y,
     hist[keep] = hk;
   }
   for (auto* h : hist) delete h;
+}
+
+// TEASAR skeletonization (Sato et al. 2000; kimimaro-style parameters) of a
+// single binary instance mask.
+//
+// Algorithm: multi-source Dijkstra over the 26-connected foreground graph
+// with boundary-penalized edge weights
+//   w(u, v) = dist(u, v) * (1 + penalty_scale * (1 - DBF(v)/maxDBF)^16)
+// Starting from the root (the geodesic-farthest voxel from an arbitrary
+// seed), repeatedly: find the farthest non-invalidated voxel, trace the
+// shortest path back to the existing skeleton, append it, and invalidate
+// every voxel within `scale * DBF(p) + const_r` (anisotropy-scaled) of each
+// path node (the TEASAR rolling ball). Stops when everything is invalidated
+// or max_paths is reached.
+//
+// mask: [z][y][x] uint8; dbf: anisotropy-aware distance-to-boundary
+// (computed host-side); nodes_out: (node_cap, 3) doubles (z, y, x);
+// edges_out: (edge_cap, 2) int64. Returns node count (or -1 on overflow).
+int64_t teasar_skeleton(const uint8_t* mask, const float* dbf, int64_t Z,
+                        int64_t Y, int64_t X, double az, double ay, double ax,
+                        double scale, double const_r, double penalty_scale,
+                        int64_t max_paths, double* nodes_out,
+                        int64_t* edges_out, int64_t node_cap,
+                        int64_t edge_cap, int64_t* n_edges_out) {
+  const int64_t n = Z * Y * X;
+  *n_edges_out = 0;
+  float max_dbf = 0.f;
+  int64_t first = -1;
+  for (int64_t i = 0; i < n; ++i)
+    if (mask[i]) {
+      if (first < 0) first = i;
+      max_dbf = std::max(max_dbf, dbf[i]);
+    }
+  if (first < 0) return 0;
+  if (max_dbf <= 0.f) max_dbf = 1.f;
+
+  const double INF = std::numeric_limits<double>::infinity();
+  std::vector<double> dist(n, INF);
+  std::vector<int64_t> parent(n, -1);
+  std::vector<uint8_t> state(n, 0);  // 0 free, 1 invalidated, 2 skeleton
+  std::vector<int64_t> node_id(n, -1);
+
+  // 26-neighborhood with anisotropic step lengths
+  struct Step { int dz, dy, dx; double len; };
+  std::vector<Step> steps;
+  for (int dz = -1; dz <= 1; ++dz)
+    for (int dy = -1; dy <= 1; ++dy)
+      for (int dx = -1; dx <= 1; ++dx) {
+        if (!dz && !dy && !dx) continue;
+        steps.push_back({dz, dy, dx,
+                         std::sqrt(dz * az * dz * az + dy * ay * dy * ay +
+                                   dx * ax * dx * ax)});
+      }
+  auto penalty = [&](int64_t v) {
+    double r = 1.0 - (double)dbf[v] / max_dbf;
+    double p = r * r;      // r^2
+    p = p * p;             // r^4
+    p = p * p;             // r^8
+    p = p * p;             // r^16
+    return 1.0 + penalty_scale * p;
+  };
+  using QE = std::pair<double, int64_t>;
+  std::priority_queue<QE, std::vector<QE>, std::greater<QE>> pq;
+
+  auto dijkstra = [&](const std::vector<int64_t>& sources) {
+    std::fill(dist.begin(), dist.end(), INF);
+    std::fill(parent.begin(), parent.end(), -1);
+    while (!pq.empty()) pq.pop();
+    for (int64_t s : sources) {
+      dist[s] = 0.0;
+      pq.emplace(0.0, s);
+    }
+    while (!pq.empty()) {
+      auto [d, u] = pq.top();
+      pq.pop();
+      if (d > dist[u]) continue;
+      const int64_t uz = u / (Y * X), uy = (u / X) % Y, ux = u % X;
+      for (const auto& st : steps) {
+        const int64_t vz = uz + st.dz, vy = uy + st.dy, vx = ux + st.dx;
+        if (vz < 0 || vz >= Z || vy < 0 || vy >= Y || vx < 0 || vx >= X)
+          continue;
+        const int64_t v = idx3(vz, vy, vx, Y, X);
+        if (!mask[v]) continue;
+        const double nd = d + st.len * penalty(v);
+        if (nd < dist[v]) {
+          dist[v] = nd;
+          parent[v] = u;
+          pq.emplace(nd, v);
+        }
+      }
+    }
+  };
+
+  auto farthest_free = [&]() {
+    int64_t best = -1;
+    double bd = -1.0;
+    for (int64_t i = 0; i < n; ++i)
+      if (mask[i] && state[i] == 0 && dist[i] < INF && dist[i] > bd) {
+        bd = dist[i];
+        best = i;
+      }
+    return best;
+  };
+
+  // root: geodesic-farthest voxel from an arbitrary seed
+  dijkstra({first});
+  int64_t root = farthest_free();
+  if (root < 0) root = first;
+
+  int64_t n_nodes = 0, n_edges = 0;
+  auto add_node = [&](int64_t v) -> int64_t {
+    if (node_id[v] >= 0) return node_id[v];
+    if (n_nodes >= node_cap) return -1;
+    nodes_out[n_nodes * 3 + 0] = (double)(v / (Y * X));
+    nodes_out[n_nodes * 3 + 1] = (double)((v / X) % Y);
+    nodes_out[n_nodes * 3 + 2] = (double)(v % X);
+    node_id[v] = n_nodes;
+    return n_nodes++;
+  };
+
+  auto invalidate_around = [&](int64_t v) {
+    const double r = scale * (double)dbf[v] + const_r;
+    const int64_t vz = v / (Y * X), vy = (v / X) % Y, vx = v % X;
+    const int64_t rz = (int64_t)std::ceil(r / std::max(az, 1e-9));
+    const int64_t ry = (int64_t)std::ceil(r / std::max(ay, 1e-9));
+    const int64_t rx = (int64_t)std::ceil(r / std::max(ax, 1e-9));
+    for (int64_t z = std::max<int64_t>(0, vz - rz); z <= std::min(Z - 1, vz + rz); ++z)
+      for (int64_t y = std::max<int64_t>(0, vy - ry); y <= std::min(Y - 1, vy + ry); ++y)
+        for (int64_t x = std::max<int64_t>(0, vx - rx); x <= std::min(X - 1, vx + rx); ++x) {
+          const double dz = (z - vz) * az, dy = (y - vy) * ay, dx = (x - vx) * ax;
+          if (dz * dz + dy * dy + dx * dx > r * r) continue;
+          const int64_t i = idx3(z, y, x, Y, X);
+          if (mask[i] && state[i] == 0) state[i] = 1;
+        }
+  };
+
+  state[root] = 2;
+  if (add_node(root) < 0) return -1;
+  invalidate_around(root);
+  std::vector<int64_t> skeleton_voxels{root};
+
+  for (int64_t path = 0; path < max_paths; ++path) {
+    dijkstra(skeleton_voxels);
+    int64_t target = farthest_free();
+    if (target < 0) break;
+    // trace back to the existing skeleton, collecting the branch
+    std::vector<int64_t> branch;
+    for (int64_t v = target; v >= 0 && state[v] != 2; v = parent[v])
+      branch.push_back(v);
+    // connection voxel (first skeleton voxel on the path, if any)
+    int64_t attach = branch.empty() ? root : parent[branch.back()];
+    std::reverse(branch.begin(), branch.end());
+    int64_t prev_id = attach >= 0 ? node_id[attach] : node_id[root];
+    for (int64_t v : branch) {
+      const int64_t nid = add_node(v);
+      if (nid < 0) return -1;
+      if (prev_id >= 0 && prev_id != nid) {
+        if (n_edges >= edge_cap) return -1;
+        edges_out[n_edges * 2 + 0] = prev_id;
+        edges_out[n_edges * 2 + 1] = nid;
+        ++n_edges;
+      }
+      prev_id = nid;
+      state[v] = 2;
+      skeleton_voxels.push_back(v);
+      invalidate_around(v);
+    }
+  }
+  *n_edges_out = n_edges;
+  return n_nodes;
 }
 
 }  // extern "C"

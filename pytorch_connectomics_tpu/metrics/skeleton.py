@@ -1,12 +1,15 @@
-"""Skeleton construction from instance volumes — TEASAR-flavored
-approximation used for NERL/skeleton metrics when no precomputed skeletons
-exist.
+"""Skeleton construction from instance volumes for NERL/skeleton metrics.
 
-Reference pipeline uses kimimaro TEASAR (``metrics/skeleton_build.py``,
-``data/processing/distance.py:509``); here: subsample instance voxels on a
-stride grid, connect k-nearest neighbours weighted by euclidean distance
-penalized away from the EDT ridge, and keep the minimum spanning tree. This
-captures run-length topology for tube-like neurons, which is what ERL needs.
+Primary path: a native TEASAR (Sato et al. 2000, kimimaro-style rolling-ball
+invalidation and boundary-penalized Dijkstra paths) in C++
+(``csrc/pytc_ops.cpp::teasar_skeleton``) — the kimimaro equivalent the
+reference pipeline uses (``metrics/skeleton_build.py``,
+``data/processing/distance.py:509``).
+
+Fallback (no native lib): subsample instance voxels on a stride grid,
+connect k-nearest neighbours weighted by euclidean distance penalized away
+from the EDT ridge, and keep the minimum spanning tree — captures
+run-length topology, which is what ERL needs.
 """
 
 from __future__ import annotations
@@ -37,12 +40,27 @@ def skeletonize_instance(
     stride: Sequence[int] = (2, 4, 4),
     anisotropy: Sequence[float] = (1.0, 1.0, 1.0),
     max_nodes: int = 2000,
+    method: str = "teasar",
 ) -> Optional[Skeleton]:
-    """Binary mask -> approximate centerline skeleton (MST over ridge-biased
-    subsamples)."""
+    """Binary mask -> centerline skeleton. ``method='teasar'`` uses the
+    native C++ TEASAR (bbox-cropped); ``'mst'`` forces the subsample-MST
+    approximation."""
     coords = np.argwhere(mask)
     if coords.shape[0] == 0:
         return None
+    if method == "teasar":
+        try:
+            from ..ops.native import teasar_skeleton
+
+            obj = ndimage.find_objects(mask.astype(np.uint8))[0]
+            crop = np.ascontiguousarray(mask[obj])
+            nodes, edges = teasar_skeleton(crop, anisotropy=anisotropy)
+            if len(nodes) == 0:
+                return None
+            offset = np.array([s.start for s in obj], np.float64)
+            return Skeleton(nodes + offset, edges.astype(np.int64))
+        except RuntimeError:
+            pass  # no native lib: fall through to the MST approximation
     # stride-grid subsample, preferring high-EDT (central) voxels per cell
     d = ndimage.distance_transform_edt(mask, sampling=anisotropy)
     cell = (coords // np.asarray(stride)).astype(np.int64)
@@ -88,6 +106,7 @@ def skeletonize_volume(
     stride: Sequence[int] = (2, 4, 4),
     anisotropy: Sequence[float] = (1.0, 1.0, 1.0),
     min_voxels: int = 50,
+    method: str = "teasar",
 ) -> Dict[int, Skeleton]:
     """Instance volume -> {id: Skeleton} (kimimaro.skeletonize equivalent)."""
     out: Dict[int, Skeleton] = {}
@@ -97,7 +116,7 @@ def skeletonize_volume(
         m = labels == iid
         if m.sum() < min_voxels:
             continue
-        sk = skeletonize_instance(m, stride, anisotropy)
+        sk = skeletonize_instance(m, stride, anisotropy, method=method)
         if sk is not None and len(sk.edges):
             out[int(iid)] = sk
     return out

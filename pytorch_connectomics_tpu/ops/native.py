@@ -95,6 +95,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.binary_morph.argtypes = [u8p, i64, i64, i64, ctypes.c_int, ctypes.c_int, u8p]
     lib.edt_multilabel.restype = None
     lib.edt_multilabel.argtypes = [u32p, i64, i64, i64, f32, f32, f32, f32p]
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    d = ctypes.c_double
+    lib.teasar_skeleton.restype = i64
+    lib.teasar_skeleton.argtypes = [
+        u8p, f32p, i64, i64, i64, d, d, d, d, d, d, i64,
+        f64p, i64p, i64, i64, ctypes.POINTER(ctypes.c_int64),
+    ]
     _lib = lib
     return _lib
 
@@ -296,3 +303,43 @@ def edt(labels: np.ndarray, anisotropy: Sequence[float] = (1.0, 1.0, 1.0)) -> np
         m = labels == iid
         out[m] = ndimage.distance_transform_edt(m, sampling=anisotropy)[m]
     return out
+
+
+def teasar_skeleton(
+    mask: np.ndarray,
+    anisotropy: Sequence[float] = (1.0, 1.0, 1.0),
+    scale: float = 1.5,
+    const_r: float = 2.0,
+    penalty_scale: float = 5000.0,
+    max_paths: int = 256,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """TEASAR centerline skeleton of one binary instance (kimimaro
+    equivalent; Sato et al. 2000). Returns (nodes (N,3) float64 zyx voxel
+    coords, edges (M,2) int64)."""
+    import ctypes as _ct
+
+    from scipy import ndimage as _ndi
+
+    # 1-voxel zero border: the boundary distance field must see background
+    # even when the mask fills its bbox (a borderless all-true EDT explodes
+    # and the invalidation ball swallows the whole instance)
+    m = np.pad(np.ascontiguousarray(mask.astype(np.uint8)), 1)
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("teasar_skeleton requires the native ops library")
+    dbf = np.ascontiguousarray(
+        _ndi.distance_transform_edt(m, sampling=anisotropy).astype(np.float32)
+    )
+    node_cap = int(m.sum()) + 1
+    nodes = np.empty((node_cap, 3), np.float64)
+    edges = np.empty((node_cap, 2), np.int64)
+    n_edges = _ct.c_int64(0)
+    az, ay, ax = (float(a) for a in anisotropy)
+    n = lib.teasar_skeleton(
+        m, dbf, *m.shape, az, ay, ax, float(scale), float(const_r),
+        float(penalty_scale), int(max_paths), nodes, edges,
+        node_cap, node_cap, _ct.byref(n_edges),
+    )
+    if n < 0:
+        raise RuntimeError("teasar_skeleton: output capacity exceeded")
+    return nodes[:n] - 1.0, edges[: n_edges.value].copy()
