@@ -41,13 +41,16 @@ class MedNeXtBlock(nn.Module):
     out_features: Optional[int] = None
     stride: int = 1
     transpose: bool = False
+    # 2-D mode (reference mednext dim='2d'): in-plane kernels/strides only,
+    # so z stays untouched on 2-D stacks
+    two_d: bool = False
 
     @nn.compact
     def __call__(self, x):
         cin = x.shape[-1]
         cout = self.out_features or self.features
-        k = (self.kernel,) * 3
-        s = (self.stride,) * 3
+        k = (1, self.kernel, self.kernel) if self.two_d else (self.kernel,) * 3
+        s = (1, self.stride, self.stride) if self.two_d else (self.stride,) * 3
         if self.transpose:
             y = nn.ConvTranspose(
                 cin, kernel_size=k, strides=s, padding="SAME", dtype=self.dtype,
@@ -79,13 +82,15 @@ class _Stage(nn.Module):
     norm: str
     dtype: Any
     remat: bool = False
+    two_d: bool = False
 
     @nn.compact
     def __call__(self, x):
         block_cls = nn.remat(MedNeXtBlock) if self.remat else MedNeXtBlock
         for _ in range(self.num_blocks):
             x = block_cls(
-                self.features, self.exp_ratio, self.kernel, self.norm, self.dtype
+                self.features, self.exp_ratio, self.kernel, self.norm, self.dtype,
+                two_d=self.two_d,
             )(x)
         return x
 
@@ -100,12 +105,16 @@ class MedNeXtTaskHead(nn.Module):
     kernel: int = 3
     norm: str = "group"
     dtype: Any = jnp.bfloat16
+    two_d: bool = False
 
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
         for _ in range(self.num_blocks):
-            x = MedNeXtBlock(c, self.exp_ratio, self.kernel, self.norm, self.dtype)(x)
+            x = MedNeXtBlock(
+                c, self.exp_ratio, self.kernel, self.norm, self.dtype,
+                two_d=self.two_d,
+            )(x)
         return nn.Conv(self.out_channels, (1, 1, 1), dtype=jnp.float32)(x)
 
 
@@ -121,6 +130,7 @@ class MedNeXt(nn.Module):
     dtype: Any = jnp.bfloat16
     remat: bool = False
     heads: Optional[Tuple[Tuple[str, int, int], ...]] = None  # (name, out_ch, blocks)
+    two_d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -131,31 +141,32 @@ class MedNeXt(nn.Module):
         skips = []
         # encoder stages 0..3
         for i in range(4):
-            x = _Stage(C * 2**i, B[i], R[i], self.kernel, self.norm, self.dtype, self.remat)(x)
+            x = _Stage(C * 2**i, B[i], R[i], self.kernel, self.norm, self.dtype, self.remat, self.two_d)(x)
             skips.append(x)
             x = MedNeXtBlock(
                 C * 2**i, R[i], self.kernel, self.norm, self.dtype,
-                out_features=C * 2 ** (i + 1), stride=2,
+                out_features=C * 2 ** (i + 1), stride=2, two_d=self.two_d,
             )(x)
         # bottleneck
-        x = _Stage(C * 16, B[4], R[4], self.kernel, self.norm, self.dtype, self.remat)(x)
+        x = _Stage(C * 16, B[4], R[4], self.kernel, self.norm, self.dtype, self.remat, self.two_d)(x)
         ds: List[Any] = []
         # decoder stages 5..8
         for j in range(4):
             i = 3 - j
             x = MedNeXtBlock(
                 C * 2 ** (i + 1), R[5 + j], self.kernel, self.norm, self.dtype,
-                out_features=C * 2**i, stride=2, transpose=True,
+                out_features=C * 2**i, stride=2, transpose=True, two_d=self.two_d,
             )(x)
             x = x + skips[i]
-            x = _Stage(C * 2**i, B[5 + j], R[5 + j], self.kernel, self.norm, self.dtype, self.remat)(x)
+            x = _Stage(C * 2**i, B[5 + j], R[5 + j], self.kernel, self.norm, self.dtype, self.remat, self.two_d)(x)
             if self.deep_supervision and i > 0:
                 ds.append(nn.Conv(self.out_channels, (1, 1, 1), dtype=jnp.float32, name=f"ds_head_{i}")(x))
         if self.heads:
             outputs: Dict[str, Any] = {}
             for name, out_ch, nblocks in self.heads:
                 outputs[name] = MedNeXtTaskHead(
-                    out_ch, nblocks, 2, self.kernel, self.norm, self.dtype, name=f"head_{name}"
+                    out_ch, nblocks, 2, self.kernel, self.norm, self.dtype,
+                    two_d=self.two_d, name=f"head_{name}"
                 )(x)
             if self.deep_supervision:
                 for k, d in enumerate(reversed(ds)):
@@ -196,6 +207,7 @@ def build_mednext(model_cfg):
         norm=m.norm_type,
         deep_supervision=bool(ds),
         dtype=jnp.dtype(model_cfg.compute_dtype),
+        two_d=(str(m.dim).lower() == "2d"),
         remat=(m.checkpoint_style == "outside_block"),
         heads=heads,
     )

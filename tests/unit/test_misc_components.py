@@ -240,3 +240,28 @@ def test_nnunet_separate_z_rules():
     out = resample_volume(lbl, (1, 1, 8), (1, 1, 4), is_label=True)
     assert out.shape == (8, 8, 12)
     assert set(np.unique(out)) <= {0, 7}
+
+
+def test_mednext_2d_mode():
+    """dim='2d': in-plane kernels/strides only; z survives the U (reference
+    mednext dim='2d' for 2-D stacks like CEM-MitoLab)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_connectomics_tpu.config.schema import ModelConfig, build_dataclass
+    from pytorch_connectomics_tpu.models import build_model, init_model
+
+    cfg = build_dataclass(
+        ModelConfig,
+        {"arch": {"type": "mednext"}, "in_channels": 1, "out_channels": 3,
+         "input_size": [1, 32, 32],
+         "mednext": {"size": "S", "kernel_size": 3, "dim": "2d"},
+         "loss": {"losses": [{"function": "DiceLoss"}]},
+         "compute_dtype": "float32"},
+    )
+    model = build_model(cfg)
+    v = init_model(model, cfg, jax.random.PRNGKey(0))
+    out = model.apply(v, jnp.zeros((1, 1, 32, 32, 1)))
+    assert out.shape == (1, 1, 32, 32, 3)
+    k = v["params"]["_Stage_0"]["MedNeXtBlock_0"]["Conv_0"]["kernel"]
+    assert k.shape[:3] == (1, 3, 3)  # in-plane depthwise kernel
