@@ -1,0 +1,125 @@
+"""Behavior-level coverage for previously thin areas: abiss param export,
+prediction-cache validation against hash changes, decode-only loading,
+experiment-log directions, and UpKern transfer."""
+
+import json
+
+import numpy as np
+import pytest
+
+
+def test_abiss_params_and_export(tmp_path):
+    from pytorch_connectomics_tpu.runtime.abiss_bridge import (
+        export_affinity_for_abiss,
+        write_abiss_params,
+    )
+
+    aff = np.random.default_rng(0).random((3, 8, 16, 16)).astype(np.float32)
+    path = export_affinity_for_abiss(aff, tmp_path)
+    assert path.exists()
+    pjson = write_abiss_params(
+        tmp_path, path, [[0, 0, 0], [8, 16, 16]], agg_threshold=0.3
+    )
+    params = json.loads(pjson.read_text())
+    assert params["AGG_THRESHOLD"] == 0.3
+    assert params["BBOX"] == [[0, 0, 0], [8, 16, 16]]
+    assert params["AFF_PATH"] == str(path)
+
+
+def test_prediction_cache_hash_invalidation(tmp_path):
+    from pytorch_connectomics_tpu.inference.output import (
+        save_prediction,
+        validate_prediction_cache,
+    )
+
+    pred = np.random.default_rng(1).random((2, 4, 8, 8)).astype(np.float32)
+    p = tmp_path / "vol_prediction.h5"
+    save_prediction(p, pred, "hash-A", "ckpt", "tag")
+    assert validate_prediction_cache(p, "hash-A")
+    # a config change must invalidate the cache
+    assert not validate_prediction_cache(p, "hash-B")
+    assert not validate_prediction_cache(tmp_path / "missing.h5", "hash-A")
+
+
+def test_decode_only_pipeline_loads_external_prediction(tmp_path):
+    """decoding.load_prediction_path: full test pipeline with no model
+    inference (reference waterz_decoding.yaml)."""
+    import h5py
+    import jax
+
+    from pytorch_connectomics_tpu.config import load_config
+    from pytorch_connectomics_tpu.models import build_model, init_model
+    from pytorch_connectomics_tpu.runtime.test_pipeline import run_test_pipeline
+
+    # affinity prediction with two blobs + gt
+    aff = np.zeros((3, 8, 16, 16), np.float32)
+    aff[:, 1:7, 2:7, 2:14] = 0.95
+    aff[:, 1:7, 9:14, 2:14] = 0.95
+    gt = np.zeros((8, 16, 16), np.uint32)
+    gt[1:7, 2:7, 2:14] = 1
+    gt[1:7, 9:14, 2:14] = 2
+    with h5py.File(tmp_path / "aff.h5", "w") as f:
+        f["main"] = aff
+    with h5py.File(tmp_path / "gt.h5", "w") as f:
+        f["main"] = gt
+    cfg = load_config("tutorials/waterz_decoding.yaml", mode="test")
+    cfg.decoding.load_prediction_path = str(tmp_path / "aff.h5")
+    cfg.data.test.label = str(tmp_path / "gt.h5")
+    cfg.data.test.resolution = None
+    model = build_model(cfg.model)
+    params = init_model(model, cfg.model, jax.random.PRNGKey(0))
+    metrics = run_test_pipeline(cfg, model, params, tmp_path / "out")
+    (vol_metrics,) = metrics.values()
+    assert vol_metrics["adapted_rand"] < 0.05  # near-perfect decode
+    # decoded artifact carries the decode-recipe tag
+    decoded = list((tmp_path / "out").glob("*decoded*"))
+    assert decoded and "waterz" in decoded[0].name
+
+
+def test_experiment_log_directions(tmp_path):
+    from pytorch_connectomics_tpu.decoding.experiment_log import ExperimentLog
+
+    log = ExperimentLog(tmp_path / "e.jsonl")
+    log.append("decode", "h1", {"t": 0.3}, {"adapted_rand": 0.4, "nerl": 0.5})
+    log.append("decode", "h1", {"t": 0.6}, {"adapted_rand": 0.2, "nerl": 0.8})
+    log.append("decode", "h2", {"t": 0.9}, {"adapted_rand": 0.7, "nerl": 0.2})
+    assert log.best("adapted_rand")["params"]["t"] == 0.6  # minimized
+    # reload from disk
+    log2 = ExperimentLog(tmp_path / "e.jsonl")
+    assert len(log2.entries()) == 3
+
+
+def test_upkern_weight_inflation():
+    """UpKern kernel 3->5 transfer (reference mednext_models.py:487)."""
+    import jax
+
+    from pytorch_connectomics_tpu.config.schema import ModelConfig, build_dataclass
+    from pytorch_connectomics_tpu.models import build_model, init_model
+    from pytorch_connectomics_tpu.training.model_weights import upkern_transfer
+
+    def make(k):
+        cfg = build_dataclass(
+            ModelConfig,
+            {"arch": {"type": "mednext"}, "in_channels": 1, "out_channels": 1,
+             "input_size": [16, 16, 16],
+             "mednext": {"size": "S", "kernel_size": k},
+             "loss": {"losses": [{"function": "DiceLoss"}]},
+             "compute_dtype": "float32"},
+        )
+        model = build_model(cfg)
+        return model, init_model(model, cfg, jax.random.PRNGKey(0))
+
+    _, v3 = make(3)
+    _, v5 = make(5)
+    inflated, stats = upkern_transfer(v5["params"], v3["params"])
+    assert stats["inflated"] > 0 and stats["copied"] > 0
+    k3 = np.asarray(v3["params"]["_Stage_0"]["MedNeXtBlock_0"]["Conv_0"]["kernel"])
+    k5 = np.asarray(inflated["_Stage_0"]["MedNeXtBlock_0"]["Conv_0"]["kernel"])
+    assert k5.shape[:3] == (5, 5, 5)
+    # the inflated kernel is a trilinear resize of the 3^3 source: the
+    # center tap is preserved exactly
+    np.testing.assert_allclose(k5[2, 2, 2], k3[1, 1, 1], rtol=1e-5)
+    # pointwise convs (same shape in both models) copy verbatim
+    p3 = np.asarray(v3["params"]["_Stage_0"]["MedNeXtBlock_0"]["Conv_1"]["kernel"])
+    p5 = np.asarray(inflated["_Stage_0"]["MedNeXtBlock_0"]["Conv_1"]["kernel"])
+    np.testing.assert_array_equal(p3, p5)
