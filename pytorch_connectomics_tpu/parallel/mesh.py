@@ -30,7 +30,12 @@ def make_mesh(mesh_axes: Optional[Dict[str, int]] = None, devices=None) -> Mesh:
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Shard leading (batch) dim over the data axis, replicate the rest."""
+    """Shard leading (batch) dim over the data axis; when the mesh also has
+    a ``space`` axis, shard the z (dim 1) spatially — GSPMD inserts conv
+    halo exchanges automatically (spatial partitioning; the TPU-native
+    answer to activation-memory-bound 3-D patches)."""
+    if "space" in mesh.axis_names:
+        return NamedSharding(mesh, P(axis, "space"))
     return NamedSharding(mesh, P(axis))
 
 

@@ -92,3 +92,60 @@ def test_shard_batch_single_host_mesh():
     out = shard_batch(batch, mesh)
     assert out["image"].shape == batch["image"].shape
     np.testing.assert_array_equal(np.asarray(out["image"]), batch["image"])
+
+
+def test_spatial_partitioned_train_step_matches_dp():
+    """DP x space mesh (z sharded; GSPMD conv halo exchange) computes the
+    same loss as pure DP on the same batch."""
+    import jax
+    import numpy as np
+
+    from pytorch_connectomics_tpu.config.schema import (
+        ModelConfig,
+        OptimizationConfig,
+        build_dataclass,
+    )
+    from pytorch_connectomics_tpu.losses.orchestrator import LossOrchestrator
+    from pytorch_connectomics_tpu.models import build_model, init_model
+    from pytorch_connectomics_tpu.parallel.mesh import (
+        make_mesh,
+        replicated,
+        shard_batch,
+    )
+    from pytorch_connectomics_tpu.training.optim import build_optimizer
+    from pytorch_connectomics_tpu.training.state import (
+        create_train_state,
+        make_train_step,
+    )
+
+    cfg = build_dataclass(
+        ModelConfig,
+        {"arch": {"type": "mednext"}, "in_channels": 1, "out_channels": 1,
+         "input_size": [16, 16, 16],
+         "mednext": {"size": "custom", "base_channels": 8, "exp_ratio": 2,
+                      "block_counts": [1] * 9},
+         "loss": {"losses": [{"function": "DiceLoss", "kwargs": {"sigmoid": True}}]},
+         "compute_dtype": "float32"},
+    )
+    model = build_model(cfg)
+    variables = init_model(model, cfg, jax.random.PRNGKey(0))
+    opt = build_dataclass(OptimizationConfig, {"optimizer": {"name": "AdamW", "lr": 1e-3}})
+    tx, _ = build_optimizer(opt, 10)
+    orch = LossOrchestrator(cfg.loss)
+    step = jax.jit(make_train_step(model.apply, orch, tx))
+    rng = np.random.default_rng(0)
+    img = rng.random((2, 16, 16, 16, 1)).astype(np.float32)
+    lbl = (rng.random((2, 16, 16, 16, 1)) > 0.5).astype(np.float32)
+
+    losses = {}
+    for axes in ({"data": 2}, {"data": 2, "space": 4}):
+        mesh = make_mesh(axes)
+        state = jax.device_put(
+            create_train_state(jax.tree.map(np.asarray, variables["params"]), tx),
+            replicated(mesh),
+        )
+        batch = shard_batch({"image": img, "label": lbl}, mesh)
+        _, logs = step(state, batch)
+        losses[tuple(axes)] = float(logs["loss_total"])
+    vals = list(losses.values())
+    assert abs(vals[0] - vals[1]) < 1e-5, losses
