@@ -35,3 +35,9 @@ native:
 # benchmark sliding-window throughput on the local chip
 bench:
     python bench.py
+
+# full-pipeline quality benchmark on the attached accelerator:
+# on-device synthetic EM task -> train MedNeXt-S -> sliding-window + flip-TTA
+# -> Jaccard (appends to QUALITY.md; tracked round-over-round vs Lucchi++ 0.935)
+quality *args:
+    {{args}} python scripts/quality_benchmark.py
