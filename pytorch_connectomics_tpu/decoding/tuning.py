@@ -135,6 +135,70 @@ class SearchSpace:
         return [dict(combo) for combo in itertools.product(*axes)]
 
 
+class TrialPruned(Exception):
+    """Raised inside an objective by the pruning callback."""
+
+
+class MedianPruner:
+    """Median pruning over intermediate reports (reference MedianPruner via
+    ``optuna_tuner.py:1033``): a trial whose running value is worse than the
+    median of previous trials' values at the same report step is cut."""
+
+    def __init__(self, n_warmup_trials: int = 4, n_warmup_steps: int = 0):
+        self.n_warmup_trials = n_warmup_trials
+        self.n_warmup_steps = n_warmup_steps
+        self._history: Dict[int, List[float]] = {}  # step -> signed values
+
+    def record(self, step: int, signed_value: float):
+        self._history.setdefault(step, []).append(signed_value)
+
+    def should_prune(self, step: int, signed_value: float) -> bool:
+        past = self._history.get(step, [])
+        if step < self.n_warmup_steps or len(past) < self.n_warmup_trials:
+            return False
+        return signed_value > float(np.median(past))  # signed: smaller better
+
+
+class CmaEsSampler:
+    """Diagonal evolution-strategy sampler of the CMA family (sequential
+    (mu, lambda)-ES with per-dimension step sizes; the full-covariance
+    Optuna CmaEs is overkill for <=4 decode params)."""
+
+    def __init__(self, space: SearchSpace, seed: int = 0, population: int = 8, mu: int = 3):
+        self.space = space
+        self.rng = np.random.default_rng(seed)
+        self.population = population
+        self.mu = mu
+        self._float_params = [p for p in space.params if p.type in ("float", "int")]
+        self.mean = {p.name: (p.low + p.high) / 2.0 for p in self._float_params}
+        self.sigma = {p.name: (p.high - p.low) / 4.0 for p in self._float_params}
+
+    def suggest(self, history: List["Trial"], minimize: bool = True) -> Dict[str, Any]:
+        done = [t for t in history if t.state == "complete" and t.value is not None]
+        gen = len(done) // self.population
+        if gen > 0 and len(done) % self.population == 0:
+            # update from the last generation's elite
+            last = done[-self.population:]
+            key = (lambda t: t.value) if minimize else (lambda t: -t.value)
+            elite = sorted(last, key=key)[: self.mu]
+            for p in self._float_params:
+                vals = np.array([float(t.params[p.name]) for t in elite])
+                new_mean = vals.mean()
+                spread = max(vals.std(), 1e-12)
+                self.sigma[p.name] = 0.5 * self.sigma[p.name] + 0.5 * max(
+                    spread, (p.high - p.low) * 0.01
+                )
+                self.mean[p.name] = new_mean
+        out = self.space.sample_random(self.rng)  # categoricals + fallback
+        for p in self._float_params:
+            v = self.rng.normal(self.mean[p.name], self.sigma[p.name])
+            v = float(min(max(v, p.low), p.high))
+            if p.step:
+                v = round(v / p.step) * p.step
+            out[p.name] = int(round(v)) if p.type == "int" else v
+        return out
+
+
 class TPESampler:
     """Tree-structured Parzen estimator (two-density l/g ratio)."""
 
@@ -244,10 +308,15 @@ class DecodingTuner:
         self.signs = _signs(self.metrics, cfg.directions if cfg.metrics else [cfg.direction])
         self.minimize = self.signs[0] > 0
         self.trials: List[Trial] = []
-        self._sampler = TPESampler(self.space, seed=cfg.seed) if cfg.sampler == "tpe" else None
+        self._sampler = None
+        if cfg.sampler == "tpe":
+            self._sampler = TPESampler(self.space, seed=cfg.seed)
+        elif cfg.sampler == "cmaes":
+            self._sampler = CmaEsSampler(self.space, seed=cfg.seed)
         self._grid: Optional[List[Dict[str, Any]]] = (
             self.space.grid() if cfg.sampler == "grid" else None
         )
+        self._pruner = MedianPruner() if (cfg.pruner or "").lower() == "median" else None
         self._rng = np.random.default_rng(cfg.seed)
 
     def _suggest(self, i: int) -> Optional[Dict[str, Any]]:
@@ -310,15 +379,38 @@ class DecodingTuner:
         n = n_trials or self.cfg.n_trials
         if self._grid is not None:
             n = min(n, len(self._grid))
+        import inspect
+
+        takes_report = (
+            not self.cfg.timeout_per_trial
+            and "report" in inspect.signature(self.objective).parameters
+        )
         for i in range(n):
             params = self._suggest(i)
             if params is None:
                 break
             trial = Trial(number=i, params=params)
             t0 = time.time()
+
+            def report(step: int, value: float):
+                """Intermediate-value hook: feeds the pruner (reference
+                trial.report + MedianPruner)."""
+                if self._pruner is None:
+                    return
+                signed = self.signs[0] * float(value)
+                if self._pruner.should_prune(step, signed):
+                    raise TrialPruned(f"step {step}: {value} worse than median")
+                self._pruner.record(step, signed)
+
             try:
-                self._record(trial, self._run_objective(params))
+                if takes_report:
+                    self._record(trial, self.objective(params, report=report))
+                else:
+                    self._record(trial, self._run_objective(params))
                 trial.state = "complete"
+            except TrialPruned as e:
+                trial.state = "pruned"
+                logger.info("trial %d pruned: %s", i, e)
             except Exception as e:
                 trial.state = "failed"
                 bad = [math.inf if s > 0 else -math.inf for s in self.signs]
@@ -434,6 +526,33 @@ def make_decode_objective(
     return objective
 
 
+def make_multi_volume_objective(
+    pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
+    decoding_cfg_dict: Dict[str, Any],
+    metric: "str | Sequence[str]" = "adapted_rand",
+) -> Callable[..., Any]:
+    """Average the metric over (prediction, gt) volume pairs — each volume
+    decoded independently to avoid instance-id collisions (reference
+    ``optuna_tuner.py`` per-volume evaluation). Reports the running mean
+    after each volume so a Median pruner can cut hopeless trials early."""
+    metrics = [metric] if isinstance(metric, str) else list(metric)
+    single = [
+        make_decode_objective(p, g, decoding_cfg_dict, metrics) for p, g in pairs
+    ]
+
+    def objective(params: Dict[str, Any], report: Optional[Callable] = None):
+        acc = np.zeros(len(metrics), np.float64)
+        for k, obj in enumerate(single):
+            vals = obj(params)
+            acc += np.atleast_1d(np.asarray(vals, np.float64))
+            if report is not None and len(single) > 1:
+                report(k, float(acc[0] / (k + 1)))
+        mean = acc / len(single)
+        return float(mean[0]) if len(metrics) == 1 else [float(v) for v in mean]
+
+    return objective
+
+
 def find_waterz_step(decoding_cfg_dict: Dict[str, Any]) -> Optional[int]:
     """Index of the waterz step in the decoding config, or None."""
     for i, step in enumerate(decoding_cfg_dict.get("steps") or []):
@@ -467,6 +586,10 @@ def make_waterz_batch_objective(
     step_idx = find_waterz_step(decoding_cfg_dict)
     if step_idx is None:
         raise ValueError("waterz batch tuning needs a 'waterz' decoding step")
+    # accept a single volume or lists (multi-volume: metric averaged per
+    # threshold across volumes, reference per-volume evaluation)
+    preds = prediction if isinstance(prediction, (list, tuple)) else [prediction]
+    gts = gt if isinstance(gt, (list, tuple)) else [gt]
 
     def objective(params: Dict[str, Any]) -> Tuple[float, Dict[str, Any]]:
         d = copy.deepcopy(decoding_cfg_dict)
@@ -475,18 +598,18 @@ def make_waterz_batch_objective(
         step = build_dataclass(DecodingStepConfig, d["steps"][step_idx])
         kwargs = dict(step.kwargs or {})
         kwargs.pop("threshold", None)
-        pred = np.asarray(prediction, dtype=np.float32)
-        if pred.ndim == 4 and pred.shape[0] > pred.shape[-1]:
-            pass  # already channel-first
-        by_thr = decode_waterz(
-            pred, thresholds=list(batch_thresholds),
-            return_all_thresholds=True, **kwargs,
-        )
         post = build_dataclass(DecodingPostprocessConfig, d.get("postprocessing") or {})
-        per_thr = {}
-        for thr, labels in by_thr.items():
-            seg = apply_postprocessing(labels, post)
-            per_thr[float(thr)] = compute_segmentation_metric(metric, seg, gt)
+        per_thr: Dict[float, float] = {float(t): 0.0 for t in batch_thresholds}
+        for pred_v, gt_v in zip(preds, gts):
+            pred = np.asarray(pred_v, dtype=np.float32)
+            by_thr = decode_waterz(
+                pred, thresholds=list(batch_thresholds),
+                return_all_thresholds=True, **kwargs,
+            )
+            for thr, labels in by_thr.items():
+                seg = apply_postprocessing(labels, post)
+                per_thr[float(thr)] += compute_segmentation_metric(metric, seg, gt_v)
+        per_thr = {t: v / len(preds) for t, v in per_thr.items()}
         best_thr = (min if minimize else max)(per_thr, key=per_thr.get)
         attrs = {
             "best_threshold": float(best_thr),

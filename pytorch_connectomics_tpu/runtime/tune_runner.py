@@ -56,31 +56,45 @@ def run_tuning(
     labels = _as_list(cfg.data.test.label)
     if not labels:
         raise ValueError("tune mode needs data.test.label ground truth")
-    vol_name = volume_name_from_path(images[0])
-    pred = read_volume(str(out_dir / prediction_filename(vol_name, tag)))  # (C,Z,Y,X)
-    gt = read_volume(labels[0])
-    if cfg.data.test.transpose:
-        gt = np.transpose(gt, cfg.data.test.transpose)
+    # every tune volume contributes: metric averaged per trial, each volume
+    # decoded independently (reference per-volume evaluation)
+    pairs = []
+    for image_path, label_path in zip(images, labels):
+        vol_name = volume_name_from_path(image_path)
+        pred = read_volume(str(out_dir / prediction_filename(vol_name, tag)))
+        gt = read_volume(label_path)
+        if cfg.data.test.transpose:
+            gt = np.transpose(gt, cfg.data.test.transpose)
+        pairs.append((pred, gt))
 
     tuning = cfg.decoding.tuning
     decoding_dict = to_dict(cfg.decoding)
     decoding_dict.pop("tuning", None)
-    from ..decoding.tuning import find_waterz_step, make_waterz_batch_objective
+    from ..decoding.tuning import (
+        find_waterz_step,
+        make_multi_volume_objective,
+        make_waterz_batch_objective,
+    )
 
     if tuning.batch_thresholds and find_waterz_step(decoding_dict) is not None:
-        # waterz batch mode: one watershed+RAG per trial sweeps every
-        # merge threshold (reference optuna_tuner.py:1155)
+        # waterz batch mode: one watershed+RAG per trial per volume sweeps
+        # every merge threshold (reference optuna_tuner.py:1155)
         objective = make_waterz_batch_objective(
-            pred, gt, decoding_dict, tuning.metric, tuning.batch_thresholds,
+            [p for p, _ in pairs], [g for _, g in pairs], decoding_dict,
+            tuning.metric, tuning.batch_thresholds,
             minimize=tuning.direction != "maximize",
         )
         logger.info(
-            "waterz batch tuning: sweeping %d thresholds per trial",
-            len(tuning.batch_thresholds),
+            "waterz batch tuning: %d volumes x %d thresholds per trial",
+            len(pairs), len(tuning.batch_thresholds),
+        )
+    elif len(pairs) > 1:
+        objective = make_multi_volume_objective(
+            pairs, decoding_dict, tuning.metrics or tuning.metric
         )
     else:
         objective = make_decode_objective(
-            pred, gt, decoding_dict, tuning.metrics or tuning.metric
+            pairs[0][0], pairs[0][1], decoding_dict, tuning.metrics or tuning.metric
         )
     tuner = DecodingTuner(tuning, objective)
     best = tuner.optimize()

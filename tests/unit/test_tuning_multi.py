@@ -157,3 +157,82 @@ def test_batch_tuner_end_to_end_records_threshold():
     best = tuner.optimize()
     assert "best_threshold" in best.user_attrs
     assert len(best.user_attrs["per_threshold_metric"]) == 5
+
+
+def test_cmaes_sampler_converges():
+    cfg = build_dataclass(
+        TuningConfig,
+        {
+            "n_trials": 48,
+            "sampler": "cmaes",
+            "metric": "adapted_rand",
+            "direction": "minimize",
+            "params": [{"name": "x", "type": "float", "low": 0.0, "high": 1.0}],
+            "seed": 3,
+        },
+    )
+    tuner = DecodingTuner(cfg, lambda p: (p["x"] - 0.3) ** 2)
+    best = tuner.optimize()
+    assert abs(best.params["x"] - 0.3) < 0.1
+
+
+def test_median_pruner_cuts_bad_trials():
+    """Multi-step objectives report running means; trials clearly worse than
+    the median at a step get pruned."""
+    cfg = build_dataclass(
+        TuningConfig,
+        {
+            "n_trials": 20,
+            "sampler": "random",
+            "pruner": "median",
+            "metric": "adapted_rand",
+            "params": [{"name": "x", "type": "float", "low": 0.0, "high": 1.0}],
+            "seed": 0,
+        },
+    )
+
+    def objective(params, report=None):
+        vals = [params["x"], params["x"]]  # two "volumes", value = x
+        acc = 0.0
+        for k, v in enumerate(vals):
+            acc += v
+            if report:
+                report(k, acc / (k + 1))
+        return acc / len(vals)
+
+    tuner = DecodingTuner(cfg, objective)
+    tuner.optimize()
+    states = [t.state for t in tuner.trials]
+    assert "pruned" in states
+    # pruned trials never beat the best completed one
+    assert tuner.best_trial.state == "complete"
+
+
+def test_multi_volume_objective_averages_and_reports():
+    from pytorch_connectomics_tpu.decoding.tuning import make_multi_volume_objective
+
+    aff1, gt1 = _affinity_volume()
+    aff2, gt2 = _affinity_volume()
+    decoding = {"steps": [{"name": "waterz", "kwargs": {"fragment_threshold": 0.5}}],
+                "postprocessing": {}}
+    obj = make_multi_volume_objective([(aff1, gt1), (aff2, gt2)], decoding, "adapted_rand")
+    reports = []
+    v = obj({"steps.0.kwargs.threshold": 0.5}, report=lambda s, val: reports.append((s, val)))
+    assert isinstance(v, float)
+    assert len(reports) == 2  # one running mean per volume
+    # identical volumes -> mean equals the single-volume value
+    single = make_multi_volume_objective([(aff1, gt1)], decoding, "adapted_rand")
+    assert v == pytest.approx(single({"steps.0.kwargs.threshold": 0.5}), abs=1e-9)
+
+
+def test_multi_volume_batch_objective():
+    aff, gt = _affinity_volume()
+    decoding = {"steps": [{"name": "waterz", "kwargs": {}}], "postprocessing": {}}
+    obj = make_waterz_batch_objective(
+        [aff, aff], [gt, gt], decoding, "adapted_rand", [0.3, 0.7]
+    )
+    value, attrs = obj({})
+    single = make_waterz_batch_objective(aff, gt, decoding, "adapted_rand", [0.3, 0.7])
+    v1, attrs1 = single({})
+    assert value == pytest.approx(v1, abs=1e-9)  # identical volumes average to the same
+    assert attrs["per_threshold_metric"] == attrs1["per_threshold_metric"]
