@@ -8,9 +8,12 @@ from .output_naming import (  # noqa: F401
     volume_name_from_path,
 )
 from .sharding import (  # noqa: F401
+    ShardPlan,
     assign_volumes_to_ranks,
     detect_rank_world,
     effective_devices_for_volumes,
+    is_chunked_raw_inference,
+    plan_test_sharding,
     shard_paths,
 )
 from .test_pipeline import run_test_pipeline  # noqa: F401

@@ -64,18 +64,24 @@ def run_test_pipeline(
     out_dir.mkdir(parents=True, exist_ok=True)
     images = _as_list(cfg.data.test.image)
     labels = _as_list(cfg.data.test.label)
-    if cfg.system.shard_id is not None:
-        images = shard_paths(images, cfg.system.shard_id, cfg.system.num_shards)
-    else:
-        # multi-process runs (RANK/SLURM_PROCID env): disjoint per-rank volume
-        # assignment (reference DistributedEvaluationSampler, data.py:234)
-        from .sharding import assign_volumes_to_ranks, detect_rank_world
+    # resolve the sharding mode (explicit args / launcher env / chunk grid)
+    # through the decision engine (reference runtime/sharding.py:35-300)
+    from .sharding import plan_test_sharding
 
-        rank, world = detect_rank_world()
-        if world > 1:
-            paired = assign_volumes_to_ranks(list(zip(images, labels + [None] * len(images))), rank, world)
-            images = [p[0] for p in paired]
-            labels = [p[1] for p in paired if p[1] is not None]
+    plan = plan_test_sharding(cfg, num_volumes=len(images))
+    for note in plan.notes:
+        logger.info("shard plan: %s", note)
+    if plan.empty:
+        return {}
+    if plan.mode == "independent":
+        # shard image+label pairs JOINTLY so ground truth stays aligned
+        paired = list(zip(images, labels + [None] * len(images)))
+        paired = shard_paths(paired, plan.shard_id, plan.num_shards)
+        images = [p[0] for p in paired]
+        labels = [p[1] for p in paired if p[1] is not None]
+    if not plan.tta_sharding:
+        # rank-mixing hazard for multi-volume / independent-shard runs
+        cfg.inference.test_time_augmentation.shard_across_devices = False
     manager = InferenceManager(cfg, model, mesh=mesh)
     cfg_hash = config_hash(cfg)
     tag = prediction_tag(
