@@ -434,6 +434,24 @@ class PreprocessConfig:
 
 
 @dataclass
+class NNUNetPreprocessingConfig:
+    """nnU-Net-style preprocessing: foreground crop, spacing-aware
+    resampling, normalization, and prediction restore
+    (reference ``config/schema/data.py:139``)."""
+
+    __extra_ok__ = True
+
+    enabled: bool = False
+    crop_to_nonzero: bool = True
+    target_spacing: Optional[List[float]] = None  # (z, y, x)
+    source_spacing: Optional[List[float]] = None  # None -> split resolution
+    normalization: str = "zscore"  # zscore | percentile | none
+    force_separate_z: Optional[bool] = None  # None = auto rule
+    anisotropy_threshold: float = 3.0
+    restore_to_input_space: bool = True
+
+
+@dataclass
 class DataConfig:
     __extra_ok__ = True
 
@@ -444,6 +462,9 @@ class DataConfig:
     augmentation: AugmentationConfig = field(default_factory=AugmentationConfig)
     label_transform: LabelTransformConfig = field(default_factory=LabelTransformConfig)
     preprocessing: PreprocessConfig = field(default_factory=PreprocessConfig)
+    nnunet_preprocessing: NNUNetPreprocessingConfig = field(
+        default_factory=NNUNetPreprocessingConfig
+    )
     split: TrainValSplitConfig = field(default_factory=TrainValSplitConfig)
     base_path: Optional[str] = None
 

@@ -84,7 +84,11 @@ class VolumeDataset:
         transpose: Optional[Sequence[int]] = None,
         label_dtype=np.float32,
         label_aux: Union[str, List[str], None] = None,
+        volume_preprocess=None,
     ):
+        """``volume_preprocess``: optional ``(img, lbl) -> (img, lbl, rec)``
+        hook applied after transpose, before normalization (nnU-Net-style
+        crop/resample, reference ``data_factory.py`` transform wiring)."""
         self.patch_size = tuple(int(p) for p in patch_size)
         self.reject = reject or RejectConfig()
         self.label_dtype = label_dtype
@@ -100,13 +104,19 @@ class VolumeDataset:
             img = read_volume(ip)
             if transpose:
                 img = np.transpose(img, transpose)
-            img = normalize_volume(img, normalize)
-            img, _ = pad_to_min_shape(img, self.patch_size, pad_mode)
-            self.images.append(np.ascontiguousarray(img, dtype=np.float32))
+            lbl = None
             if i < len(lbl_paths):
                 lbl = read_volume(lbl_paths[i])
                 if transpose:
                     lbl = np.transpose(lbl, transpose)
+            if volume_preprocess is not None:
+                # hook owns normalization (nnU-Net zscore etc.)
+                img, lbl, _ = volume_preprocess(img, lbl)
+            else:
+                img = normalize_volume(img, normalize)
+            img, _ = pad_to_min_shape(img, self.patch_size, pad_mode)
+            self.images.append(np.ascontiguousarray(img, dtype=np.float32))
+            if lbl is not None:
                 lbl, _ = pad_to_min_shape(lbl, self.patch_size, "constant")
                 self.labels.append(np.ascontiguousarray(lbl))
             else:

@@ -25,6 +25,8 @@ class PreprocessRecord:
     crop_slices: Optional[Tuple] = None
     source_spacing: Optional[Tuple[float, ...]] = None
     target_spacing: Optional[Tuple[float, ...]] = None
+    anisotropy_threshold: float = 3.0
+    force_separate_z: Optional[bool] = None
 
 
 def resolve_separate_z(
@@ -100,8 +102,14 @@ def nnunet_preprocess(
     target_spacing: Optional[Sequence[float]] = None,
     normalization: str = "zscore",
     crop_foreground: bool = True,
+    anisotropy_threshold: float = 3.0,
+    force_separate_z: Optional[bool] = None,
 ) -> Tuple[np.ndarray, Optional[np.ndarray], PreprocessRecord]:
-    rec = PreprocessRecord(original_shape=tuple(image.shape))
+    rec = PreprocessRecord(
+        original_shape=tuple(image.shape),
+        anisotropy_threshold=anisotropy_threshold,
+        force_separate_z=force_separate_z,
+    )
     img = image.astype(np.float32)
     lbl = label
     if crop_foreground:
@@ -113,9 +121,17 @@ def nnunet_preprocess(
     if source_spacing and target_spacing:
         rec.source_spacing = tuple(float(s) for s in source_spacing)
         rec.target_spacing = tuple(float(s) for s in target_spacing)
-        img = resample_volume(img, source_spacing, target_spacing, is_label=False)
+        img = resample_volume(
+            img, source_spacing, target_spacing, is_label=False,
+            separate_z_threshold=anisotropy_threshold,
+            force_separate_z=force_separate_z,
+        )
         if lbl is not None:
-            lbl = resample_volume(lbl, source_spacing, target_spacing, is_label=True)
+            lbl = resample_volume(
+                lbl, source_spacing, target_spacing, is_label=True,
+                separate_z_threshold=anisotropy_threshold,
+                force_separate_z=force_separate_z,
+            )
     if normalization == "zscore":
         img = zscore_normalize(img)
     elif normalization == "percentile":
@@ -123,11 +139,38 @@ def nnunet_preprocess(
     return img, lbl, rec
 
 
+def preprocess_fn_from_config(cfg_block, split_resolution=None):
+    """Build a ``(img, lbl) -> (img, lbl, rec)`` hook from a
+    ``NNUNetPreprocessingConfig`` block, or None when disabled
+    (reference ``data_factory.py`` / ``build.py:161`` transform wiring)."""
+    if cfg_block is None or not cfg_block.enabled:
+        return None
+    src = cfg_block.source_spacing or split_resolution
+
+    def fn(img, lbl=None):
+        return nnunet_preprocess(
+            img,
+            lbl,
+            source_spacing=src,
+            target_spacing=cfg_block.target_spacing,
+            normalization=cfg_block.normalization,
+            crop_foreground=cfg_block.crop_to_nonzero,
+            anisotropy_threshold=cfg_block.anisotropy_threshold,
+            force_separate_z=cfg_block.force_separate_z,
+        )
+
+    return fn
+
+
 def nnunet_restore(pred: np.ndarray, rec: PreprocessRecord, is_label: bool = True) -> np.ndarray:
     """Invert resample + crop so predictions align with the source volume."""
     out = pred
     if rec.source_spacing and rec.target_spacing:
-        out = resample_volume(out, rec.target_spacing, rec.source_spacing, is_label=is_label)
+        out = resample_volume(
+            out, rec.target_spacing, rec.source_spacing, is_label=is_label,
+            separate_z_threshold=rec.anisotropy_threshold,
+            force_separate_z=rec.force_separate_z,
+        )
     if rec.crop_slices is not None and rec.original_shape:
         full = np.zeros(rec.original_shape, out.dtype)
         # resampling can be off by a voxel; clip into the crop region

@@ -48,10 +48,27 @@ def build_dataset(cfg: Config, split_cfg: DatasetSplitConfig, train: bool = True
         patch = tuple(p + 2 * int(c) for p, c in zip(patch, dl.target_context))
     use_cache = dl.use_preloaded_cache_train if train else dl.use_preloaded_cache_val
     reject = _reject_from_cfg(dl.reject_sampling)
+    # nnU-Net-style crop/resample/normalize at volume load (reference
+    # data_factory.py / augmentation/build.py:161 transform wiring)
+    from .nnunet_preprocess import preprocess_fn_from_config
+
+    nn_pre = preprocess_fn_from_config(
+        cfg.data.nnunet_preprocessing, split_resolution=split_cfg.resolution
+    )
     if dl.use_lazy_zarr or not use_cache:
+        if nn_pre is not None:
+            raise ValueError(
+                "data.nnunet_preprocessing requires the cached (in-RAM) dataset; "
+                "disable use_lazy_zarr / enable the preloaded cache"
+            )
         return LazyVolumeDataset(
             split_cfg.image, split_cfg.label, patch,
             normalize=cfg.data.preprocessing.normalize, reject=reject,
+        )
+    if nn_pre is not None and (split_cfg.mask or split_cfg.label_aux):
+        raise ValueError(
+            "data.nnunet_preprocessing does not support mask/label_aux volumes "
+            "(crop/resample would misalign them)"
         )
     return VolumeDataset(
         split_cfg.image,
@@ -62,6 +79,7 @@ def build_dataset(cfg: Config, split_cfg: DatasetSplitConfig, train: bool = True
         reject=reject,
         transpose=split_cfg.transpose,
         label_aux=split_cfg.label_aux,
+        volume_preprocess=nn_pre,
     )
 
 

@@ -108,6 +108,7 @@ def run_test_pipeline(
         t0 = time.time()
 
         prediction = None
+        nn_rec = None
         if ext_pred:
             logger.info("decode-only: loading prediction %s", ext_pred)
             prediction = read_volume(ext_pred)
@@ -153,8 +154,30 @@ def run_test_pipeline(
                 vol = read_volume(image_path)
                 if cfg.data.test.transpose:
                     vol = np.transpose(vol, cfg.data.test.transpose)
-                vol = normalize_volume(vol, cfg.data.preprocessing.normalize)
+                if not cfg.data.nnunet_preprocessing.enabled:
+                    vol = normalize_volume(vol, cfg.data.preprocessing.normalize)
+            if cfg.data.nnunet_preprocessing.enabled:
+                # nnU-Net crop/resample/normalize before inference; the
+                # prediction is restored to input space below (reference
+                # inference/output.py restore wiring)
+                from ..data.nnunet_preprocess import preprocess_fn_from_config
+
+                nn_pre = preprocess_fn_from_config(
+                    cfg.data.nnunet_preprocessing,
+                    split_resolution=cfg.data.test.resolution,
+                )
+                vol, _, nn_rec = nn_pre(vol)
             prediction = manager.predict(params, vol)  # (Z,Y,X,C)
+            if nn_rec is not None and cfg.data.nnunet_preprocessing.restore_to_input_space:
+                from ..data.nnunet_preprocess import nnunet_restore
+
+                prediction = np.stack(
+                    [
+                        nnunet_restore(prediction[..., c], nn_rec, is_label=False)
+                        for c in range(prediction.shape[-1])
+                    ],
+                    axis=-1,
+                )
             if cfg.inference.output.save_raw:
                 stored = np.moveaxis(
                     apply_prediction_transform(prediction, cfg.inference.output), -1, 0

@@ -265,3 +265,87 @@ def test_mednext_2d_mode():
     assert out.shape == (1, 1, 32, 32, 3)
     k = v["params"]["_Stage_0"]["MedNeXtBlock_0"]["Conv_0"]["kernel"]
     assert k.shape[:3] == (1, 3, 3)  # in-plane depthwise kernel
+
+
+def test_nnunet_preprocess_config_wiring(tmp_path):
+    """nnunet_preprocessing config builds a dataset over crop/resampled
+    volumes, and the hook owns normalization (zscore output)."""
+    import h5py
+
+    from pytorch_connectomics_tpu.config.schema import Config, build_dataclass
+    from pytorch_connectomics_tpu.data.pipeline import build_dataset
+
+    img = np.zeros((24, 24, 24), np.float32)
+    img[4:20, 4:20, 4:20] = 100 + 10 * np.random.rand(16, 16, 16)
+    lbl = (img > 100).astype(np.uint8)
+    ip, lp = str(tmp_path / "im.h5"), str(tmp_path / "lb.h5")
+    with h5py.File(ip, "w") as f:
+        f.create_dataset("main", data=img)
+    with h5py.File(lp, "w") as f:
+        f.create_dataset("main", data=lbl)
+
+    cfg = build_dataclass(
+        Config,
+        {
+            "model": {"arch": {"type": "mednext"}},
+            "data": {
+                "train": {"image": ip, "label": lp},
+                "dataloader": {"patch_size": [8, 8, 8]},
+                "nnunet_preprocessing": {
+                    "enabled": True,
+                    "source_spacing": [8, 4, 4],
+                    "target_spacing": [8, 8, 8],
+                },
+            },
+        },
+    )
+    ds = build_dataset(cfg, cfg.data.train, train=True)
+    # foreground crop (16^3) then in-plane downsample by 2 -> (16, 8, 8)
+    assert ds.images[0].shape == (16, 8, 8)
+    # zscore normalization applied by the hook
+    assert abs(float(ds.images[0].mean())) < 1e-3
+    assert ds.labels[0].shape == ds.images[0].shape
+
+
+def test_nnunet_preprocess_lazy_dataset_rejected():
+    from pytorch_connectomics_tpu.config.schema import Config, build_dataclass
+    from pytorch_connectomics_tpu.data.pipeline import build_dataset
+
+    cfg = build_dataclass(
+        Config,
+        {
+            "model": {"arch": {"type": "mednext"}},
+            "data": {
+                "train": {"image": "random://train"},
+                "dataloader": {"use_lazy_zarr": True},
+                "nnunet_preprocessing": {"enabled": True},
+            },
+        },
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="cached"):
+        build_dataset(cfg, cfg.data.train, train=True)
+
+
+def test_nnunet_restore_multichannel_alignment():
+    """Per-channel restore puts predictions back at the source-grid voxels."""
+    from pytorch_connectomics_tpu.data.nnunet_preprocess import (
+        nnunet_preprocess,
+        nnunet_restore,
+    )
+
+    img = np.zeros((12, 20, 20), np.float32)
+    img[2:10, 5:15, 5:15] = 1.0
+    pim, _, rec = nnunet_preprocess(
+        img, source_spacing=(8, 4, 4), target_spacing=(8, 8, 8)
+    )
+    pred = np.stack([np.ones_like(pim), np.zeros_like(pim)], axis=-1)
+    restored = np.stack(
+        [nnunet_restore(pred[..., c], rec, is_label=False) for c in range(2)],
+        axis=-1,
+    )
+    assert restored.shape == img.shape + (2,)
+    # foreground region carries channel-0 ones; outside the crop is zero
+    assert restored[6, 10, 10, 0] == 1.0
+    assert restored[0, 0, 0, 0] == 0.0
