@@ -24,7 +24,17 @@ def main():
         decode_abiss, replay_seuron_provenance)
     kwargs = {"agg_threshold": args.agg_threshold, "workdir": args.workdir}
     if args.provenance:
-        kwargs.update(replay_seuron_provenance(args.provenance, args.workdir))
+        # recorded Seuron params drive the local run (fail-closed mapping)
+        payload = replay_seuron_provenance(args.provenance, args.workdir)
+        kwargs.update(
+            agg_threshold=float(payload["AGG_THRESHOLD"]),
+            ws_high=float(payload["WS_HIGH_THRESHOLD"]),
+            ws_low=float(payload["WS_LOW_THRESHOLD"]),
+            ws_size=int(payload["WS_SIZE_THRESHOLD"]),
+            ws_dust=int(payload["WS_DUST_THRESHOLD"]),
+            chunk_size_xyz=tuple(int(c) for c in payload["CHUNK_SIZE"]),
+            resolution_xyz=tuple(float(r) for r in payload["AFF_RESOLUTION"]),
+        )
     aff = read_volume(args.affinities)
     seg = decode_abiss(aff, abiss_root=args.abiss_root, **kwargs)
     if args.output:

@@ -60,12 +60,47 @@ def test_seuron_provenance_replay(tmp_path):
 
     from pytorch_connectomics_tpu.runtime.abiss_bridge import replay_seuron_provenance
 
-    rec = {"processing": [{"method": {"agg_threshold": 0.25, "size_threshold": 500}}]}
+    seg = {
+        "AFF_PATH": "gs://bucket/aff",
+        "AFF_MIP": 0,
+        "AFF_RESOLUTION": [8, 8, 40],
+        "BBOX": [0, 0, 0, 512, 512, 128],
+        "CHUNK_SIZE": [256, 256, 128],
+        "AGG_THRESHOLD": 0.25,
+        "WS_HIGH_THRESHOLD": 0.99,
+        "WS_LOW_THRESHOLD": 0.01,
+        "WS_SIZE_THRESHOLD": 500,
+        "WS_DUST_THRESHOLD": 500,
+        "REDIS_SERVER": "ignored-infra",
+    }
+    rec = {"processing": [{"method": seg}, {"method": {"downsample": True}}]}
     p = tmp_path / "prov.json"
     p.write_text(json.dumps(rec))
-    params = replay_seuron_provenance(p)
-    assert params["agg_threshold"] == 0.25
-    assert params["ws_size"] == 500
+    params = replay_seuron_provenance(p, workdir=str(tmp_path), name="run1")
+    assert params["AGG_THRESHOLD"] == 0.25
+    assert params["WS_SIZE_THRESHOLD"] == 500
+    assert params["NAME"] == "run1"
+    # fresh local namespace minted for outputs
+    assert params["WS_PATH"].endswith("precomputed/ws/run1")
+    assert params["SEG_PATH"].endswith("precomputed/seg/run1")
+    # infra keys are dropped, not copied
+    assert "REDIS_SERVER" not in params
+
+    # fail-closed: unknown keys rejected
+    bad = dict(seg)
+    bad["MYSTERY_KEY"] = 1
+    p2 = tmp_path / "prov2.json"
+    p2.write_text(json.dumps({"processing": [{"method": bad}]}))
+    import pytest
+
+    with pytest.raises(ValueError, match="Unknown Seuron"):
+        replay_seuron_provenance(p2, workdir=str(tmp_path))
+
+    # exactly one segmentation block required
+    p3 = tmp_path / "prov3.json"
+    p3.write_text(json.dumps({"processing": [{"method": seg}, {"method": seg}]}))
+    with pytest.raises(ValueError, match="exactly one"):
+        replay_seuron_provenance(p3, workdir=str(tmp_path))
 
 
 def test_chunked_inference_precomputed_output(tmp_path):

@@ -8,22 +8,66 @@ import numpy as np
 import pytest
 
 
-def test_abiss_params_and_export(tmp_path):
-    from pytorch_connectomics_tpu.runtime.abiss_bridge import (
-        export_affinity_for_abiss,
-        write_abiss_params,
-    )
+def test_abiss_prepare_run(tmp_path):
+    """prepare_abiss_run exports affinities, writes SECRETS/param with the
+    reference key set, and computes the octree top mip."""
+    from pytorch_connectomics_tpu.runtime.abiss_bridge import prepare_abiss_run
 
     aff = np.random.default_rng(0).random((3, 8, 16, 16)).astype(np.float32)
-    path = export_affinity_for_abiss(aff, tmp_path)
-    assert path.exists()
-    pjson = write_abiss_params(
-        tmp_path, path, [[0, 0, 0], [8, 16, 16]], agg_threshold=0.3
+    payload, secrets, top_mip = prepare_abiss_run(
+        aff, tmp_path, chunk_size_xyz=(16, 16, 8), agg_threshold=0.3
     )
-    params = json.loads(pjson.read_text())
-    assert params["AGG_THRESHOLD"] == 0.3
-    assert params["BBOX"] == [[0, 0, 0], [8, 16, 16]]
-    assert params["AFF_PATH"] == str(path)
+    assert (secrets / "param").exists()
+    on_disk = json.loads((secrets / "param").read_text())
+    assert on_disk == payload
+    for key in (
+        "NAME", "AFF_PATH", "WS_PATH", "SEG_PATH", "SCRATCH_PATH",
+        "AFF_RESOLUTION", "AFF_CHANNELS", "BBOX", "CHUNK_SIZE",
+        "WS_HIGH_THRESHOLD", "WS_LOW_THRESHOLD", "WS_SIZE_THRESHOLD",
+        "WS_DUST_THRESHOLD", "AGG_THRESHOLD",
+    ):
+        assert key in payload, key
+    assert payload["AGG_THRESHOLD"] == 0.3
+    # BBOX is xyz: [0,0,0, x,y,z] for a (z=8, y=16, x=16) volume
+    assert payload["BBOX"] == [0, 0, 0, 16, 16, 8]
+    # dust threshold defaults to the size threshold (reference :673)
+    assert payload["WS_DUST_THRESHOLD"] == payload["WS_SIZE_THRESHOLD"]
+    assert top_mip == 0  # single chunk covers the bbox
+
+
+def test_abiss_top_mip_and_alignment():
+    from pytorch_connectomics_tpu.runtime.abiss_bridge import (
+        compute_top_mip,
+        validate_upload_alignment,
+    )
+
+    # 4x4x2 chunk grid -> ceil-log2 of the largest dim = 2
+    assert compute_top_mip([0, 0, 0, 1024, 1024, 512], [256, 256, 256]) == 2
+    assert compute_top_mip([0, 0, 0, 256, 256, 256], [256, 256, 256]) == 0
+    # aligned: logical 128 boundaries land on storage 64 boundaries
+    validate_upload_alignment([0, 0, 0, 256, 256, 256], [0, 0, 0], [128, 128, 128], [64, 64, 64])
+    # misaligned: logical 100 boundary not on storage 64 grid
+    with pytest.raises(ValueError, match="non-aligned"):
+        validate_upload_alignment([0, 0, 0, 256, 256, 256], [0, 0, 0], [100, 100, 100], [64, 64, 64])
+
+
+def test_abiss_stage_plans(tmp_path):
+    """Stage plans carry the reference batch-script commands and env."""
+    from pytorch_connectomics_tpu.runtime.abiss_bridge import STAGES_ALL, stage_plan
+
+    plans = {s: stage_plan(tmp_path, s, tmp_path / "secrets", 2, root_tag="tag") for s in STAGES_ALL}
+    assert plans["watershed"].argv[-3:] == ("ws", "2", "tag")
+    assert plans["watershed"].env["STAGE"] == "ws"
+    assert "run_batch.sh" in plans["watershed"].argv[1]
+    assert "remap_batch.sh" in plans["remap_watershed"].argv[1]
+    assert plans["agglomerate_mean_edge"].argv[-3:] == ("me", "2", "tag")
+    assert plans["agglomerate_mean_edge"].env["STAGE"] == "agg"
+    assert plans["remap_agglomeration"].argv[-3:] == ("agg", "2", "tag")
+    for p in plans.values():
+        assert p.env["WORKER_HOME"] == str(tmp_path)
+        assert p.env["SECRETS"] == str(tmp_path / "secrets")
+    with pytest.raises(ValueError, match="Unknown ABISS stage"):
+        stage_plan(tmp_path, "bogus", tmp_path, 0)
 
 
 def test_prediction_cache_hash_invalidation(tmp_path):
