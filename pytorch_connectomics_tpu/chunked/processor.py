@@ -37,8 +37,16 @@ class ChunkedProcessor:
         manifest_path: Optional[str] = None,
         signature: Optional[Dict[str, Any]] = None,
         num_workers: int = 4,
+        shard_id: Optional[int] = None,
+        num_shards: Optional[int] = None,
     ):
         self.chunks = build_chunk_grid(vol_shape, chunk_size, halo)
+        if shard_id is not None and num_shards and num_shards > 1:
+            # disjoint chunk shards for array-job precompute (reference
+            # sdt_precompute_chunked.py SLURM task decode)
+            if not (0 <= shard_id < num_shards):
+                raise ValueError(f"shard_id={shard_id} out of range for {num_shards}")
+            self.chunks = self.chunks[shard_id::num_shards]
         self.manifest = ResumeManifest(manifest_path, signature) if manifest_path else None
         self.num_workers = max(1, num_workers)
         self._lock = threading.Lock()

@@ -90,6 +90,16 @@ class StagePlan:
     env: Mapping[str, str]
 
 
+def _copy_uri_cmd() -> str:
+    """Local file:// copy helper for ABISS UPLOAD_CMD/DOWNLOAD_CMD
+    (reference ``scripts/copy_uri.py``); falls back to ``cp -r`` when the
+    script is not present (installed-package use)."""
+    script = Path(__file__).resolve().parents[2] / "scripts" / "copy_uri.py"
+    if script.exists():
+        return f"{sys.executable} {script}"
+    return "cp -r"
+
+
 def build_param_payload(
     name: str,
     aff_path: str | Path,
@@ -117,8 +127,8 @@ def build_param_payload(
         "SCRATCH_PATH": str(wd / "scratch"),
         "CHUNKMAP_INPUT": str(wd / "chunkmap"),
         "CHUNKMAP_OUTPUT": str(wd / "chunkmap"),
-        "UPLOAD_CMD": "cp -r",
-        "DOWNLOAD_CMD": "cp -r",
+        "UPLOAD_CMD": _copy_uri_cmd(),
+        "DOWNLOAD_CMD": _copy_uri_cmd(),
         "AFF_RESOLUTION": [float(r) for r in resolution_xyz],
         "AFF_CHANNELS": int(aff_channels),
         "BBOX": [int(b) for b in bbox_xyz],

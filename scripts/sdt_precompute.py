@@ -23,6 +23,9 @@ def main():
     p.add_argument("--chunk", nargs=3, type=int, default=[64, 512, 512])
     p.add_argument("--halo", nargs=3, type=int, default=[8, 32, 32])
     p.add_argument("--alpha", type=float, default=0.8)
+    # SLURM-array sharding: each task processes chunks[shard::num] (reference
+    # sdt_precompute_chunked.py task decode); chunk-aligned writes are disjoint
+    p.add_argument("--shard", nargs=2, type=int, default=None, metavar=("ID", "N"))
     args = p.parse_args()
 
     import h5py
@@ -49,13 +52,19 @@ def main():
         if "main" not in f:
             f.create_dataset("main", shape=shape, dtype=np.float32, chunks=tuple(args.chunk))
         ds = f["main"]
+        shard_id, num_shards = args.shard if args.shard else (None, None)
+        manifest = args.output + (
+            f".shard{shard_id}.manifest.json" if shard_id is not None else ".manifest.json"
+        )
         proc = ChunkedProcessor(
             shape,
             args.chunk,
             halo=args.halo,
-            manifest_path=args.output + ".manifest.json",
+            manifest_path=manifest,
             signature={"mode": args.mode, "alpha": args.alpha},
             num_workers=4,
+            shard_id=shard_id,
+            num_shards=num_shards,
         )
         n = proc.run(
             reader=lambda sl: read_volume(args.labels, roi=sl),
