@@ -84,6 +84,12 @@ def dispatch_runtime(args=None) -> Dict[str, Any]:
     from .preflight import preflight_check
 
     preflight_check(cfg, mode)
+    if mode in ("train", "val"):
+        # missing tutorial data: registry-driven fetch or loud instructions
+        # (reference data_factory.py:372-434)
+        from ..data.download import maybe_autodownload_train_data
+
+        maybe_autodownload_train_data(cfg)
     run_dir = setup_runtime_directories(cfg, mode, args)
     logger.info("mode=%s run_dir=%s devices=%d", mode, run_dir, jax.device_count())
 

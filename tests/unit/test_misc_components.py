@@ -349,3 +349,45 @@ def test_nnunet_restore_multichannel_alignment():
     # foreground region carries channel-0 ones; outside the crop is zero
     assert restored[6, 10, 10, 0] == 1.0
     assert restored[0, 0, 0, 0] == 0.0
+
+
+def test_autodownload_missing_train_data_raises_with_instructions(tmp_path, monkeypatch):
+    """Missing train data matching a registry entry raises with fetch
+    instructions (reference data_factory.py:372-434); random:// passes."""
+    import pytest
+
+    from pytorch_connectomics_tpu.config.schema import Config, build_dataclass
+    from pytorch_connectomics_tpu.data.download import (
+        infer_dataset_from_path,
+        maybe_autodownload_train_data,
+    )
+
+    monkeypatch.delenv("PYTC_AUTO_DOWNLOAD", raising=False)
+    cfg = build_dataclass(
+        Config,
+        {"model": {"arch": {"type": "mednext"}},
+         "data": {"train": {"image": "datasets/snemi/train_im.h5"}}},
+    )
+    with pytest.raises(FileNotFoundError, match="snemi"):
+        maybe_autodownload_train_data(cfg, interactive=False)
+
+    assert infer_dataset_from_path("datasets/snemi/train_im.h5") == "snemi"
+    assert infer_dataset_from_path("/nowhere/volume.h5") is None
+
+    # synthetic volumes never trigger the check
+    cfg2 = build_dataclass(
+        Config,
+        {"model": {"arch": {"type": "mednext"}},
+         "data": {"train": {"image": "random://train"}}},
+    )
+    maybe_autodownload_train_data(cfg2, interactive=False)
+
+    # existing data passes
+    d = tmp_path / "vol.h5"
+    d.write_bytes(b"x")
+    cfg3 = build_dataclass(
+        Config,
+        {"model": {"arch": {"type": "mednext"}},
+         "data": {"train": {"image": str(d)}}},
+    )
+    maybe_autodownload_train_data(cfg3, interactive=False)
