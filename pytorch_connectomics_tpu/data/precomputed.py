@@ -15,10 +15,26 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 
+def kvstore_spec(path: str) -> dict:
+    """Map a cloudpath onto a tensorstore kvstore spec: ``gs://`` (GCS),
+    ``s3://``, ``http(s)://``, else local file
+    (reference ``h5_to_precomputed_cloud.py`` CloudVolume cloudpaths)."""
+    p = str(path)
+    if p.startswith("gs://"):
+        bucket, _, inner = p[5:].partition("/")
+        return {"driver": "gcs", "bucket": bucket, "path": inner}
+    if p.startswith("s3://"):
+        bucket, _, inner = p[5:].partition("/")
+        return {"driver": "s3", "bucket": bucket, "path": inner}
+    if p.startswith(("http://", "https://")):
+        return {"driver": "http", "base_url": p}
+    return {"driver": "file", "path": p}
+
+
 def _spec(path: str, create: bool = False, **meta):
     spec = {
         "driver": "neuroglancer_precomputed",
-        "kvstore": {"driver": "file", "path": str(path)},
+        "kvstore": kvstore_spec(path),
     }
     spec.update(meta)
     return spec
@@ -39,7 +55,7 @@ def create_precomputed(
     z, y, x = shape
     spec = {
         "driver": "neuroglancer_precomputed",
-        "kvstore": {"driver": "file", "path": str(path)},
+        "kvstore": kvstore_spec(str(path)),
         "multiscale_metadata": {
             "type": layer_type,
             "data_type": np.dtype(dtype).name,
@@ -58,10 +74,45 @@ def create_precomputed(
     return PrecomputedVolume(store)
 
 
-def open_precomputed(path: str | Path):
+def append_scale(
+    path: str | Path,
+    shape: Sequence[int],
+    dtype,
+    chunk_size: Sequence[int],
+    resolution: Sequence[float],
+    num_channels: int = 1,
+):
+    """Add a downsampled scale (mip) to an existing layer; the scale is
+    keyed by its resolution (reference cloud multiscale uploads)."""
     import tensorstore as ts
 
-    store = ts.open(_spec(str(path), open=True), open=True).result()
+    z, y, x = shape
+    spec = {
+        "driver": "neuroglancer_precomputed",
+        "kvstore": kvstore_spec(str(path)),
+        "scale_metadata": {
+            "size": [x, y, z],
+            "resolution": [float(r) for r in reversed(list(resolution))],
+            "chunk_size": list(reversed(list(chunk_size))),
+            "encoding": "raw",
+        },
+        "open": True,
+        "create": True,
+    }
+    store = ts.open(spec).result()
+    return PrecomputedVolume(store)
+
+
+def open_precomputed(path: str | Path, resolution: Optional[Sequence[float]] = None):
+    """Open a layer; pass ``resolution`` (z, y, x) to select a specific mip."""
+    import tensorstore as ts
+
+    meta = {}
+    if resolution is not None:
+        meta["scale_metadata"] = {
+            "resolution": [float(r) for r in reversed(list(resolution))]
+        }
+    store = ts.open(_spec(str(path), open=True, **meta), open=True).result()
     return PrecomputedVolume(store)
 
 

@@ -83,6 +83,70 @@ def synthetic_em_volume(
     return jnp.clip(img, 0.0, 1.0), mito.astype(jnp.uint8)
 
 
+@partial(jax.jit, static_argnames=("shape", "mito_fraction"))
+def synthetic_em_volume_v2(
+    key: jax.Array,
+    shape: Tuple[int, int, int] = (64, 256, 256),
+    mito_fraction: float = 0.12,
+):
+    """Harder, non-saturating variant of the synthetic task (v2).
+
+    v1 saturated (Jaccard 0.9966 at 800 steps, QUALITY.md) because the
+    distractor organelles differ from mitochondria in feature scale AND
+    interior intensity AND rim contrast. v2 removes the shortcuts:
+
+    - distractors share the mito feature scale, interior intensity, and rim
+      darkness; the ONLY reliable cue is texture frequency (mito cristae
+      are fine ~3.5-voxel bands, distractor interiors are smooth ~11-voxel);
+    - serial-section artifacts: per-slice (y, x) misalignment jitter and a
+      blanked (missing) section, like the reference's EM defect
+      augmentations (``data/augmentation/augment_ops.py`` misalignment /
+      missing-section);
+    - stronger sensor noise and lower rim contrast.
+
+    Returns (image float32 [0,1] (Z,Y,X), label uint8 (Z,Y,X))."""
+    ks = jax.random.split(key, 10)
+    mito_field = _smooth_field(ks[0], shape, feature_voxels=22.0)
+    thr = jnp.percentile(mito_field, 100.0 * (1.0 - mito_fraction))
+    mito = mito_field > thr
+    rim = (mito_field > thr - 0.035) & ~mito
+    cristae = _smooth_field(ks[1], shape, feature_voxels=3.5)
+
+    # distractors: same scale, same intensity model — only the interior
+    # texture frequency differs
+    distract_field = _smooth_field(ks[2], shape, feature_voxels=22.0)
+    dthr = jnp.percentile(distract_field, 100.0 * (1.0 - mito_fraction))
+    distract = (distract_field > dthr) & ~mito & ~rim
+    drim = (distract_field > dthr - 0.035) & ~distract & ~mito & ~rim
+    dtex = _smooth_field(ks[7], shape, feature_voxels=11.0)
+
+    img = jnp.full(shape, 0.70, jnp.float32)
+    img = img + _band_noise(ks[3], shape, feature_voxels=9.0, amp=0.08)
+    img = jnp.where(mito, 0.45 + 0.16 * cristae, img)
+    img = jnp.where(rim, 0.26, img)
+    img = jnp.where(distract, 0.45 + 0.16 * dtex, img)  # same intensities
+    img = jnp.where(drim, 0.26, img)  # same rim darkness
+    img = img * (1.0 + _band_noise(ks[4], shape, feature_voxels=90.0, amp=0.10))
+    slice_gain = 1.0 + 0.05 * jax.random.normal(ks[5], (shape[0], 1, 1))
+    img = img * slice_gain
+
+    # serial-section misalignment: small per-slice (y, x) roll
+    shifts = jax.random.randint(ks[8], (shape[0], 2), -2, 3)
+
+    def _shift_slice(sl, s):
+        return jnp.roll(jnp.roll(sl, s[0], axis=0), s[1], axis=1)
+
+    img = jax.vmap(_shift_slice)(img, shifts)
+    lbl = jax.vmap(_shift_slice)(mito.astype(jnp.uint8), shifts)
+
+    # one missing (blanked) section
+    zmiss = jax.random.randint(ks[9], (), 1, shape[0] - 1)
+    img = img.at[zmiss].set(0.5)
+
+    img = img + 0.09 * jax.random.normal(ks[6], shape)
+    return jnp.clip(img, 0.0, 1.0), lbl
+
+
 @partial(jax.jit, static_argnames=("patch", "batch"))
 def sample_patches(
     key: jax.Array,

@@ -46,6 +46,7 @@ def main():
     from pytorch_connectomics_tpu.data.synthetic_jax import (
         sample_patches,
         synthetic_em_volume,
+        synthetic_em_volume_v2,
     )
     from pytorch_connectomics_tpu.inference.window import (
         _sliding_window_regular_device,
@@ -64,13 +65,17 @@ def main():
     train_shape = _shape("QB_TRAIN_SHAPE", (64, 384, 384))
     test_shape = _shape("QB_TEST_SHAPE", (64, 256, 256))
     tta = os.environ.get("QB_TTA", "1") == "1"
+    # v2 (default): distractors differ only by texture frequency + section
+    # defects — non-saturating (v1 reached 0.9966; QUALITY.md)
+    task = int(os.environ.get("QB_TASK", "2"))
 
     print(f"devices: {jax.devices()}", flush=True)
     t_all = time.time()
 
     # ---- data (on device) ----
-    img_tr, lbl_tr = synthetic_em_volume(jax.random.PRNGKey(1), train_shape)
-    img_te, lbl_te = synthetic_em_volume(jax.random.PRNGKey(2), test_shape)
+    gen = synthetic_em_volume_v2 if task == 2 else synthetic_em_volume
+    img_tr, lbl_tr = gen(jax.random.PRNGKey(1), train_shape)
+    img_te, lbl_te = gen(jax.random.PRNGKey(2), test_shape)
 
     # ---- model + loss + optimizer (the Lucchi recipe, patch-size scaled) ----
     cfg = build_dataclass(
@@ -201,7 +206,7 @@ def main():
         "unit": "jaccard",
         "vs_baseline": round(jac / 0.935, 3),
         "detail": {
-            "steps": steps, "patch": patch, "batch": batch,
+            "task": task, "steps": steps, "patch": patch, "batch": batch,
             "train_s": round(train_s, 1), "infer_s": round(infer_s, 1),
             "tta": tta, "final_loss": round(float(logs["loss_total"]), 4),
             "platform": jax.devices()[0].platform,
@@ -211,7 +216,7 @@ def main():
     qfile = ROOT / "QUALITY.md"
     stamp = time.strftime("%Y-%m-%d %H:%M")
     line = (
-        f"| {stamp} | {jac:.4f} | {steps} | {patch}^3 | "
+        f"| {stamp} | v{task} | {jac:.4f} | {steps} | {patch}^3 | "
         f"{'on' if tta else 'off'} | {jax.devices()[0].platform} | "
         f"{train_s:.0f}s + {infer_s:.0f}s |\n"
     )

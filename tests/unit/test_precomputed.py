@@ -130,3 +130,33 @@ def test_chunked_inference_precomputed_output(tmp_path):
     )
     back = open_precomputed(out).read((slice(0, 8), slice(0, 16), slice(0, 16)))
     np.testing.assert_allclose(back, vol / 255.0, atol=1e-4)
+
+
+def test_kvstore_spec_cloudpaths():
+    from pytorch_connectomics_tpu.data.precomputed import kvstore_spec
+
+    assert kvstore_spec("gs://bkt/inner/layer") == {
+        "driver": "gcs", "bucket": "bkt", "path": "inner/layer"}
+    assert kvstore_spec("s3://bkt/x") == {"driver": "s3", "bucket": "bkt", "path": "x"}
+    assert kvstore_spec("/local/dir")["driver"] == "file"
+
+
+def test_multiscale_pyramid(tmp_path):
+    """append_scale adds mips; open_precomputed selects by resolution."""
+    import numpy as np
+
+    from pytorch_connectomics_tpu.data.precomputed import (
+        append_scale,
+        create_precomputed,
+        open_precomputed,
+    )
+
+    base = str(tmp_path / "layer")
+    v0 = create_precomputed(base, (4, 16, 16), np.uint8, (4, 8, 8), (30, 6, 6))
+    v0.write((slice(0, 4), slice(0, 16), slice(0, 16)),
+             np.arange(4 * 16 * 16, dtype=np.uint8).reshape(4, 16, 16))
+    v1 = append_scale(base, (4, 8, 8), np.uint8, (4, 8, 8), (30, 12, 12))
+    v1.write((slice(0, 4), slice(0, 8), slice(0, 8)),
+             np.zeros((4, 8, 8), np.uint8))
+    assert open_precomputed(base, resolution=[30, 6, 6]).shape == (4, 16, 16)
+    assert open_precomputed(base, resolution=[30, 12, 12]).shape == (4, 8, 8)
