@@ -239,11 +239,14 @@ def analyze_segmentation(
     z_scan: bool = False,
 ) -> Dict[str, Any]:
     """Full dense error-analysis report."""
+    from ..metrics.seg import instance_matching
+
     vs, vm = voi(seg, gt)
     report: Dict[str, Any] = {
         "adapted_rand": float(adapted_rand(seg, gt)),
         "voi_split": float(vs),
         "voi_merge": float(vm),
+        "matching": instance_matching(seg, gt),
         "pred_stats": segment_size_stats(seg),
         "gt_stats": segment_size_stats(gt),
     }
