@@ -254,3 +254,43 @@ def test_tta_variant_sharding_matches_sequential():
     mesh = make_mesh({"data": 8})
     par = TTAPredictor(eng, tta_cfg, mesh=mesh).predict(None, vol)
     np.testing.assert_allclose(par, seq, atol=1e-4)
+
+
+@pytest.mark.parametrize("blend", ["constant", "bump", "gaussian", "distance"])
+def test_all_blend_modes_reconstruct_identity(blend):
+    """With an identity model every blend mode must reconstruct the volume
+    exactly (weights cancel in the normalization)."""
+    rng = np.random.default_rng(1)
+    vol = rng.random((10, 20, 20), dtype=np.float32)
+    eng = SlidingWindowEngine(
+        identity_apply, (8, 16, 16), overlap=0.5, blending=blend, sw_batch_size=3
+    )
+    out = eng(None, vol, out_channels=1)
+    np.testing.assert_allclose(out[..., 0], vol, atol=1e-4)
+
+
+@pytest.mark.parametrize("snap", [True, False])
+def test_snap_to_edge_both_reconstruct(snap):
+    # non-divisible extent: stride grid overshoots; both residual-window
+    # strategies must still be exact for identity models
+    vol = np.random.default_rng(2).random((11, 19, 23), dtype=np.float32)
+    eng = SlidingWindowEngine(
+        identity_apply, (8, 16, 16), overlap=0.5, snap_to_edge=snap, sw_batch_size=2
+    )
+    out = eng(None, vol, out_channels=1)
+    np.testing.assert_allclose(out[..., 0], vol, atol=1e-4)
+
+
+def test_bf16_accumulators_close_to_f32():
+    """inference.window.acc_dtype=bfloat16 (compact accumulators,
+    reference lazy.py:1133-1139) stays within bf16 tolerance."""
+    import jax.numpy as jnp
+
+    vol = np.random.default_rng(3).random((8, 16, 16)).astype(np.float32)
+    f32 = SlidingWindowEngine(identity_apply, (8, 16, 16), sw_batch_size=1)
+    bf16 = SlidingWindowEngine(
+        identity_apply, (8, 16, 16), sw_batch_size=1, acc_dtype=jnp.bfloat16
+    )
+    a = f32(None, vol, out_channels=1)
+    b = bf16(None, vol, out_channels=1)
+    np.testing.assert_allclose(a, b, atol=0.02)
