@@ -19,9 +19,43 @@ tune config checkpoint *args:
 tune-test config checkpoint *args:
     python scripts/main.py --config {{config}} --mode tune-test --checkpoint {{checkpoint}} {{args}}
 
+# resume training from a checkpoint
+resume config checkpoint *args:
+    python scripts/main.py --config {{config}} --mode train --checkpoint {{checkpoint}} {{args}}
+
+# quick tuning smoke (few trials)
+tune-quick config checkpoint *args:
+    python scripts/main.py --config {{config}} --mode tune --checkpoint {{checkpoint}} \
+        --tune-trials 5 {{args}}
+
+# test with tuned decode params (best_params.yaml from a tune run)
+test-with-params config checkpoint params *args:
+    python scripts/main.py --config {{config}} --mode test --checkpoint {{checkpoint}} \
+        --params {{params}} {{args}}
+
 # quick smoke run (1 epoch x 2 steps)
 dev config:
     python scripts/main.py --config {{config}} --mode train --fast-dev-run
+
+# dataset registry: status / fetch
+download +datasets:
+    python scripts/download_data.py {{datasets}} --fetch
+
+download-list:
+    python scripts/download_data.py
+
+# tensorboard over an experiment's output dir
+tensorboard experiment port='6006':
+    tensorboard --logdir outputs/{{experiment}} --port {{port}}
+
+# SLURM array of independent shards (emits an sbatch script; reference justfile:261)
+slurm-sharded config checkpoint num_shards *args:
+    python scripts/launcher.py --config {{config}} --checkpoint {{checkpoint}} \
+        --num-shards {{num_shards}} --slurm {{args}}
+
+# neuroglancer visualization of volumes
+visualize +volumes:
+    python scripts/visualize_neuroglancer.py {{volumes}}
 
 # independent-shard inference across N processes (no comm; reference sharding.py:212)
 shard config checkpoint shard_id num_shards:
