@@ -56,48 +56,80 @@ extern "C" {
 
 // Connected components on a foreground mask. connectivity: 6, 18, or 26.
 // Returns the number of components; labels 1..K written to out.
+//
+// Run-based (cc3d-style): each maximal x-run of foreground is ONE
+// union-find node; runs in adjacent rows connect by interval overlap
+// (with per-connectivity x-slack). Union-find work scales with #runs,
+// not #voxels, and labeling is a fill per run.
 int64_t ccl3d(const uint8_t* fg, int64_t Z, int64_t Y, int64_t X,
               int connectivity, uint32_t* out) {
-  const int64_t n = Z * Y * X;
-  // neighbor offsets: only "previous" neighbors (negative lexicographic)
-  std::vector<std::array<int, 3>> nbrs;
-  for (int dz = -1; dz <= 0; ++dz)
-    for (int dy = -1; dy <= 1; ++dy)
-      for (int dx = -1; dx <= 1; ++dx) {
-        if (dz == 0 && (dy > 0 || (dy == 0 && dx >= 0))) continue;
-        int order = std::abs(dz) + std::abs(dy) + std::abs(dx);
-        if (connectivity == 6 && order > 1) continue;
-        if (connectivity == 18 && order > 2) continue;
-        nbrs.push_back({dz, dy, dx});
-      }
-  UnionFind uf(n);
-  std::vector<uint8_t> has(n, 0);
+  struct Run { int32_t x0, x1; uint32_t node; };  // [x0, x1] inclusive
+  const int64_t n_rows = Z * Y;
+  std::vector<std::vector<Run>> rows((size_t)n_rows);
+  uint32_t n_runs = 0;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    const uint8_t* row = fg + r * X;
+    auto& rr = rows[r];
+    int64_t x = 0;
+    while (x < X) {
+      if (!row[x]) { ++x; continue; }
+      int64_t x0 = x;
+      while (x < X && row[x]) ++x;
+      rr.push_back({(int32_t)x0, (int32_t)(x - 1), n_runs++});
+    }
+  }
+  UnionFind uf(n_runs);
+  // previous-row connections and their x-slack per connectivity:
+  //   A=(0,-1)  B=(-1,-1)  C=(-1,0)  D=(-1,+1)
+  //   6-conn : A/0, C/0      18-conn: A/1, C/1, B/0, D/0
+  //   26-conn: all four at slack 1
+  struct Nb { int dz, dy, slack; };
+  std::vector<Nb> nbs;
+  if (connectivity == 6) {
+    nbs = {{0, -1, 0}, {-1, 0, 0}};
+  } else if (connectivity == 18) {
+    nbs = {{0, -1, 1}, {-1, 0, 1}, {-1, -1, 0}, {-1, 1, 0}};
+  } else {
+    nbs = {{0, -1, 1}, {-1, 0, 1}, {-1, -1, 1}, {-1, 1, 1}};
+  }
   for (int64_t z = 0; z < Z; ++z)
-    for (int64_t y = 0; y < Y; ++y)
-      for (int64_t x = 0; x < X; ++x) {
-        const int64_t i = idx3(z, y, x, Y, X);
-        if (!fg[i]) continue;
-        for (auto& d : nbrs) {
-          int64_t zz = z + d[0], yy = y + d[1], xx = x + d[2];
-          if (zz < 0 || yy < 0 || yy >= Y || xx < 0 || xx >= X) continue;
-          const int64_t j = idx3(zz, yy, xx, Y, X);
-          if (fg[j]) uf.unite((uint32_t)i, (uint32_t)j);
+    for (int64_t y = 0; y < Y; ++y) {
+      auto& cur = rows[z * Y + y];
+      if (cur.empty()) continue;
+      for (const auto& nb : nbs) {
+        const int64_t zz = z + nb.dz, yy = y + nb.dy;
+        if (zz < 0 || yy < 0 || yy >= Y) continue;
+        const auto& prev = rows[zz * Y + yy];
+        if (prev.empty()) continue;
+        // two-pointer sweep over the sorted run lists
+        size_t a = 0, b = 0;
+        const int32_t s = nb.slack;
+        while (a < cur.size() && b < prev.size()) {
+          const Run& ra = cur[a];
+          const Run& rb = prev[b];
+          if (ra.x0 <= rb.x1 + s && rb.x0 <= ra.x1 + s)
+            uf.unite(ra.node, rb.node);
+          // advance the run that ends first: with inter-run gaps >= 1 and
+          // slack <= 1, it cannot overlap anything later in the other list
+          if (ra.x1 <= rb.x1) ++a;
+          else ++b;
         }
       }
-  // relabel roots to 1..K
-  std::unordered_map<uint32_t, uint32_t> root2label;
-  root2label.reserve(1024);
-  uint32_t next = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    if (!fg[i]) { out[i] = 0; continue; }
-    uint32_t r = uf.find((uint32_t)i);
-    auto it = root2label.find(r);
-    if (it == root2label.end()) {
-      root2label.emplace(r, ++next);
-      out[i] = next;
-    } else {
-      out[i] = it->second;
     }
+  // relabel roots to 1..K and fill
+  std::vector<uint32_t> root2label(n_runs, 0);
+  uint32_t next = 0;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    uint32_t* orow = out + r * X;
+    int64_t x = 0;
+    for (const Run& run : rows[r]) {
+      for (; x < run.x0; ++x) orow[x] = 0;
+      uint32_t root = uf.find(run.node);
+      if (!root2label[root]) root2label[root] = ++next;
+      const uint32_t lbl = root2label[root];
+      for (; x <= run.x1; ++x) orow[x] = lbl;
+    }
+    for (; x < X; ++x) orow[x] = 0;
   }
   return (int64_t)next;
 }
