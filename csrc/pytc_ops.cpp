@@ -16,6 +16,7 @@
 #include <cstring>
 #include <limits>
 #include <queue>
+#include <thread>
 #include <tuple>
 #include <unordered_map>
 #include <vector>
@@ -575,14 +576,23 @@ void edt_multilabel(const uint32_t* labels, int64_t Z, int64_t Y, int64_t X,
   std::vector<float> d(n);
   for (int64_t i = 0; i < n; ++i) d[i] = labels[i] ? INF : 0.0f;
 
+  // Per-thread scratch for the 1-D envelope passes: rows are independent,
+  // so axis passes parallelize across std::thread workers (the seung-lab
+  // `edt` package is threaded the same way).
+  struct Scratch {
+    std::vector<float> gbuf, posbuf, zenv;
+    std::vector<int> v;
+  };
+
   // One 1-D envelope over positions [0, m) with optional walls at -1 / m.
   // g: squared values at integer positions (data term); spacing scales
   // geometric distance. Results written back via setter.
-  std::vector<float> gbuf, posbuf, dd;
-  std::vector<float> zenv;
-  std::vector<int> v;
-  auto envelope = [&](int64_t m, bool wall_lo, bool wall_hi, float spacing,
-                      auto get, auto set) {
+  auto envelope = [INF](Scratch& sc, int64_t m, bool wall_lo, bool wall_hi,
+                        float spacing, auto get, auto set) {
+    auto& gbuf = sc.gbuf;
+    auto& posbuf = sc.posbuf;
+    auto& zenv = sc.zenv;
+    auto& v = sc.v;
     const int64_t total = m + (wall_lo ? 1 : 0) + (wall_hi ? 1 : 0);
     gbuf.resize(total);
     posbuf.resize(total);
@@ -625,24 +635,38 @@ void edt_multilabel(const uint32_t* labels, int64_t Z, int64_t Y, int64_t X,
   };
 
   auto axis_pass = [&](int64_t len, int64_t count, auto index_of, float spacing) {
-    for (int64_t c = 0; c < count; ++c) {
-      int64_t start = 0;
-      while (start < len) {
-        uint32_t lab = labels[index_of(c, start)];
-        int64_t end = start;
-        while (end < len && labels[index_of(c, end)] == lab) ++end;
-        if (lab != 0) {
-          const int64_t m = end - start;
-          bool wall_lo = (start > 0);   // different label before the run
-          bool wall_hi = (end < len);   // different label after the run
-          envelope(
-              m, wall_lo, wall_hi, spacing,
-              [&](int64_t p) { return d[index_of(c, start + p)]; },
-              [&](int64_t p, float val) { d[index_of(c, start + p)] = val; });
+    auto rows = [&](int64_t c0, int64_t c1) {
+      Scratch sc;
+      for (int64_t c = c0; c < c1; ++c) {
+        int64_t start = 0;
+        while (start < len) {
+          uint32_t lab = labels[index_of(c, start)];
+          int64_t end = start;
+          while (end < len && labels[index_of(c, end)] == lab) ++end;
+          if (lab != 0) {
+            const int64_t m = end - start;
+            bool wall_lo = (start > 0);   // different label before the run
+            bool wall_hi = (end < len);   // different label after the run
+            envelope(
+                sc, m, wall_lo, wall_hi, spacing,
+                [&](int64_t p) { return d[index_of(c, start + p)]; },
+                [&](int64_t p, float val) { d[index_of(c, start + p)] = val; });
+          }
+          start = end;
         }
-        start = end;
       }
+    };
+    const int64_t hw = (int64_t)std::thread::hardware_concurrency();
+    const int64_t nt = std::max<int64_t>(1, std::min<int64_t>({hw, count, 8}));
+    if (nt == 1) {
+      rows(0, count);
+      return;
     }
+    std::vector<std::thread> pool;
+    const int64_t step = (count + nt - 1) / nt;
+    for (int64_t t = 0; t < nt; ++t)
+      pool.emplace_back(rows, t * step, std::min(count, (t + 1) * step));
+    for (auto& th : pool) th.join();
   };
 
   // x, then y, then z (order is arbitrary for correctness)

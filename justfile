@@ -64,7 +64,7 @@ shard config checkpoint shard_id num_shards:
 
 # build the native C++ ops library
 native:
-    g++ -O3 -march=native -shared -fPIC -std=c++17 csrc/pytc_ops.cpp -o csrc/libpytc_ops.so
+    g++ -O3 -march=native -shared -fPIC -std=c++17 -pthread csrc/pytc_ops.cpp -o csrc/libpytc_ops.so
 
 # benchmark sliding-window throughput on the local chip
 bench:

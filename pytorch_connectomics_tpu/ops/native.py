@@ -33,7 +33,7 @@ def _build_library() -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-             str(src), "-o", str(_LIB_PATH)],
+             "-pthread", str(src), "-o", str(_LIB_PATH)],
             check=True, capture_output=True, timeout=300,
         )
         return True
