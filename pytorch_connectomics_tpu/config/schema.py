@@ -585,6 +585,9 @@ class MonitorConfig:
     detect_anomaly: bool = False
     nan_detection: bool = True
     wandb: Optional[Dict[str, Any]] = None
+    # [start, end) global-step range captured with jax.profiler into
+    # <run_dir>/profile (XLA/TPU trace; open with TensorBoard or Perfetto)
+    profile_steps: Optional[List[int]] = None
 
 
 # ---------------------------------------------------------------------------

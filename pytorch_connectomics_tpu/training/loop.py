@@ -167,13 +167,26 @@ class Trainer:
         epoch_metrics: Dict[str, float] = {}
         it = train_pipe.iterate(start_step)
         last_t = time.time()
+        # jax.profiler capture window (reference profiling analog; TPU-native
+        # trace viewable in TensorBoard/Perfetto)
+        prof = cfg.monitor.profile_steps
+        prof_active = False
         for epoch in range(start_epoch, max_epochs):
             losses = []
             for _ in range(self.steps_per_epoch):
                 batch = next(it)
                 batch = shard_batch(batch, self.mesh)
+                if prof and not prof_active and int(self.state.step) >= prof[0]:
+                    jax.profiler.start_trace(str(self.run_dir / "profile"))
+                    prof_active = True
                 self.state, logs = self._train_step(self.state, batch)
                 step = int(self.state.step)
+                if prof_active and step >= prof[1]:
+                    jax.block_until_ready(logs)
+                    jax.profiler.stop_trace()
+                    prof_active = False
+                    prof = None
+                    logger.info("profiler trace written to %s", self.run_dir / "profile")
                 if step % scalar_every == 0 or step == 1:
                     host_logs = {k: float(v) for k, v in logs.items()}
                     self._check_finite(host_logs, step)

@@ -128,3 +128,35 @@ def test_checkpoint_reset_optimizer(mini_cfg, tmp_path):
     t2 = Trainer(mini_cfg, run_dir=tmp_path / "d")
     t2.restore(t1.ckpt.last_path(), reset_optimizer=True, reset_epoch=True)
     assert int(t2.state.step) == 0
+
+
+def test_profiler_trace_capture(tmp_path):
+    """monitor.profile_steps captures a jax.profiler trace into run_dir."""
+    from pytorch_connectomics_tpu.config.schema import Config, build_dataclass
+    from pytorch_connectomics_tpu.parallel.mesh import make_mesh
+    from pytorch_connectomics_tpu.training.loop import Trainer
+
+    cfg = build_dataclass(
+        Config,
+        {
+            "model": {
+                "arch": {"type": "monai_unet"},
+                "in_channels": 1, "out_channels": 1,
+                "input_size": [8, 16, 16],
+                "monai": {"filters": [4, 8, 8], "num_res_units": 1},
+                "loss": {"losses": [{"function": "DiceLoss",
+                                     "kwargs": {"sigmoid": True}}]},
+            },
+            "data": {
+                "train": {"image": "random://prof/image", "label": "random://prof/label"},
+                "dataloader": {"patch_size": [8, 16, 16], "batch_size": 2},
+            },
+            "optimization": {"max_epochs": 1, "n_steps_per_epoch": 4},
+            "monitor": {"profile_steps": [2, 3]},
+        },
+    )
+    tr = Trainer(cfg, run_dir=tmp_path, mesh=make_mesh({"data": 1}))
+    tr.fit()
+    prof_dir = tmp_path / "profile"
+    assert prof_dir.exists()
+    assert any(prof_dir.rglob("*")), "no trace files written"
