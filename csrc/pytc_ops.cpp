@@ -240,42 +240,67 @@ void watershed_seeded(const float* energy, const uint32_t* seeds,
 // aff[2]=z (deepem high-end convention).
 int64_t affinity_cc(const float* aff, int64_t Z, int64_t Y, int64_t X,
                     float threshold, uint32_t* out) {
+  // Run-based: consecutive x voxels joined by supra-threshold x-edges form
+  // one union-find node; y/z supra-threshold edges unite run nodes. A run
+  // is foreground iff it touches any supra-threshold edge (single-voxel
+  // runs with no edges stay background), matching the per-voxel semantics.
   const int64_t n = Z * Y * X;
-  UnionFind uf(n);
-  std::vector<uint8_t> fg(n, 0);
   // channel order follows the standard offset list [(0,0,1),(0,1,0),(1,0,0)]:
   // aff[0] = x-edges, aff[1] = y-edges, aff[2] = z-edges (deepem high-end).
   const float* ax = aff;
   const float* ay = aff + n;
   const float* az = aff + 2 * n;
-  for (int64_t z = 0; z < Z; ++z)
-    for (int64_t y = 0; y < Y; ++y)
-      for (int64_t x = 0; x < X; ++x) {
-        const int64_t i = idx3(z, y, x, Y, X);
-        bool any = false;
-        if (z > 0 && az[i] > threshold) { uf.unite((uint32_t)i, (uint32_t)(i - Y * X)); any = true; }
-        if (y > 0 && ay[i] > threshold) { uf.unite((uint32_t)i, (uint32_t)(i - X)); any = true; }
-        if (x > 0 && ax[i] > threshold) { uf.unite((uint32_t)i, (uint32_t)(i - 1)); any = true; }
-        if (any) fg[i] = 1;
+  std::vector<uint32_t> run_id(n);
+  std::vector<uint8_t> fg_run;
+  fg_run.reserve(1024);
+  uint32_t n_runs = 0;
+  for (int64_t r = 0; r < Z * Y; ++r) {
+    const int64_t base = r * X;
+    for (int64_t x = 0; x < X; ++x) {
+      const int64_t i = base + x;
+      if (x == 0 || !(ax[i] > threshold)) {
+        run_id[i] = n_runs++;
+        fg_run.push_back(0);
+      } else {
+        run_id[i] = n_runs - 1;
+        fg_run[n_runs - 1] = 1;  // an internal x-edge makes the run fg
       }
-  // voxels that were merged into a component from the other side
-  for (int64_t z = 0; z < Z; ++z)
-    for (int64_t y = 0; y < Y; ++y)
-      for (int64_t x = 0; x < X; ++x) {
-        const int64_t i = idx3(z, y, x, Y, X);
-        if (z + 1 < Z && az[i + Y * X] > threshold) fg[i] = 1;
-        if (y + 1 < Y && ay[i + X] > threshold) fg[i] = 1;
-        if (x + 1 < X && ax[i + 1] > threshold) fg[i] = 1;
-      }
-  std::unordered_map<uint32_t, uint32_t> root2label;
-  uint32_t next = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    if (!fg[i]) { out[i] = 0; continue; }
-    uint32_t r = uf.find((uint32_t)i);
-    auto it = root2label.find(r);
-    if (it == root2label.end()) { root2label.emplace(r, ++next); out[i] = next; }
-    else out[i] = it->second;
+    }
   }
+  UnionFind uf(n_runs);
+  for (int64_t z = 0; z < Z; ++z)
+    for (int64_t y = 0; y < Y; ++y) {
+      const int64_t base = (z * Y + y) * X;
+      if (y > 0)
+        for (int64_t x = 0; x < X; ++x) {
+          const int64_t i = base + x;
+          if (ay[i] > threshold) {
+            uf.unite(run_id[i], run_id[i - X]);
+            fg_run[run_id[i]] = 1;
+            fg_run[run_id[i - X]] = 1;
+          }
+        }
+      if (z > 0)
+        for (int64_t x = 0; x < X; ++x) {
+          const int64_t i = base + x;
+          if (az[i] > threshold) {
+            uf.unite(run_id[i], run_id[i - Y * X]);
+            fg_run[run_id[i]] = 1;
+            fg_run[run_id[i - Y * X]] = 1;
+          }
+        }
+    }
+  // per-run labels (one find per run), then an array lookup per voxel
+  std::vector<uint32_t> run_label(n_runs, 0);
+  uint32_t next = 0;
+  std::vector<uint32_t> root_label(n_runs, 0);
+  for (uint32_t rn = 0; rn < n_runs; ++rn) {
+    if (!fg_run[rn]) continue;
+    const uint32_t root = uf.find(rn);
+    if (!root_label[root]) root_label[root] = ++next;
+    run_label[rn] = root_label[root];
+  }
+  for (int64_t i = 0; i < n; ++i) out[i] = run_label[run_id[i]];
   return (int64_t)next;
 }
 
