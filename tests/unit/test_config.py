@@ -259,3 +259,103 @@ def test_malis_worker_budget_and_cpu_detection():
     assert cfg.model.loss.losses[1].kwargs["num_workers"] == 3
     assert "num_workers" not in (cfg.model.loss.losses[2].kwargs or {})
     assert total == 7
+
+
+def test_base_chain_later_wins(tmp_path):
+    """Multi-base chains merge bases-first; later bases override earlier."""
+    (tmp_path / "a.yaml").write_text(
+        "model: {arch: {type: mednext}, in_channels: 1, out_channels: 3}\n"
+    )
+    (tmp_path / "b.yaml").write_text("model: {out_channels: 7}\n")
+    (tmp_path / "top.yaml").write_text(
+        "_base_: [a.yaml, b.yaml]\n"
+        "model: {loss: {losses: [{function: DiceLoss}]}}\n"
+        "data: {train: {image: 'random://x/im', label: 'random://x/lb'}}\n"
+    )
+    cfg = load_config(tmp_path / "top.yaml", mode="train")
+    assert cfg.model.out_channels == 7  # b beats a
+    assert cfg.model.in_channels == 1  # a survives where b silent
+
+
+def test_nested_base_chain(tmp_path):
+    """A base may itself have a _base_ (transitive resolution)."""
+    (tmp_path / "root.yaml").write_text(
+        "model: {arch: {type: mednext}, mednext: {size: S}}\n"
+    )
+    (tmp_path / "mid.yaml").write_text(
+        "_base_: [root.yaml]\nmodel: {mednext: {kernel_size: 5}}\n"
+    )
+    (tmp_path / "leaf.yaml").write_text(
+        "_base_: [mid.yaml]\n"
+        "model: {loss: {losses: [{function: DiceLoss}]}}\n"
+        "data: {train: {image: 'random://y/im', label: 'random://y/lb'}}\n"
+    )
+    cfg = load_config(tmp_path / "leaf.yaml", mode="train")
+    assert cfg.model.mednext.size == "S"
+    assert cfg.model.mednext.kernel_size == 5
+
+
+def test_stage_overlay_beats_default(tmp_path):
+    (tmp_path / "c.yaml").write_text(
+        "model: {arch: {type: mednext}, loss: {losses: [{function: DiceLoss}]}}\n"
+        "default: {optimization: {max_epochs: 10}}\n"
+        "train: {optimization: {max_epochs: 3},\n"
+        "        data: {train: {image: 'random://z/im', label: 'random://z/lb'}}}\n"
+    )
+    assert load_config(tmp_path / "c.yaml", mode="train").optimization.max_epochs == 3
+
+
+def test_tune_inherits_test_data(tmp_path):
+    (tmp_path / "d.yaml").write_text(
+        "model: {arch: {type: mednext}, loss: {losses: [{function: DiceLoss}]}}\n"
+        "test: {data: {test: {image: 'random://q/im'}}}\n"
+    )
+    cfg = load_config(tmp_path / "d.yaml", mode="tune")
+    assert cfg.data.test.image == "random://q/im"
+
+
+def test_cli_override_types(tmp_path):
+    (tmp_path / "e.yaml").write_text(
+        "model: {arch: {type: mednext}, loss: {losses: [{function: DiceLoss}]}}\n"
+        "data: {train: {image: 'random://w/im', label: 'random://w/lb'}}\n"
+    )
+    cfg = load_config(
+        tmp_path / "e.yaml",
+        overrides=[
+            "optimization.max_epochs=7",
+            "optimization.optimizer.lr=0.005",
+            "monitor.nan_detection=false",
+            "model.input_size=[16,32,32]",
+        ],
+        mode="train",
+    )
+    assert cfg.optimization.max_epochs == 7
+    assert cfg.optimization.optimizer.lr == 0.005
+    assert cfg.monitor.nan_detection is False
+    assert cfg.model.input_size == [16, 32, 32]
+
+
+def test_config_hash_sensitive_to_values(tmp_path):
+    base = (
+        "model: {arch: {type: mednext}, loss: {losses: [{function: DiceLoss}]}}\n"
+        "data: {train: {image: 'random://h/im', label: 'random://h/lb'}}\n"
+    )
+    (tmp_path / "f.yaml").write_text(base)
+    h1 = config_hash(load_config(tmp_path / "f.yaml", mode="train"))
+    h2 = config_hash(
+        load_config(tmp_path / "f.yaml", overrides=["model.out_channels=5"], mode="train")
+    )
+    assert h1 != h2
+
+
+def test_unknown_profile_rejected(tmp_path):
+    import pytest
+
+    from pytorch_connectomics_tpu.config.schema import ConfigError
+
+    (tmp_path / "g.yaml").write_text(
+        "model: {arch: {type: mednext}, loss: {profile: no_such_profile}}\n"
+        "data: {train: {image: 'random://g/im', label: 'random://g/lb'}}\n"
+    )
+    with pytest.raises((ConfigError, KeyError, ValueError)):
+        load_config(tmp_path / "g.yaml", mode="train")
