@@ -45,26 +45,39 @@ def streamed_affinity_cc_decode(
     threshold: float = 0.75,
     min_size: int = 0,
     writer=None,
+    num_workers: int = 0,
 ) -> np.ndarray:
     """``aff_reader(slices) -> (3, z, y, x)`` affinities for a region.
 
     Returns the stitched global label volume (also written to ``writer`` if
     given). Chunks are decoded with disjoint label ranges; seam faces are
     merged via union-find using the affinity channel crossing the seam.
+    Chunk decodes run thread-parallel (the C kernel releases the GIL);
+    ``num_workers=0`` auto-sizes to the CPU count (capped at 8).
     """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     chunks = build_chunk_grid(vol_shape, chunk_size, halo=(0, 0, 0))
     out = np.zeros(tuple(vol_shape), np.uint32)
-    next_offset = 0
     uf = UnionFind()
-    chunk_labels: Dict[Tuple[int, int, int], np.ndarray] = {}
 
-    for chunk in chunks:
+    def decode_one(chunk):
         aff = aff_reader(chunk.core_slices)
         labels, n = affinity_connected_components(aff, threshold)
-        labels = labels.astype(np.uint32)
+        return chunk, labels.astype(np.uint32), n
+
+    workers = num_workers or min(8, os.cpu_count() or 1, len(chunks))
+    if workers > 1:
+        with ThreadPoolExecutor(workers) as pool:
+            results = list(pool.map(decode_one, chunks))
+    else:
+        results = [decode_one(c) for c in chunks]
+    # disjoint label ranges assigned in deterministic chunk order
+    next_offset = 0
+    for chunk, labels, n in results:
         labels[labels > 0] += next_offset
         out[chunk.core_slices] = labels
-        chunk_labels[chunk.index] = labels
         next_offset += n
 
     # seam merging: for each face between adjacent chunks, read the affinity
