@@ -168,15 +168,93 @@ def _missing_parts(sample: Sample, key, prob=0.2, hole_size=24, **_) -> Sample:
     return out
 
 
+def _mul_add(sample: Sample, key, prob=0.5, mul_range=(0.9, 1.1),
+             add_range=(-0.1, 0.1), **_) -> Sample:
+    out = dict(sample)
+    ks = jax.random.split(key, 3)
+    m = jax.random.uniform(ks[0], (), minval=mul_range[0], maxval=mul_range[1])
+    a = jax.random.uniform(ks[1], (), minval=add_range[0], maxval=add_range[1])
+    do = _rand(ks[2], prob)
+    out["image"] = jnp.where(do, jnp.clip(out["image"] * m + a, 0.0, 1.0),
+                             out["image"])
+    return out
+
+
+def _stripe(sample: Sample, key, prob=0.1, intensity=0.15, num_stripes=4, **_) -> Sample:
+    """Horizontal acquisition stripes: brightness deltas on random y rows."""
+    out = dict(sample)
+    img = out["image"]
+    y = img.shape[1]
+    ks = jax.random.split(key, 3)
+    rows = jax.random.randint(ks[0], (int(num_stripes),), 0, y)
+    deltas = jax.random.uniform(
+        ks[1], (int(num_stripes),), minval=-intensity, maxval=intensity
+    )
+    row_delta = jnp.zeros((y,)).at[rows].add(deltas)
+    do = _rand(ks[2], prob)
+    out["image"] = jnp.where(
+        do, jnp.clip(img + row_delta[None, :, None, None], 0.0, 1.0), img
+    )
+    return out
+
+
+def _motion_blur(sample: Sample, key, prob=0.2, sections=2, kernel_size=9, **_) -> Sample:
+    """1-D directional blur (x or y) applied to random z sections."""
+    out = dict(sample)
+    img = out["image"]
+    z = img.shape[0]
+    k = int(kernel_size)
+    ks = jax.random.split(key, 4)
+    # box blur via cumulative sums (edge-padded), fused cleanly by XLA
+    def box1d(v, axis):
+        pad = [(0, 0)] * v.ndim
+        pad[axis] = (k // 2, k - 1 - k // 2)
+        vp = jnp.pad(v, pad, mode="edge")
+        c = jnp.cumsum(vp, axis=axis)
+        lead = jax.lax.slice_in_dim(c, k - 1, vp.shape[axis], axis=axis)
+        lag = jnp.pad(
+            jax.lax.slice_in_dim(c, 0, vp.shape[axis] - k, axis=axis),
+            [(1, 0) if d == axis else (0, 0) for d in range(v.ndim)],
+        )
+        return (lead - lag) / k
+
+    blurred = jnp.where(jax.random.bernoulli(ks[0]), box1d(img, 2), box1d(img, 1))
+    zsel = jax.random.randint(ks[1], (int(sections),), 0, z)
+    zmask = jnp.zeros((z,), bool).at[zsel].set(True)
+    do = _rand(ks[2], prob)
+    out["image"] = jnp.where(do & zmask[:, None, None, None], blurred, img)
+    return out
+
+
+def _slice_shift(sample: Sample, key, prob=0.2, max_shift=8, num_slices=2, **_) -> Sample:
+    """Roll a few random z slices in (y, x) — stage jitter (image only)."""
+    out = dict(sample)
+    img = out["image"]
+    z = img.shape[0]
+    ks = jax.random.split(key, 4)
+    zsel = jax.random.randint(ks[0], (int(num_slices),), 0, z)
+    zmask = jnp.zeros((z,), bool).at[zsel].set(True)
+    sy = jax.random.randint(ks[1], (), -int(max_shift), int(max_shift) + 1)
+    sx = jax.random.randint(ks[2], (), -int(max_shift), int(max_shift) + 1)
+    rolled = jnp.roll(jnp.roll(img, sy, axis=1), sx, axis=2)
+    do = _rand(ks[3], prob)
+    out["image"] = jnp.where(do & zmask[:, None, None, None], rolled, img)
+    return out
+
+
 _DEVICE_ORDER: List[Tuple[str, Callable]] = [
     ("flip", _flip),
     ("transpose", _transpose),
     ("rotate", _rot90),
     ("misalignment", _misalignment),
     ("missing_section", _missing_section),
+    ("slice_shift", _slice_shift),
     ("missing_parts", _missing_parts),
+    ("motion_blur", _motion_blur),
     ("cut_noise", _cut_noise),
+    ("stripe", _stripe),
     ("intensity", _intensity),
+    ("mul_add", _mul_add),
     ("gamma", _gamma),
 ]
 

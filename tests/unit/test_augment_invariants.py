@@ -151,3 +151,63 @@ def test_cut_blur_region_only():
     zz, yy, xx = np.where(diff)
     box = (zz.max() - zz.min() + 1) * (yy.max() - yy.min() + 1) * (xx.max() - xx.min() + 1)
     assert diff.sum() >= 0.5 * box
+
+
+def test_on_device_extended_ops_match_host_semantics():
+    """New on-device ops (mul_add/stripe/motion_blur/slice_shift) compile
+    under jit, change only the image, and keep values finite/in-range."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_connectomics_tpu.ops.augment_jax import (
+        _motion_blur,
+        _mul_add,
+        _slice_shift,
+        _stripe,
+    )
+
+    img = jnp.asarray(np.random.default_rng(0).random((6, 16, 16, 1), dtype=np.float32))
+    lbl = jnp.ones_like(img)
+    for fn, kw in [
+        (_mul_add, {"prob": 1.0}),
+        (_stripe, {"prob": 1.0}),
+        (_motion_blur, {"prob": 1.0, "kernel_size": 5}),
+        (_slice_shift, {"prob": 1.0, "max_shift": 3}),
+    ]:
+        out = jax.jit(lambda s, k: fn(s, k, **kw))(
+            {"image": img, "label": lbl}, jax.random.PRNGKey(1)
+        )
+        assert out["image"].shape == img.shape
+        assert not np.array_equal(np.asarray(out["image"]), np.asarray(img))
+        np.testing.assert_array_equal(np.asarray(out["label"]), np.asarray(lbl))
+        assert np.isfinite(np.asarray(out["image"])).all()
+
+
+def test_motion_blur_box_kernel_matches_scipy():
+    import jax
+    import jax.numpy as jnp
+    from scipy import ndimage
+
+    from pytorch_connectomics_tpu.ops.augment_jax import _motion_blur
+
+    img = np.random.default_rng(2).random((2, 1, 24, 1), dtype=np.float32)
+    ref_x = ndimage.uniform_filter1d(img, 5, axis=2, mode="nearest")
+    ref_y = ndimage.uniform_filter1d(img, 5, axis=1, mode="nearest")
+    matched = False
+    for seed in range(8):
+        out = np.asarray(
+            _motion_blur(
+                {"image": jnp.asarray(img)}, jax.random.PRNGKey(seed),
+                prob=1.0, sections=2, kernel_size=5,
+            )["image"]
+        )
+        per_slice_ok = all(
+            np.allclose(out[z], ref_x[z], atol=1e-5)
+            or np.allclose(out[z], ref_y[z], atol=1e-5)
+            or np.allclose(out[z], img[z])
+            for z in range(img.shape[0])
+        )
+        assert per_slice_ok
+        if not np.array_equal(out, img):
+            matched = True
+    assert matched
