@@ -767,6 +767,10 @@ class DecodingConfig:
     # decode-only mode: load this (C,Z,Y,X) prediction instead of running
     # inference (reference waterz_decoding.yaml load_prediction_path)
     load_prediction_path: Optional[str] = None
+    # re-entrancy: reuse an existing decoded artifact when the prediction
+    # came from a valid cache (its name encodes the decode recipe;
+    # reference cache_resolver whole-run skip, dispatch.py:288-346)
+    reuse_cached: bool = True
     postprocessing: DecodingPostprocessConfig = field(default_factory=DecodingPostprocessConfig)
     tuning: TuningConfig = field(default_factory=TuningConfig)
     qc: QCConfig = field(default_factory=QCConfig)

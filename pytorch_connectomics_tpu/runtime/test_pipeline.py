@@ -109,6 +109,7 @@ def run_test_pipeline(
 
         prediction = None
         nn_rec = None
+        pred_cached = False
         if ext_pred:
             logger.info("decode-only: loading prediction %s", ext_pred)
             prediction = read_volume(ext_pred)
@@ -119,6 +120,7 @@ def run_test_pipeline(
             prediction = np.moveaxis(prediction, 0, -1)  # stored (C,Z,Y,X)
         elif validate_prediction_cache(pred_path, cfg_hash):
             logger.info("cache hit: %s", pred_path)
+            pred_cached = True
             prediction = read_volume(str(pred_path))
             prediction = np.moveaxis(prediction, 0, -1)  # stored (C,Z,Y,X)
         elif cfg.inference.chunked.enabled:
@@ -205,13 +207,20 @@ def run_test_pipeline(
 
         decoded = None
         if cfg.decoding.enabled and (cfg.decoding.steps or cfg.decoding.graph):
-            t1 = time.time()
-            decoded = run_decoding_stage(prediction, cfg.decoding)
-            logger.info("decode[%s]: %.1fs, %d instances", vol_name, time.time() - t1,
-                        len(np.unique(decoded)) - 1)
-            from ..data.io import save_volume
+            if cfg.decoding.reuse_cached and pred_cached and dec_path.exists():
+                # re-entrancy: the decoded name encodes the decode recipe and
+                # the prediction came from a valid cache — whole-stage skip
+                # (reference cache_resolver, dispatch.py:288-346)
+                logger.info("decode cache hit: %s", dec_path)
+                decoded = read_volume(str(dec_path)).astype(np.uint32)
+            else:
+                t1 = time.time()
+                decoded = run_decoding_stage(prediction, cfg.decoding)
+                logger.info("decode[%s]: %.1fs, %d instances", vol_name, time.time() - t1,
+                            len(np.unique(decoded)) - 1)
+                from ..data.io import save_volume
 
-            save_volume(str(dec_path), decoded.astype(np.uint32))
+                save_volume(str(dec_path), decoded.astype(np.uint32))
 
         if cfg.evaluation.enabled and vi < len(labels):
             gt = read_volume(labels[vi])

@@ -167,3 +167,57 @@ def test_upkern_weight_inflation():
     p3 = np.asarray(v3["params"]["_Stage_0"]["MedNeXtBlock_0"]["Conv_1"]["kernel"])
     p5 = np.asarray(inflated["_Stage_0"]["MedNeXtBlock_0"]["Conv_1"]["kernel"])
     np.testing.assert_array_equal(p3, p5)
+
+
+def test_decode_stage_cache_reuse(tmp_path, monkeypatch):
+    """Second run with a valid prediction cache reuses the decoded artifact
+    instead of re-decoding (reference cache_resolver re-entrancy)."""
+    import h5py
+    import numpy as np
+
+    from pytorch_connectomics_tpu.config import load_config
+    from pytorch_connectomics_tpu.runtime.test_pipeline import run_test_pipeline
+    from pytorch_connectomics_tpu.models import build_model, init_model
+    import jax
+
+    aff = np.zeros((3, 8, 16, 16), np.float32)
+    aff[:, 1:7, 2:7, 2:14] = 0.95
+    aff[:, 1:7, 9:14, 2:14] = 0.95
+    img = aff.mean(axis=0)
+    ip = str(tmp_path / "im.h5")
+    with h5py.File(ip, "w") as f:
+        f.create_dataset("main", data=img)
+
+    raw = {
+        "model": {
+            "arch": {"type": "monai_unet"},
+            "in_channels": 1, "out_channels": 3,
+            "input_size": [8, 16, 16],
+            "monai": {"filters": [4, 8, 8], "num_res_units": 1},
+            "loss": {"losses": [{"function": "DiceLoss"}]},
+        },
+        "data": {"test": {"image": ip}},
+        "inference": {"window": {"window_size": [8, 16, 16], "sw_batch_size": 1}},
+        "decoding": {
+            "enabled": True,
+            "steps": [{"name": "affinity_cc", "kwargs": {"threshold": 0.5}}],
+        },
+        "evaluation": {"enabled": False},
+    }
+    cfg = load_config(raw_dict=raw, mode="test")
+    model = build_model(cfg.model)
+    params = init_model(model, cfg.model, jax.random.PRNGKey(0))["params"]
+    run_test_pipeline(cfg, model, params, tmp_path / "out")
+    dec = list((tmp_path / "out").glob("*decoded*"))
+    assert dec, "no decoded artifact written"
+    mtime = dec[0].stat().st_mtime_ns
+
+    # second run: prediction cache valid -> decode skipped (artifact untouched)
+    import pytorch_connectomics_tpu.runtime.test_pipeline as tp
+
+    def boom(*a, **k):
+        raise AssertionError("decode should have been skipped")
+
+    monkeypatch.setattr(tp, "run_decoding_stage", boom)
+    run_test_pipeline(cfg, model, params, tmp_path / "out")
+    assert dec[0].stat().st_mtime_ns == mtime
