@@ -213,12 +213,25 @@ void watershed_seeded(const float* energy, const uint32_t* seeds,
   const int dz[6] = {-1, 1, 0, 0, 0, 0};
   const int dy[6] = {0, 0, -1, 1, 0, 0};
   const int dx[6] = {0, 0, 0, 0, -1, 1};
+  const int64_t doff[6] = {-Y * X, Y * X, -X, X, -1, 1};
   for (int b = 0; b < NB; ++b) {
     auto& q = buckets[b];
     // index loop: the bucket may grow while we drain it (same-level pushes)
     for (size_t qi = 0; qi < q.size(); ++qi) {
       const int64_t i = q[qi];
       const int64_t z = i / (Y * X), y = (i / X) % Y, x = i % X;
+      const bool interior =
+          z > 0 && z < Z - 1 && y > 0 && y < Y - 1 && x > 0 && x < X - 1;
+      if (interior) {
+        // fast path: no per-neighbor bounds checks (~90% of voxels)
+        for (int d = 0; d < 6; ++d) {
+          const int64_t j = i + doff[d];
+          if (out[j] || (mask && !mask[j])) continue;
+          out[j] = out[i];
+          buckets[std::max(b, level(j))].push_back(j);
+        }
+        continue;
+      }
       for (int d = 0; d < 6; ++d) {
         const int64_t zz = z + dz[d], yy = y + dy[d], xx = x + dx[d];
         if (zz < 0 || zz >= Z || yy < 0 || yy >= Y || xx < 0 || xx >= X) continue;
