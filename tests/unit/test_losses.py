@@ -209,3 +209,65 @@ def test_gradnorm_balancing_updates_weights():
     assert "gradnorm_w_MSELoss_0" in logs
     # initial losses captured at step 0 and held fixed
     assert float(state.balancer[1, 0]) > 0.0
+
+
+def test_ds_weights_custom_vs_default():
+    """Custom ds_weights override the 1/2^k defaults in the DS sum."""
+    import jax.numpy as jnp
+
+    from pytorch_connectomics_tpu.config.schema import LossConfig, build_dataclass
+    from pytorch_connectomics_tpu.losses.orchestrator import LossOrchestrator
+
+    pred = jnp.zeros((1, 8, 8, 8, 1))
+    tgt = jnp.ones((1, 8, 8, 8, 1))
+    ds = jnp.zeros((1, 4, 4, 4, 1))
+    outputs = {"out": pred, "ds_1": ds}
+
+    def total_with(ds_weights):
+        cfg = build_dataclass(
+            LossConfig,
+            {"losses": [{"function": "MSELoss", "weight": 1.0}],
+             **({"ds_weights": ds_weights} if ds_weights else {})},
+        )
+        orch = LossOrchestrator(cfg)
+        total, logs = orch.compute(outputs, tgt)
+        return float(total), {k: float(v) for k, v in logs.items()}
+
+    t_default, logs_d = total_with(None)
+    t_custom, logs_c = total_with([0.25])
+    # term loss 1.0 at both scales: default total = 1 + 0.5, custom = 1 + 0.25
+    assert abs(t_default - 1.5) < 1e-5, logs_d
+    assert abs(t_custom - 1.25) < 1e-5, logs_c
+    assert "loss_ds_1" in logs_d
+
+
+def test_non_finite_term_propagates_loudly():
+    """A NaN-producing term must reach loss_total un-masked (no silent
+    nan_to_num) so the Trainer's per-term check can name it."""
+    import jax.numpy as jnp
+
+    from pytorch_connectomics_tpu.config.schema import LossConfig, build_dataclass
+    from pytorch_connectomics_tpu.losses.orchestrator import LossOrchestrator
+
+    cfg = build_dataclass(LossConfig, {"losses": [{"function": "MSELoss"}]})
+    orch = LossOrchestrator(cfg)
+    bad = jnp.full((1, 4, 4, 4, 1), jnp.nan)
+    total, logs = orch.compute(bad, jnp.zeros((1, 4, 4, 4, 1)))
+    assert not np.isfinite(float(total))
+    assert not np.isfinite(float(logs["loss_MSELoss_0"]))
+
+
+def test_ds_target_downsampling_average_pool():
+    """DS targets average-pool to the scale's resolution."""
+    import jax.numpy as jnp
+
+    from pytorch_connectomics_tpu.config.schema import LossConfig, build_dataclass
+    from pytorch_connectomics_tpu.losses.orchestrator import LossOrchestrator
+
+    cfg = build_dataclass(LossConfig, {"losses": [{"function": "MSELoss"}]})
+    orch = LossOrchestrator(cfg)
+    tgt = jnp.zeros((1, 4, 4, 4, 1)).at[:, :2].set(1.0)  # top half ones
+    small = orch._downsample_target(tgt, (2, 2, 2))
+    assert small.shape == (1, 2, 2, 2, 1)
+    np.testing.assert_allclose(np.asarray(small[0, 0, ..., 0]), 1.0)
+    np.testing.assert_allclose(np.asarray(small[0, 1, ..., 0]), 0.0)
