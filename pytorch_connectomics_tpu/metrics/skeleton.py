@@ -107,16 +107,55 @@ def skeletonize_volume(
     anisotropy: Sequence[float] = (1.0, 1.0, 1.0),
     min_voxels: int = 50,
     method: str = "teasar",
+    num_workers: int = 0,
 ) -> Dict[int, Skeleton]:
-    """Instance volume -> {id: Skeleton} (kimimaro.skeletonize equivalent)."""
-    out: Dict[int, Skeleton] = {}
-    for iid in np.unique(labels):
-        if iid == 0:
-            continue
-        m = labels == iid
-        if m.sum() < min_voxels:
-            continue
-        sk = skeletonize_instance(m, stride, anisotropy, method=method)
-        if sk is not None and len(sk.edges):
-            out[int(iid)] = sk
-    return out
+    """Instance volume -> {id: Skeleton} (kimimaro.skeletonize equivalent).
+
+    One ``find_objects`` pass supplies per-instance bounding boxes (instead
+    of a full-volume mask scan per id), and instances skeletonize on a
+    thread pool (the TEASAR kernel releases the GIL).
+    ``num_workers=0`` auto-sizes to the CPU count (capped at 8)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    ids, counts = np.unique(labels, return_counts=True)
+    keep = [(int(i), int(c)) for i, c in zip(ids, counts) if i != 0 and c >= min_voxels]
+    if not keep:
+        return {}
+    # find_objects allocates max_label slots; renumber first when ids are
+    # sparse so the bbox pass stays O(n + K)
+    lab = labels
+    back = None
+    if int(ids.max()) > 4 * len(ids) + 64:
+        from ..ops import renumber as _renumber
+
+        lab, _ = _renumber(np.ascontiguousarray(labels.astype(np.uint32)))
+        nz = lab.ravel() != 0
+        pairs = np.unique(
+            np.stack([lab.ravel()[nz], labels.ravel()[nz].astype(np.int64)], 1), axis=0
+        )
+        back = {int(a): int(b) for a, b in pairs}
+        fwd = {b: a for a, b in back.items()}
+        keep = [(fwd[o], c) for o, c in keep]
+    objs = ndimage.find_objects(lab.astype(np.int64))
+
+    def one(item):
+        iid, _ = item
+        sl = objs[iid - 1]
+        if sl is None:
+            return None
+        sub = lab[sl] == iid
+        sk = skeletonize_instance(sub, stride, anisotropy, method=method)
+        if sk is None or not len(sk.edges):
+            return None
+        offset = np.array([s.start for s in sl], np.float64)
+        out_id = back[iid] if back else iid
+        return out_id, Skeleton(sk.nodes + offset, sk.edges)
+
+    workers = num_workers or min(8, os.cpu_count() or 1, len(keep))
+    if workers > 1:
+        with ThreadPoolExecutor(workers) as pool:
+            results = list(pool.map(one, keep))
+    else:
+        results = [one(k) for k in keep]
+    return {iid: sk for r in results if r for iid, sk in [r]}
