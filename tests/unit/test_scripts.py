@@ -95,3 +95,56 @@ def test_rank_sharded_test_pipeline(monkeypatch, tmp_path):
     r1 = assign_volumes_to_ranks(vols, 1, 2)
     assert sorted(r0 + r1) == sorted(vols)
     assert not set(r0) & set(r1)
+
+
+def test_compare_config_resolved_diff():
+    r = run(["scripts/compare_config.py", "tutorials/mitoem.yaml",
+             "tutorials/mitoem_h.yaml", "--mode", "test"])
+    assert r.returncode == 0, r.stderr
+    assert "resolved differences" in r.stdout
+    assert "experiment_name" in r.stdout
+
+
+def test_eval_curvilinear_cli(vol_h5, tmp_path):
+    from pytorch_connectomics_tpu.data.io import save_volume
+
+    tube = np.zeros((8, 32, 32), np.uint8)
+    tube[:, 15:17, :] = 1
+    pred = np.zeros_like(tube)
+    pred[:, 16:18, :] = 1
+    save_volume(str(tmp_path / "p.h5"), pred)
+    save_volume(str(tmp_path / "g.h5"), tube)
+    r = run(["scripts/eval_curvilinear.py", "--pred", str(tmp_path / "p.h5"),
+             "--gt", str(tmp_path / "g.h5"), "--tolerance", "2"])
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout)
+    assert out["mean"]["f1"] == 1.0  # 1-voxel offset within tolerance 2
+
+
+def test_copy_uri_file_scheme(tmp_path):
+    src = tmp_path / "a.txt"
+    src.write_text("x")
+    r = run(["scripts/copy_uri.py", str(src), f"file://{tmp_path}/dest/"])
+    assert r.returncode == 0, r.stderr
+    assert (tmp_path / "dest" / "a.txt").exists()
+
+
+def test_h5_to_precomputed_multiscale(vol_h5, tmp_path):
+    layer = tmp_path / "layer"
+    r = run(["scripts/h5_to_precomputed.py", str(vol_h5 / "vol.h5"), str(layer),
+             "--chunk", "8", "16", "16", "--resolution", "30", "6", "6",
+             "--mips", "2"])
+    assert r.returncode == 0, r.stderr
+    from pytorch_connectomics_tpu.data.precomputed import open_precomputed
+
+    assert open_precomputed(layer, resolution=[30, 6, 6]).shape == (8, 32, 32)
+    assert open_precomputed(layer, resolution=[30, 12, 12]).shape == (8, 16, 16)
+
+
+def test_decode_bench_smoke():
+    r = run(["scripts/decode_bench.py", "--shape", "16", "32", "32", "--reps", "1"])
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["metric"] == "decode_throughput"
+    for key in ("ccl3d_26", "watershed_seeded", "agglomerate_mean", "mutex_watershed"):
+        assert out["results"][key] > 0
