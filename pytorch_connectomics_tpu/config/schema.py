@@ -701,6 +701,9 @@ class DecodingPostprocessConfig:
 
     min_instance_size: int = 0
     connectivity: int = 6
+    # cc3d-style relabel: split instances that are not connected under
+    # ``connectivity`` into separate ids (reference postprocess cc pass)
+    split_disconnected: bool = False
     transpose: Optional[List[int]] = None
 
 

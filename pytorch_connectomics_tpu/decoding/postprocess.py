@@ -36,6 +36,8 @@ def apply_postprocessing(
     if cfg is None:
         return labels
     out = np.asarray(labels)
+    if cfg.split_disconnected:
+        out = cc_instance_filter(out, cfg.connectivity)
     if cfg.min_instance_size:
         out = remove_small_instances(out, cfg.min_instance_size)
     if cfg.transpose:

@@ -163,3 +163,29 @@ def test_nerl_perfect_vs_split():
     split[..., 32:][split[..., 32:] > 0] = 2
     halved = compute_nerl(split, gt)
     assert 0.2 < halved["nerl"] < 0.75
+
+
+def test_postprocess_split_disconnected():
+    """postprocessing.split_disconnected relabels per-id connected
+    components separately (cc3d relabel parity)."""
+    import numpy as np
+
+    from pytorch_connectomics_tpu.config.schema import (
+        DecodingPostprocessConfig,
+        build_dataclass,
+    )
+    from pytorch_connectomics_tpu.decoding.postprocess import apply_postprocessing
+
+    lab = np.zeros((4, 8, 16), np.uint32)
+    lab[:, 2:6, 2:6] = 5   # two disjoint blobs share id 5
+    lab[:, 2:6, 10:14] = 5
+    cfg = build_dataclass(
+        DecodingPostprocessConfig, {"split_disconnected": True, "connectivity": 6}
+    )
+    out = apply_postprocessing(lab, cfg)
+    ids = set(np.unique(out)) - {0}
+    assert len(ids) == 2
+    # without the flag the merged id survives
+    cfg_off = build_dataclass(DecodingPostprocessConfig, {})
+    out_off = apply_postprocessing(lab, cfg_off)
+    assert len(set(np.unique(out_off)) - {0}) == 1
