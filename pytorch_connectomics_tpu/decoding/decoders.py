@@ -191,6 +191,52 @@ def decode_polarity(pred, threshold=0.5, min_size=0, pair_distance=8, **kw):
     return out
 
 
+def grow_labels_bounded(
+    labels: np.ndarray,
+    fg: Optional[np.ndarray] = None,
+    max_steps: int = 5,
+) -> np.ndarray:
+    """Grow labels into unlabeled foreground by at most ``max_steps``
+    6-connected rings (reference ``segmentation_grow.py:256``
+    sparse_geodesic_grow_labels semantics: bounded geodesic growth).
+
+    Ties resolve deterministically by axis priority (z-, z+, y-, y+,
+    x-, x+)."""
+    lab = np.asarray(labels, dtype=np.uint32).copy()
+    grow_into = (lab == 0) if fg is None else ((lab == 0) & np.asarray(fg, bool))
+    for _ in range(int(max_steps)):
+        frontier = np.zeros_like(lab)
+        for axis, shift in ((0, 1), (0, -1), (1, 1), (1, -1), (2, 1), (2, -1)):
+            src = np.roll(lab, shift, axis=axis)
+            # roll wraps; zero the wrapped face
+            edge = [slice(None)] * 3
+            edge[axis] = slice(0, 1) if shift == 1 else slice(-1, None)
+            src[tuple(edge)] = 0
+            take = grow_into & (frontier == 0) & (src > 0)
+            frontier[take] = src[take]
+        if not frontier.any():
+            break
+        grew = frontier > 0
+        lab[grew] = frontier[grew]
+        grow_into &= ~grew
+    return lab
+
+
+@register_decoder("grow_bounded")
+def decode_grow_bounded(labels, prediction=None, threshold=0.5, max_steps=5, **kw):
+    """Bounded growth step: grow the incoming labels into affinity-supported
+    foreground (graph mode passes ``prediction`` as a second input; linear
+    mode grows into all unlabeled voxels)."""
+    lab = np.asarray(labels)
+    if lab.ndim == 4:
+        lab = lab[0]
+    fg = None
+    if prediction is not None:
+        p = _chan(np.asarray(prediction, dtype=np.float32))
+        fg = p[: min(3, p.shape[0])].mean(axis=0) > threshold
+    return grow_labels_bounded(lab.astype(np.uint32), fg, max_steps)
+
+
 @register_decoder("segmentation_grow")
 def decode_grow(pred, markers=None, threshold=0.5, iterations=2, **kw):
     """Marker-based growth: dilate instance markers within the foreground

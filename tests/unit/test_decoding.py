@@ -189,3 +189,40 @@ def test_postprocess_split_disconnected():
     cfg_off = build_dataclass(DecodingPostprocessConfig, {})
     out_off = apply_postprocessing(lab, cfg_off)
     assert len(set(np.unique(out_off)) - {0}) == 1
+
+
+def test_grow_labels_bounded():
+    """Bounded geodesic growth: labels expand <= max_steps rings into
+    foreground, never across background walls or other labels."""
+    import numpy as np
+
+    from pytorch_connectomics_tpu.decoding.decoders import grow_labels_bounded
+
+    lab = np.zeros((1, 5, 21), np.uint32)
+    lab[0, 2, 2] = 1
+    lab[0, 2, 18] = 2
+    fg = np.ones_like(lab, bool)
+    fg[0, :, 10] = False  # wall between the two seeds
+
+    out1 = grow_labels_bounded(lab, fg, max_steps=3)
+    assert out1[0, 2, 5] == 1  # 3 steps away
+    assert out1[0, 2, 6] == 0  # 4 steps away: beyond the bound
+    out_many = grow_labels_bounded(lab, fg, max_steps=50)
+    # growth halts at the wall; the two labels never mix
+    assert out_many[0, 2, 10] == 0
+    assert (out_many[0, :, :10][fg[0, :, :10]] == 1).all()
+    assert (out_many[0, :, 11:][fg[0, :, 11:]] == 2).all()
+
+
+def test_grow_bounded_registered_with_prediction_gate():
+    import numpy as np
+
+    from pytorch_connectomics_tpu.decoding.registry import get_decoder
+
+    lab = np.zeros((1, 4, 8), np.uint32)
+    lab[0, 1, 1] = 7
+    pred = np.zeros((3, 1, 4, 8), np.float32)
+    pred[:, 0, 1, :4] = 0.9  # fg only on the left strip
+    out = get_decoder("grow_bounded")(lab, prediction=pred, threshold=0.5, max_steps=8)
+    assert out[0, 1, 3] == 7  # grew within fg
+    assert out[0, 1, 6] == 0  # outside fg: untouched
