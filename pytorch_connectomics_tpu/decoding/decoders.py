@@ -250,20 +250,43 @@ def decode_grow(pred, markers=None, threshold=0.5, iterations=2, **kw):
 
 
 @register_decoder("shape_smooth")
-def decode_shape_smooth(labels, iterations=1, **kw):
+def decode_shape_smooth(labels, iterations=1, keep_vanishing=True, **kw):
     """Multilabel morphological smoothing (open) preserving label identity
-    (reference ``shape_smooth.py`` / fastmorph)."""
+    (reference ``shape_smooth.py`` / fastmorph). Instances process on
+    bbox crops (padded by ``iterations``) instead of full-volume masks;
+    ``keep_vanishing`` restores instances the opening would erase."""
     lab = np.asarray(labels)
     if lab.ndim == 4:
         lab = lab[0]
     lab = lab.astype(np.uint32)
+    ids = np.unique(lab)
+    id_map = None
+    if len(ids) and int(ids.max()) > 4 * len(ids) + 64:
+        # sparse ids: renumber for a dense find_objects pass, map back after
+        from ..ops import renumber as _renumber
+
+        dense, _ = _renumber(np.ascontiguousarray(lab))
+        id_map = np.zeros(int(dense.max()) + 1, np.uint32)
+        id_map[dense.ravel()] = lab.ravel()
+        lab = dense
     out = np.zeros_like(lab)
-    for iid in np.unique(lab):
-        if iid == 0:
+    objs = ndimage.find_objects(lab.astype(np.int64))
+    it = int(iterations)
+    for iid0, sl in enumerate(objs):
+        if sl is None:
             continue
-        m = lab == iid
-        m = binary_dilation(binary_erosion(m, iterations), iterations)
-        out[m] = iid
+        iid = iid0 + 1
+        padded = tuple(
+            slice(max(0, s.start - it), min(dim, s.stop + it))
+            for s, dim in zip(sl, lab.shape)
+        )
+        m = lab[padded] == iid
+        sm = binary_dilation(binary_erosion(m, it), it)
+        if keep_vanishing and not sm.any():
+            sm = m  # opening erased the instance: keep the original
+        out[padded][sm] = iid
+    if id_map is not None:
+        out = id_map[out]
     return out
 
 

@@ -226,3 +226,21 @@ def test_grow_bounded_registered_with_prediction_gate():
     out = get_decoder("grow_bounded")(lab, prediction=pred, threshold=0.5, max_steps=8)
     assert out[0, 1, 3] == 7  # grew within fg
     assert out[0, 1, 6] == 0  # outside fg: untouched
+
+
+def test_shape_smooth_bbox_sparse_ids_and_vanishing():
+    """shape_smooth: bbox-cropped per-instance opening preserves sparse
+    ids, keeps instances the opening would erase, removes thin filaments."""
+    import numpy as np
+
+    from pytorch_connectomics_tpu.decoding.decoders import decode_shape_smooth
+
+    lab = np.zeros((6, 20, 20), np.uint32)
+    lab[1:5, 2:10, 2:10] = 1000003  # sparse id
+    lab[2, 15, 15] = 777777  # single voxel
+    lab[2, 10:16, 5] = 1000003  # thin filament off the block
+    out = decode_shape_smooth(lab, iterations=1)
+    assert set(np.unique(out)) == {0, 1000003, 777777}
+    assert out[2, 15, 15] == 777777  # keep_vanishing
+    assert out[2, 13, 5] == 0  # filament opened away
+    assert out[3, 5, 5] == 1000003
