@@ -37,20 +37,22 @@ def tube_instance_qc(
     areas: Dict[int, List[int]] = {}
     zs: Dict[int, List[int]] = {}
     for z in range(lab.shape[0]):
-        sec = lab[z]
-        for iid in np.unique(sec):
+        ids, counts = np.unique(lab[z], return_counts=True)
+        for iid, c in zip(ids.tolist(), counts.tolist()):
             if iid == 0:
                 continue
-            areas.setdefault(int(iid), []).append(int((sec == iid).sum()))
+            areas.setdefault(int(iid), []).append(int(c))
             zs.setdefault(int(iid), []).append(z)
-    border = np.zeros(lab.shape, bool)
-    border[:, 0, :] = border[:, -1, :] = True
-    border[:, :, 0] = border[:, :, -1] = True
+    # ids touching the in-plane volume border, in one pass
+    border_ids = set(np.unique(lab[:, 0, :]).tolist())
+    border_ids |= set(np.unique(lab[:, -1, :]).tolist())
+    border_ids |= set(np.unique(lab[:, :, 0]).tolist())
+    border_ids |= set(np.unique(lab[:, :, -1]).tolist())
     for iid, zlist in zs.items():
         a = np.array(areas[iid])
         length = max(zlist) - min(zlist) + 1
         multi = sum(1 for z in zlist if sections[z].get(iid, 1) > 1)
-        touches_border = bool((border & (lab == iid)).any())
+        touches_border = iid in border_ids
         report[iid] = {
             "length": float(length),
             "voxels": float(a.sum()),
