@@ -107,7 +107,7 @@ def conv3d_3x3_pallas(
         functools.partial(_conv3x3_kernel, block=block, cin=Ci, cout=Co),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # full padded input in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # full padded input in HBM
             pl.BlockSpec(
                 (27 * Ci, Co), lambda b, z, y, x: (0, 0), memory_space=pltpu.VMEM
             ),

@@ -82,7 +82,7 @@ def depthwise3x3_pallas(
         functools.partial(_dw_kernel, block=block, cin=C),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((27, Cp), lambda b, z, y, x: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Cp), lambda b, z, y, x: (0, 0), memory_space=pltpu.VMEM),
         ],
