@@ -148,3 +148,27 @@ def test_decode_bench_smoke():
     assert out["metric"] == "decode_throughput"
     for key in ("ccl3d_26", "watershed_seeded", "agglomerate_mean", "mutex_watershed"):
         assert out["results"][key] > 0
+
+
+def test_downsample_modes_and_chunked_equivalence(vol_h5, tmp_path):
+    r1 = run(["scripts/downsample.py", str(vol_h5 / "vol.h5"),
+              str(tmp_path / "w.h5"), "--factors", "2", "2", "2"])
+    assert r1.returncode == 0, r1.stderr
+    r2 = run(["scripts/downsample.py", str(vol_h5 / "vol.h5"),
+              str(tmp_path / "c.h5"), "--factors", "2", "2", "2",
+              "--chunk", "4", "16", "16"])
+    assert r2.returncode == 0, r2.stderr
+    import h5py
+
+    with h5py.File(tmp_path / "w.h5") as f:
+        whole = f["main"][:]
+    with h5py.File(tmp_path / "c.h5") as f:
+        chunked = f["main"][:]
+    np.testing.assert_allclose(whole, chunked, atol=1e-6)
+    # label volumes auto-detect strided mode and keep ids
+    r3 = run(["scripts/downsample.py", str(vol_h5 / "seg.h5"),
+              str(tmp_path / "l.h5"), "--factors", "2", "2", "2"])
+    assert r3.returncode == 0, r3.stderr
+    with h5py.File(tmp_path / "l.h5") as f:
+        lab = f["main"][:]
+    assert set(np.unique(lab)) <= {0, 1, 2}
