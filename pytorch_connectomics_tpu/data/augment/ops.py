@@ -127,8 +127,18 @@ def rand_misalignment(sample: Sample, rng, prob=0.3, displacement=12, rotate_rat
         dx = int(rng.integers(-displacement, displacement + 1))
 
         def shift(v, interp):
+            # bounded shift with zero fill (reference shift_2d,
+            # augment_ops.py:49-58) — np.roll would wrap the opposite edge
+            # into the shifted sections, an artifact no microscope produces
             out = v.copy()
-            out[:, zi:] = np.roll(v[:, zi:], (dy, dx), axis=(2, 3))
+            h, w = v.shape[2], v.shape[3]
+            moved = np.zeros_like(v[:, zi:])
+            sy = slice(max(0, -dy), min(h, h - dy))
+            sx = slice(max(0, -dx), min(w, w - dx))
+            ty = slice(max(0, dy), min(h, h + dy))
+            tx = slice(max(0, dx), min(w, w + dx))
+            moved[:, :, ty, tx] = v[:, zi:, sy, sx]
+            out[:, zi:] = moved
             return out
 
     return _geom_apply(sample, shift)

@@ -159,6 +159,45 @@ class MedianPruner:
         return signed_value > float(np.median(past))  # signed: smaller better
 
 
+class HyperbandPruner:
+    """Successive-halving pruning over intermediate reports (reference
+    HyperbandPruner via ``optuna_tuner.py:1044``). Rungs sit at resource
+    budgets ``min_resource * reduction_factor**k`` (resource = number of
+    reports, i.e. volumes evaluated); at each rung a trial survives only if
+    its running value is in the best ``1/reduction_factor`` fraction of
+    values previously seen at that rung. Optuna's Hyperband runs several
+    such brackets; with the handful of per-trial reports decode tuning
+    produces, the single aggressive bracket is the part that matters."""
+
+    def __init__(self, min_resource: int = 1, reduction_factor: int = 3,
+                 n_warmup_trials: int = 4):
+        self.min_resource = min_resource
+        self.eta = reduction_factor
+        self.n_warmup_trials = n_warmup_trials
+        self._rungs: Dict[int, List[float]] = {}  # budget -> signed values
+
+    def _is_rung(self, budget: int) -> bool:
+        b = self.min_resource
+        while b < budget:
+            b *= self.eta
+        return b == budget
+
+    def record(self, step: int, signed_value: float):
+        budget = step + 1
+        if self._is_rung(budget):
+            self._rungs.setdefault(budget, []).append(signed_value)
+
+    def should_prune(self, step: int, signed_value: float) -> bool:
+        budget = step + 1
+        if not self._is_rung(budget):
+            return False
+        past = self._rungs.get(budget, [])
+        if len(past) < self.n_warmup_trials:
+            return False
+        # signed: smaller is better; survive only in the top 1/eta fraction
+        return signed_value > float(np.quantile(past, 1.0 / self.eta))
+
+
 class CmaEsSampler:
     """Diagonal evolution-strategy sampler of the CMA family (sequential
     (mu, lambda)-ES with per-dimension step sizes; the full-covariance
@@ -316,7 +355,12 @@ class DecodingTuner:
         self._grid: Optional[List[Dict[str, Any]]] = (
             self.space.grid() if cfg.sampler == "grid" else None
         )
-        self._pruner = MedianPruner() if (cfg.pruner or "").lower() == "median" else None
+        pruner_name = (cfg.pruner or "").lower()
+        self._pruner = (
+            MedianPruner() if pruner_name == "median"
+            else HyperbandPruner() if pruner_name == "hyperband"
+            else None
+        )
         self._rng = np.random.default_rng(cfg.seed)
 
     def _suggest(self, i: int) -> Optional[Dict[str, Any]]:

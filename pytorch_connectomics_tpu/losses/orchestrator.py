@@ -140,10 +140,9 @@ class LossOrchestrator:
         kwargs = dict(term.kwargs)
         if term.auto_pos:
             kwargs["pos_weight"] = auto_pos_weight(t, m)
-        if term.fn.__name__ in ("contour_consistency",) or "pred2_slice" == term.name:
-            p2 = slice_channels(pred, term.pred2_slice)
-            return term.fn(p, p2, weight=w, mask=m, **kwargs)
-        if term.pred2_slice is not None:
+        if term.fn.__name__ == "contour_consistency" or term.pred2_slice is not None:
+            # pred-vs-pred losses: contour_consistency with no pred2_slice
+            # compares against the full prediction tensor
             p2 = slice_channels(pred, term.pred2_slice)
             return term.fn(p, p2, weight=w, mask=m, **kwargs)
         return term.fn(p, t, weight=w, mask=m, **kwargs)

@@ -165,6 +165,37 @@ def tversky_loss(pred, target, weight=None, mask=None, alpha=0.5, beta=0.5,
     return jnp.mean(1.0 - tv)
 
 
+def scnp_loss(pred, target, weight=None, mask=None, neighborhood_size=3,
+              auto_pos_weight_flag=True, **kw):
+    """Same-Class Neighbor Penalization (reference ``ScnpLoss``,
+    ``losses.py:354-453``; Lipman et al., CVPR 2026). Each voxel's logit is
+    replaced by its worst same-class neighbor in an ``N^3`` window — min
+    logit over foreground neighbors for foreground voxels, max logit over
+    background neighbors for background voxels — then scored with the same
+    per-channel class-balanced BCE as :func:`per_channel_bce`. Max-pooling
+    is differentiable, so the gradient routes to the worst neighbor,
+    penalizing topological errors (holes, isolated false positives)."""
+    ns = int(neighborhood_size)
+    if ns < 1 or ns % 2 == 0:
+        raise ValueError(f"neighborhood_size must be a positive odd int, got {ns}")
+    p = pred.astype(jnp.float32)
+    t = target.astype(jnp.float32)
+    fg = (t > 0.5).astype(jnp.float32)
+    bg = 1.0 - fg
+    large = 9999.0
+    win = (1, ns, ns, ns, 1) if p.ndim == 5 else (1, ns, ns, 1)
+    ones = (1,) * p.ndim
+
+    def _maxpool(x):
+        return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, win, ones, "SAME")
+
+    t1 = -_maxpool(-(p * fg + large * bg))  # min logit over fg neighbors
+    t2 = _maxpool(p * bg - large * fg)      # max logit over bg neighbors
+    z_tilde = t1 * fg + t2 * bg
+    return per_channel_bce(z_tilde, t, weight=weight, mask=mask,
+                           auto_pos_weight_flag=auto_pos_weight_flag)
+
+
 # -- soft skeletonization (SoftClDice; reference losses.py:47-86) -----------
 
 
@@ -274,6 +305,7 @@ LOSS_REGISTRY: Dict[str, Callable] = {
     "FocalLoss": focal_loss,
     "TverskyLoss": tversky_loss,
     "SoftClDiceLoss": soft_cldice_loss,
+    "ScnpLoss": scnp_loss,
     "BinaryReg": binary_reg,
     "ForegroundDTConsistency": foreground_dt_consistency,
     "ContourDTConsistency": contour_consistency,

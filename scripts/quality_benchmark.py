@@ -200,11 +200,14 @@ def main():
     jac = float(jaccard_index(pred, lbl_te.astype(jnp.float32), from_logits=True))
     infer_s = time.time() - t0
 
+    # NOTE: no "vs_baseline" here on purpose — the 0.935 Lucchi++ headline is a
+    # REAL-data number; comparing a synthetic-task Jaccard against it would be
+    # misleading (VERDICT r2 Weak #4). This metric tracks pipeline correctness
+    # round-over-round only.
     result = {
-        "metric": "synthetic_em_jaccard",
+        "metric": "synthetic_v2_jaccard",
         "value": round(jac, 4),
         "unit": "jaccard",
-        "vs_baseline": round(jac / 0.935, 3),
         "detail": {
             "task": task, "steps": steps, "patch": patch, "batch": batch,
             "train_s": round(train_s, 1), "infer_s": round(infer_s, 1),

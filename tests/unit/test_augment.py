@@ -126,3 +126,25 @@ def test_device_flip_moves_label_with_image():
     batch = {"image": jnp.asarray(img), "label": jnp.asarray(img.copy())}
     out = fn(batch, jax.random.PRNGKey(3))
     np.testing.assert_allclose(np.asarray(out["image"]), np.asarray(out["label"]))
+
+
+def test_misalignment_zero_fills_no_wraparound():
+    """The vacated strip must be zero-filled, not wrapped from the opposite
+    edge (reference shift_2d, augment_ops.py:49-58)."""
+    s = sample()
+    s["image"] = np.ones_like(s["image"])
+    rng = np.random.default_rng(0)
+    found_fill = False
+    for seed in range(20):
+        out = A.rand_misalignment(
+            sample() | {"image": np.ones_like(s["image"])},
+            np.random.default_rng(seed), prob=1.0, displacement=4, rotate_ratio=0.0,
+        )
+        img = out["image"]
+        if not np.allclose(img, 1.0):
+            # shifted sections contain an all-zero border strip; a wraparound
+            # roll of an all-ones volume would have stayed all ones
+            assert img.min() == 0.0
+            found_fill = True
+            break
+    assert found_fill, "no nonzero displacement drawn in 20 seeds"

@@ -271,3 +271,31 @@ def test_ds_target_downsampling_average_pool():
     assert small.shape == (1, 2, 2, 2, 1)
     np.testing.assert_allclose(np.asarray(small[0, 0, ..., 0]), 1.0)
     np.testing.assert_allclose(np.asarray(small[0, 1, ..., 0]), 0.0)
+
+
+def test_scnp_loss_matches_reference_semantics():
+    """SCNP replaces each voxel's logit with its worst same-class neighbor
+    (reference ScnpLoss, losses.py:354-453) before class-balanced BCE."""
+    from pytorch_connectomics_tpu.losses.zoo import scnp_loss
+
+    # perfect confident prediction -> tiny loss; inverted -> large
+    t = (rnd(SHAPE, 1) > 0).astype(jnp.float32)
+    good = scnp_loss(jnp.where(t > 0, 10.0, -10.0), t)
+    bad = scnp_loss(jnp.where(t > 0, -10.0, 10.0), t)
+    assert float(good) < 1e-3 < float(bad)
+
+    # a single weak foreground voxel inside a confident blob must raise the
+    # loss of every foreground voxel in its neighborhood (min-pool routing)
+    t2 = jnp.zeros((1, 5, 5, 5, 1)).at[0, 1:4, 1:4, 1:4, 0].set(1.0)
+    strong = jnp.where(t2 > 0, 8.0, -8.0)
+    weak = strong.at[0, 2, 2, 2, 0].set(-2.0)
+    plain_gap = float(per_channel_bce(weak, t2) - per_channel_bce(strong, t2))
+    scnp_gap = float(scnp_loss(weak, t2) - scnp_loss(strong, t2))
+    assert scnp_gap > plain_gap > 0
+
+    with pytest.raises(ValueError):
+        scnp_loss(rnd(SHAPE), t, neighborhood_size=2)
+
+
+def test_scnp_loss_registered():
+    assert get_loss("ScnpLoss") is not None

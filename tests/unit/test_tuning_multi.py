@@ -236,3 +236,52 @@ def test_multi_volume_batch_objective():
     v1, attrs1 = single({})
     assert value == pytest.approx(v1, abs=1e-9)  # identical volumes average to the same
     assert attrs["per_threshold_metric"] == attrs1["per_threshold_metric"]
+
+
+def test_hyperband_pruner_rungs_and_cutting():
+    from pytorch_connectomics_tpu.decoding.tuning import HyperbandPruner
+
+    hp = HyperbandPruner(min_resource=1, reduction_factor=3, n_warmup_trials=3)
+    # budgets 1, 3, 9 are rungs; 2 is not
+    assert hp._is_rung(1) and hp._is_rung(3) and hp._is_rung(9)
+    assert not hp._is_rung(2)
+    # step 1 (budget 2, not a rung): never prunes, never records
+    assert not hp.should_prune(1, 99.0)
+    hp.record(1, 99.0)
+    assert hp._rungs == {}
+    # warm up rung at budget 1 (step 0) with three good values
+    for v in (0.1, 0.2, 0.3):
+        assert not hp.should_prune(0, v)
+        hp.record(0, v)
+    # top-1/3 quantile of {.1,.2,.3} is ~0.166: 0.15 survives, 0.9 is cut
+    assert not hp.should_prune(0, 0.15)
+    assert hp.should_prune(0, 0.9)
+
+
+def test_hyperband_pruner_in_tuner_cuts_bad_trials():
+    cfg = build_dataclass(
+        TuningConfig,
+        {
+            "n_trials": 30,
+            "sampler": "random",
+            "pruner": "hyperband",
+            "metric": "adapted_rand",
+            "params": [{"name": "x", "type": "float", "low": 0.0, "high": 1.0}],
+            "seed": 0,
+        },
+    )
+
+    def objective(params, report=None):
+        vals = [params["x"]] * 3
+        acc = 0.0
+        for k, v in enumerate(vals):
+            acc += v
+            if report:
+                report(k, acc / (k + 1))
+        return acc / len(vals)
+
+    tuner = DecodingTuner(cfg, objective)
+    tuner.optimize()
+    states = [t.state for t in tuner.trials]
+    assert "pruned" in states
+    assert tuner.best_trial.state == "complete"
