@@ -629,6 +629,11 @@ class TTAConfig:
     ensemble_mode: Union[str, List[Any]] = "mean"  # mean|min|max or per-slice
     act: Optional[Union[str, List[Any]]] = None  # sigmoid/softmax/tanh per slice
     shard_across_devices: bool = True
+    # patch-first-local mode (reference tta.py:420,822): variants evaluated
+    # inside each window batch on-device; ONE volume sweep instead of one
+    # per variant. Exact for mean ensembling on symmetric grids; min/max
+    # ensemble at window level before blending.
+    patch_first_local: bool = False
 
 
 @dataclass

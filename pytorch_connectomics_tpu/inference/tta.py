@@ -121,6 +121,71 @@ def ensemble(
     return out
 
 
+def make_patch_local_apply_fn(
+    apply_fn: Callable,
+    variants: List[Dict[str, Any]],
+    ensemble_mode: Union[str, List[Any]] = "mean",
+    window: Optional[Sequence[int]] = None,
+) -> Callable:
+    """Wrap a model ``apply_fn`` so every window batch is evaluated under all
+    TTA variants on-device and ensembled per window (reference
+    patch-first-local TTA, ``tta.py:420,822``). Flips/rots on a patch are a
+    handful of vmapped lane/sublane reversals — nearly free on TPU — so this
+    removes the per-variant volume sweeps entirely.
+
+    Ensembling happens on raw per-window outputs (before blending and before
+    channel activations); with mean ensembling and a flip-symmetric window
+    grid this is exactly the whole-volume result (blending is linear), while
+    min/max differ from whole-volume mode by design (window-level reduce).
+    """
+    import jax.numpy as jnp
+
+    if any(v["rot"] for v in variants):
+        if window is not None and window[1] != window[2]:
+            raise ValueError(
+                "patch_first_local rotation90 needs a square (y, x) window, "
+                f"got {tuple(window)}"
+            )
+
+    modes: Union[str, List[Any]] = ensemble_mode
+    need = {modes} if isinstance(modes, str) else {str(m) for _, m in modes}
+    bad = need - {"mean", "min", "max"}
+    if bad:
+        raise ValueError(f"unknown ensemble mode(s) {sorted(bad)}")
+
+    def tta_apply(params, batch):
+        accs: Dict[str, Any] = {}
+        for v in variants:
+            vb = batch
+            if v["flip"]:
+                vb = jnp.flip(vb, axis=tuple(a + 1 for a in v["flip"]))
+            if v["rot"]:
+                vb = jnp.rot90(vb, v["rot"], axes=(2, 3))
+            p = apply_fn(params, vb)
+            if v["rot"]:
+                p = jnp.rot90(p, -v["rot"], axes=(2, 3))
+            if v["flip"]:
+                p = jnp.flip(p, axis=tuple(a + 1 for a in v["flip"]))
+            p = p.astype(jnp.float32)
+            if "mean" in need:
+                accs["mean"] = p if "mean" not in accs else accs["mean"] + p
+            if "min" in need:
+                accs["min"] = p if "min" not in accs else jnp.minimum(accs["min"], p)
+            if "max" in need:
+                accs["max"] = p if "max" not in accs else jnp.maximum(accs["max"], p)
+        if "mean" in accs:
+            accs["mean"] = accs["mean"] / len(variants)
+        if isinstance(modes, str):
+            return accs[modes]
+        out = accs[str(modes[0][1])]
+        for spec, m in modes:
+            sl = parse_slice(str(spec))
+            out = out.at[..., sl].set(accs[str(m)][..., sl])
+        return out
+
+    return tta_apply
+
+
 class TTAPredictor:
     """Wires variant enumeration around a sliding-window engine."""
 
@@ -142,6 +207,16 @@ class TTAPredictor:
         self.activations = activations if activations is not None else cfg.act
         self.select_channel = select_channel
         self.mesh = mesh
+        self.patch_first_local = bool(getattr(cfg, "patch_first_local", False))
+        self._patch_engine: Optional[SlidingWindowEngine] = None
+        if self.patch_first_local and len(self.variants) > 1:
+            import copy
+
+            wrapped = make_patch_local_apply_fn(
+                engine.apply_fn, self.variants, self.ensemble_mode, engine.window
+            )
+            self._patch_engine = copy.copy(engine)
+            self._patch_engine.apply_fn = wrapped
 
     @property
     def num_variants(self) -> int:
@@ -156,6 +231,17 @@ class TTAPredictor:
         self, params, volume: np.ndarray, out_channels: Optional[int] = None
     ) -> np.ndarray:
         """volume (Z,Y,X[,C]) -> activated ensembled prediction (Z,Y,X,C)."""
+        if self._patch_engine is not None:
+            # ONE sweep; variants ensembled per window inside the jitted pass
+            eng = self._patch_engine
+            if self.mesh is not None and self.mesh.devices.size > 1:
+                p = eng.predict_sharded(params, volume, self.mesh, out_channels)
+            else:
+                p = eng(params, volume, out_channels)
+            out = apply_channel_activations(p, self.activations)
+            if self.select_channel is not None:
+                out = out[..., self.select_channel]
+            return out.astype(np.float32)
         if (
             self.mesh is not None
             and self.mesh.devices.size > 1

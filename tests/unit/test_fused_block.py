@@ -86,34 +86,3 @@ def test_fused_block_chain_in_cf():
         cf = fused_block_cf(cf, z_size=5, y_size=6, x_size=12, **p2)
         got = from_cf(cf, 6, 12)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4)
-
-
-def test_fused_forward_matches_model_apply():
-    """Full MedNeXt fused inference forward == model.apply on a tiny model."""
-    from pytorch_connectomics_tpu.config.schema import ModelConfig, build_dataclass
-    from pytorch_connectomics_tpu.models import build_model, init_model
-    from pytorch_connectomics_tpu.models.mednext_fused import fused_mednext_forward
-
-    cfg = build_dataclass(
-        ModelConfig,
-        {
-            "arch": {"type": "mednext"},
-            "in_channels": 1,
-            "out_channels": 2,
-            "input_size": [16, 16, 16],
-            "mednext": {"size": "S", "kernel_size": 3},
-            "loss": {"losses": [{"function": "DiceLoss"}]},
-            "compute_dtype": "float32",
-        },
-    )
-    model = build_model(cfg)
-    variables = init_model(model, cfg, jax.random.PRNGKey(0))
-    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 16, 1), jnp.float32)
-    want = model.apply(variables, x)
-    if isinstance(want, dict):
-        want = want.get("out", next(iter(want.values())))
-    with pltpu.force_tpu_interpret_mode():
-        got = fused_mednext_forward(
-            model, variables["params"], x, fused_max_c=64, fused_min_x=8
-        )
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-4)

@@ -294,3 +294,54 @@ def test_bf16_accumulators_close_to_f32():
     a = f32(None, vol, out_channels=1)
     b = bf16(None, vol, out_channels=1)
     np.testing.assert_allclose(a, b, atol=0.02)
+
+
+def _conv_apply(params, windows):
+    """Non-flip-equivariant deterministic model: fixed random 3^3 conv."""
+    import jax
+    import jax.numpy as jnp
+
+    w = jax.random.normal(jax.random.PRNGKey(7), (3, 3, 3, 1, 2), jnp.float32) * 0.3
+    return jax.lax.conv_general_dilated(
+        windows, w, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+
+def test_patch_first_local_tta_matches_whole_volume_mean():
+    """Mean-ensemble patch-local TTA == whole-volume TTA on a flip-symmetric
+    grid (blending is linear), reference tta.py:420,822."""
+    vol = np.random.default_rng(0).random((16, 16, 16)).astype(np.float32)
+    eng = SlidingWindowEngine(_conv_apply, (8, 8, 8), overlap=0.5, sw_batch_size=2)
+    cfg_w = build_dataclass(TTAConfig, {"enabled": True, "flip_axes": "all"})
+    cfg_p = build_dataclass(
+        TTAConfig, {"enabled": True, "flip_axes": "all", "patch_first_local": True}
+    )
+    whole = TTAPredictor(eng, cfg_w).predict(None, vol, out_channels=2)
+    patch = TTAPredictor(eng, cfg_p).predict(None, vol, out_channels=2)
+    assert patch.shape == whole.shape
+    np.testing.assert_allclose(patch, whole, atol=2e-5)
+
+
+def test_patch_first_local_tta_minmax_and_rot():
+    """min/max + rotation90 variants run end-to-end; rotation needs a square
+    (y, x) window."""
+    vol = np.random.default_rng(1).random((8, 12, 12)).astype(np.float32)
+    eng = SlidingWindowEngine(_conv_apply, (4, 8, 8), overlap=0.5, sw_batch_size=2)
+    cfg = build_dataclass(
+        TTAConfig,
+        {
+            "enabled": True, "flip_axes": "xy", "rotation90": True,
+            "patch_first_local": True,
+            "ensemble_mode": [["0:1", "min"], ["1:", "mean"]],
+        },
+    )
+    out = TTAPredictor(eng, cfg).predict(None, vol, out_channels=2)
+    assert out.shape == (8, 12, 12, 2)
+    assert np.isfinite(out).all()
+
+    from pytorch_connectomics_tpu.inference.tta import make_patch_local_apply_fn
+
+    with pytest.raises(ValueError):
+        make_patch_local_apply_fn(
+            _conv_apply, enumerate_tta_variants("all", True), "mean", (4, 8, 6)
+        )
