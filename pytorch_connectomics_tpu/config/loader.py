@@ -190,6 +190,12 @@ def validate_config(cfg: Config, mode: str = "train") -> List[str]:
         "monai_unet",
     ):
         warnings.append(f"deep supervision untested for arch {cfg.model.arch.type}")
+    # free-form kwarg blocks validated against implementation signatures
+    # (reference unconsumed-key rejection, config_io.py:94)
+    from .kwarg_validation import validate_augmentation_config, validate_decoding_config
+
+    warnings += validate_augmentation_config(cfg.data.augmentation)
+    warnings += validate_decoding_config(cfg.decoding)
     return warnings
 
 

@@ -62,28 +62,20 @@ def multi_component_sections(labels: np.ndarray) -> Dict[int, List[int]]:
 # ---------------------------------------------------------------------------
 
 
-@register_decoder("branch_split")
-def branch_split(labels, energy: Optional[np.ndarray] = None, min_size: int = 50, **kw):
-    """Split instances whose sections contain multiple 2-D components:
-    re-seed from per-section components and re-grow by watershed within the
-    instance mask."""
-    lab = np.asarray(labels)
-    if lab.ndim == 4:
-        lab = lab[0].astype(np.uint32)
-    else:
-        lab = lab.astype(np.uint32)
+def component_split(lab: np.ndarray, energy: Optional[np.ndarray] = None,
+                    min_size: int = 50) -> np.ndarray:
+    """Cue-1 split: instances whose sections contain multiple 2-D components
+    are re-seeded from the 3-D components of their eroded core and re-grown
+    by watershed within the instance mask."""
     suspects = multi_component_sections(lab)
     if not suspects:
         return lab
     out = lab.copy()
     next_id = int(lab.max()) + 1
-    from scipy import ndimage
+    from ..ops import binary_erosion
 
     for iid in suspects:
         m = lab == iid
-        # seeds: 3-D CC of a 1-voxel-eroded mask; if still single, per-section
-        from ..ops import binary_erosion
-
         core, n = connected_components(binary_erosion(m, 1), 6)
         if n < 2:
             continue
@@ -97,6 +89,49 @@ def branch_split(labels, energy: Optional[np.ndarray] = None, min_size: int = 50
             else:
                 out[piece] = next_id
                 next_id += 1
+    return out
+
+
+@register_decoder("branch_split")
+def branch_split(
+    labels,
+    energy: Optional[np.ndarray] = None,
+    min_size: int = 50,
+    component: bool = True,
+    link_cut: bool = True,
+    confident: bool = True,
+    drop_thr: float = 0.25,
+    w: int = 4,
+    link_min_size: int = 10000,
+    min_frag: int = 6,
+    recover: float = 1.1,
+    host_both: bool = False,
+    gates: Optional[Dict] = None,
+    **kw,
+):
+    """Branch-split cue ladder in the reference's fixed research order
+    (``branch/split.py:509``): cue-1 component re-watershed (this repo's
+    original detector), cue-3 adaptive IoU change-point cuts
+    (:func:`branch_cues.link_cut_change`), then cue-4 one-sided-containment
+    detection with two-sided anchored carving
+    (:func:`branch_cues.confident_parallel_split`). ``gates`` overrides the
+    detection/carve thresholds (see ``branch_cues`` constants)."""
+    from . import branch_cues
+
+    lab = np.asarray(labels)
+    lab = (lab[0] if lab.ndim == 4 else lab).astype(np.uint32)
+    out = lab.copy()
+    if component:
+        out = component_split(out, energy, min_size)
+    if link_cut:
+        out, _ = branch_cues.link_cut_change(
+            out, drop_thr=drop_thr, w=w, min_size=link_min_size,
+            min_frag=min_frag, recover=recover, inplace=True,
+        )
+    if confident:
+        out, _, _ = branch_cues.confident_parallel_split(
+            out, host_both=host_both, inplace=True, **(gates or {}),
+        )
     out, _ = renumber(out)
     return out
 

@@ -1,0 +1,567 @@
+"""Branch-split cue ladder — detection + boundary placement.
+
+Re-implementation of the reference's validated split machinery
+(``connectomics/decoding/decoders/branch/split.py:1-556``), which orders the
+cues by measured robustness:
+
+DETECTION (is this one label actually two tubes?)
+  1. two separable 2-D components on a run of slices — covered by
+     :func:`branch.branch_split`'s component re-watershed and
+     :func:`branch.multi_component_sections`;
+  2. sustained area bump (:func:`sustained_area_bump`) — interior area
+     >= ratio x running median for >= a run of slices, excluding the tapered
+     ends (the naive max-deviation version flags normal endpoint taper; the
+     reference documents but does not vendor this cue — split.py:22-27);
+  3. real-IoU change-point at a z-seam (:func:`link_cut_change`,
+     reference split.py:127) — adaptive drop vs the neighbour median, gated
+     by local-minimum + recovery + minimum fragment spacing;
+  4. one-sided containment (:func:`detect_confident`, split.py:257) —
+     |S∩H|/min high while |S∩H|/max low means a tube entered a host.
+
+BOUNDARY PLACEMENT
+  A. two-sided anchoring (:func:`split_pair`, split.py:395): interpolate the
+     centre-line between the two known ends (plus caliber-sized in-gap
+     waypoints, :func:`gather_anchors`), and propagate the tube's ACTUAL
+     cross-section mask inward slice by slice via a 2-marker watershed —
+     point/disk seeds leak, the real mask does not.
+
+The reference declines one-sided carves and centroid-trajectory detection on
+measured grounds; so does this module.
+
+All thresholds default to the reference's validated constants but are
+keyword-overridable (the reference hardcodes them at module scope;
+parameterizing keeps them testable at small volume sizes).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from scipy import ndimage
+
+from ..ops import watershed as _native_watershed
+
+# link-cut gates (reference split.py:79)
+DROP_THR, W, MIN_SIZE, MIN_SPAN, MIN_FRAG, RECOVER = 0.25, 4, 10000, 20, 6, 0.4
+# tunnel-split gates (reference split.py:82-90)
+CAND_MIN, CAND_SPAN, HOST_MIN = 500, 8, 20000
+IOMIN_HI, IOMAX_LO, MAX_SHIFT = 0.6, 0.7, 6
+MAX_GAP, CAL_RATIO, COLLINEAR_NM = 40, 2.2, 900
+TUBE_THR = 0.7
+STEP_LO, STEP_HI = 0.4, 2.0
+ANCHOR_NM = 150
+DRIFT_HI = 1.6
+RES_NM = 9.0  # in-plane nm/voxel used by the reference's nm gates
+MIN_END_AREA = 50
+
+
+def seg_stats(seg: np.ndarray):
+    """label -> (z0, z1, y0, y1, x0, x1) inclusive bounds, and label -> size."""
+    bounds: Dict[int, Tuple[int, int, int, int, int, int]] = {}
+    objs = ndimage.find_objects(seg)
+    sizes_arr = np.bincount(seg.ravel())
+    sizes: Dict[int, int] = {}
+    for lbl, sl in enumerate(objs, start=1):
+        if sl is None:
+            continue
+        bounds[lbl] = (
+            sl[0].start, sl[0].stop - 1,
+            sl[1].start, sl[1].stop - 1,
+            sl[2].start, sl[2].stop - 1,
+        )
+        sizes[lbl] = int(sizes_arr[lbl]) if lbl < len(sizes_arr) else 0
+    return bounds, sizes
+
+
+def _shift_align(a: np.ndarray, b: np.ndarray, max_shift: int):
+    """Roll ``b`` onto ``a`` by the centroid offset, clamped to +-max_shift."""
+    ca = ndimage.center_of_mass(a)
+    cb = ndimage.center_of_mass(b)
+    dy = int(np.clip(round(ca[0] - cb[0]), -max_shift, max_shift))
+    dx = int(np.clip(round(ca[1] - cb[1]), -max_shift, max_shift))
+    return np.roll(np.roll(b, dy, 0), dx, 1), int(a.sum()), int(b.sum())
+
+
+def shifted_iou(a, b, *, max_shift: int = 5) -> float:
+    if not a.any() or not b.any():
+        return 0.0
+    b2, _, _ = _shift_align(a, b, max_shift)
+    return float((a & b2).sum() / max((a | b2).sum(), 1))
+
+
+def shifted_iomm(a, b, *, max_shift: int = 5) -> Tuple[float, float]:
+    """Shifted intersection-over-min and intersection-over-max."""
+    if not a.any() or not b.any():
+        return 0.0, 0.0
+    b2, aa, bb = _shift_align(a, b, max_shift)
+    inter = float((a & b2).sum())
+    return inter / max(min(aa, bb), 1), inter / max(max(aa, bb), 1)
+
+
+# ---------------------------------------------------------------------------
+# cue 3: adaptive real-IoU change-point cut (reference link_cut_change)
+# ---------------------------------------------------------------------------
+
+
+def link_cut_change(
+    seg: np.ndarray,
+    *,
+    drop_thr: float = DROP_THR,
+    w: int = W,
+    min_size: int = MIN_SIZE,
+    min_span: int = MIN_SPAN,
+    min_frag: int = MIN_FRAG,
+    recover: float = RECOVER,
+    stats=None,
+    inplace: bool = False,
+) -> Tuple[np.ndarray, int]:
+    """Cut where consecutive-slice IoU dips below the median of its
+    neighbours (reference split.py:127). The gates that stop over-cutting:
+
+    - the dip must exceed ``drop_thr`` below the median of the +-``w``
+      neighbouring seam IoUs (adaptive, not a fixed threshold);
+    - it must be a local minimum of the IoU sequence;
+    - if the slices two apart still match (IoU > ``recover``), the dip is a
+      single bad section, not a mis-link — skip;
+    - cuts keep ``min_frag`` present-slices between each other and the ends.
+    """
+    if not inplace:
+        seg = np.array(seg, dtype=np.uint32, copy=True)
+    bounds, sizes = stats if stats is not None else seg_stats(seg)
+    next_id = int(seg.max()) + 1
+    n_cut = 0
+    cands = [
+        L for L in bounds
+        if L > 0 and sizes.get(L, 0) >= min_size
+        and bounds[L][1] - bounds[L][0] + 1 >= min_span
+    ]
+    for L in cands:
+        z0, z1, y0, y1, x0, x1 = bounds[L]
+        sub = seg[z0:z1 + 1, y0:y1 + 1, x0:x1 + 1] == L
+        pres = [zi for zi in range(sub.shape[0]) if sub[zi].any()]
+        if len(pres) < 2 * w + 2:
+            continue
+        iou = np.full(len(pres) - 1, 1.0)
+        for i in range(len(pres) - 1):
+            m0, m1 = sub[pres[i]], sub[pres[i + 1]]
+            iou[i] = int((m0 & m1).sum()) / max(int((m0 | m1).sum()), 1)
+        K = len(pres)
+        cand = []
+        for i in range(len(iou)):
+            lo, hi = max(0, i - w), min(len(iou), i + w + 1)
+            nbr = np.concatenate([iou[lo:i], iou[i + 1:hi]])
+            if len(nbr) == 0:
+                continue
+            drop = float(np.median(nbr)) - iou[i]
+            is_local_min = (i == 0 or iou[i] <= iou[i - 1]) and (
+                i == len(iou) - 1 or iou[i] <= iou[i + 1]
+            )
+            if not (drop > drop_thr and is_local_min):
+                continue
+            if i + 2 < len(pres):
+                mb, ma = sub[pres[i]], sub[pres[i + 2]]
+                rec = int((mb & ma).sum()) / max(int((mb | ma).sum()), 1)
+                if rec > recover:
+                    continue
+            cand.append((drop, i + 1))
+        cand.sort(reverse=True)
+        accepted: List[int] = []
+        for drop, pos in cand:
+            if pos < min_frag or (K - pos) < min_frag:
+                continue
+            if all(abs(pos - a) >= min_frag for a in accepted):
+                accepted.append(pos)
+        if not accepted:
+            continue
+        cuts = {pres[p] for p in accepted}
+        seg_idx = np.zeros(sub.shape[0], np.int32)
+        s = 0
+        for zi in range(sub.shape[0]):
+            if zi in cuts:
+                s += 1
+            seg_idx[zi] = s
+        for ss in range(1, s + 1):
+            newL = next_id
+            next_id += 1
+            for zi in np.where(seg_idx == ss)[0]:
+                gy, gx = np.where(sub[zi])
+                seg[z0 + zi, y0 + gy, x0 + gx] = newL
+        n_cut += s
+    return seg, n_cut
+
+
+# ---------------------------------------------------------------------------
+# cue 2: sustained area bump (documented at reference split.py:22-27;
+# detection-only — the reference measures it but does not vendor it)
+# ---------------------------------------------------------------------------
+
+
+def sustained_area_bump(
+    seg: np.ndarray,
+    *,
+    ratio: float = 1.5,
+    min_run: int = 3,
+    taper: int = 5,
+    w: int = 8,
+    min_size: int = CAND_MIN,
+    min_span: int = MIN_SPAN,
+    stats=None,
+) -> List[Dict]:
+    """Detect tubes whose interior cross-section area exceeds ``ratio`` x the
+    running median for >= ``min_run`` consecutive slices, excluding ``taper``
+    slices at each end (endpoint taper is normal, not a bump). Returns
+    detection events ``{label, z_start, z_end, peak_ratio}``; acting on them
+    needs a boundary placer (cue A) or orthogonal evidence, so this is
+    analytics, mirroring the reference's use of the cue for detection
+    research only."""
+    bounds, sizes = stats if stats is not None else seg_stats(seg)
+    events: List[Dict] = []
+    for L in bounds:
+        if L <= 0 or sizes.get(L, 0) < min_size:
+            continue
+        z0, z1, y0, y1, x0, x1 = bounds[L]
+        if z1 - z0 + 1 < max(min_span, 2 * taper + min_run):
+            continue
+        sub = seg[z0:z1 + 1, y0:y1 + 1, x0:x1 + 1] == L
+        areas = sub.reshape(sub.shape[0], -1).sum(axis=1)
+        pres = np.where(areas > 0)[0]
+        if len(pres) < 2 * taper + min_run:
+            continue
+        interior = pres[taper:-taper]
+        a = areas[interior].astype(np.float64)
+        run_start, run_len, peak = None, 0, 0.0
+        for k in range(len(interior)):
+            lo, hi = max(0, k - w), min(len(a), k + w + 1)
+            med = float(np.median(np.concatenate([a[lo:k], a[k + 1:hi]]))) if hi - lo > 1 else a[k]
+            r = a[k] / max(med, 1.0)
+            if r >= ratio:
+                if run_start is None:
+                    run_start, run_len, peak = k, 0, 0.0
+                run_len += 1
+                peak = max(peak, r)
+            else:
+                if run_start is not None and run_len >= min_run:
+                    events.append(dict(
+                        label=int(L),
+                        z_start=int(z0 + interior[run_start]),
+                        z_end=int(z0 + interior[run_start + run_len - 1]),
+                        peak_ratio=float(peak),
+                    ))
+                run_start = None
+        if run_start is not None and run_len >= min_run:
+            events.append(dict(
+                label=int(L),
+                z_start=int(z0 + interior[run_start]),
+                z_end=int(z0 + interior[run_start + run_len - 1]),
+                peak_ratio=float(peak),
+            ))
+    return events
+
+
+# ---------------------------------------------------------------------------
+# cue 4 detection + cue A boundary placement (reference detect_confident /
+# gather_anchors / split_pair)
+# ---------------------------------------------------------------------------
+
+
+def _tubeness(seg, S, bounds, cache, max_shift=MAX_SHIFT):
+    """Median consecutive-slice shifted-IoU along ``S`` (split.py:219)."""
+    if S in cache:
+        return cache[S]
+    z0, z1, y0, y1, x0, x1 = bounds[S]
+    pad = max_shift + 1
+    wy0, wy1 = max(y0 - pad, 0), min(y1 + 1 + pad, seg.shape[1])
+    wx0, wx1 = max(x0 - pad, 0), min(x1 + 1 + pad, seg.shape[2])
+    prev, ious = None, []
+    for z in range(z0, z1 + 1):
+        m = seg[z, wy0:wy1, wx0:wx1] == S
+        if not m.any():
+            continue
+        if prev is not None:
+            ious.append(shifted_iou(prev, m, max_shift=max_shift))
+        prev = m
+    v = float(np.median(ious)) if ious else 0.0
+    cache[S] = v
+    return v
+
+
+def _vel(seg, S, z_end, d, bounds, n=5):
+    """End velocity (voxels/slice) from the last ``n`` centroids."""
+    pts = []
+    for k in range(n):
+        z = z_end - d * k
+        if bounds[S][0] <= z <= bounds[S][1] and (seg[z] == S).any():
+            pts.append((z, *ndimage.center_of_mass(seg[z] == S)))
+    if len(pts) < 2:
+        return np.array([0.0, 0.0])
+    pts = np.array(pts)
+    dz = pts[0, 0] - pts[-1, 0]
+    return (pts[0, 1:] - pts[-1, 1:]) / (dz if dz else 1)
+
+
+def detect_confident(
+    seg: np.ndarray,
+    bounds,
+    sizes,
+    *,
+    host_both: bool = False,
+    cand_min: int = CAND_MIN,
+    cand_span: int = CAND_SPAN,
+    host_min: int = HOST_MIN,
+    iomin_hi: float = IOMIN_HI,
+    iomax_lo: float = IOMAX_LO,
+    max_shift: int = MAX_SHIFT,
+    max_gap: int = MAX_GAP,
+    cal_ratio: float = CAL_RATIO,
+    collinear_nm: float = COLLINEAR_NM,
+    tube_thr: float = TUBE_THR,
+    step_lo: float = STEP_LO,
+    step_hi: float = STEP_HI,
+    min_end_area: int = MIN_END_AREA,
+    res_nm: float = RES_NM,
+) -> List[Dict]:
+    """One-sided containment pair detection (reference split.py:257).
+
+    A tube S1 whose upper end disappears INTO a big host H (intersection over
+    min high, over max low — a branch entering, not a continuation), paired
+    with a tube S2 emerging from H within ``max_gap`` slices, with matching
+    caliber, collinear extrapolated centroids, host area steps of tube size
+    at both seams, and the host extending beyond the gap. Returns candidate
+    pair dicts sorted by centroid-collinearity offset."""
+    Z = seg.shape[0]
+    cands = [
+        L for L in bounds
+        if L > 0 and bounds[L][1] > bounds[L][0]
+        and (sizes.get(L, 0) >= cand_min or bounds[L][1] - bounds[L][0] + 1 >= cand_span)
+    ]
+    ups, downs = defaultdict(list), defaultdict(list)
+    tcache: Dict[int, float] = {}
+    for S in cands:
+        for z_end, d in ((bounds[S][1], +1), (bounds[S][0], -1)):
+            zn = z_end + d
+            if not (0 <= zn < Z):
+                continue
+            sm = seg[z_end] == S
+            sa = int(sm.sum())
+            if sa < min_end_area:
+                continue
+            u, c = np.unique(seg[zn][sm], return_counts=True)
+            uc = [(int(l), int(n)) for l, n in zip(u, c) if l > 0 and l != S]
+            if not uc:
+                continue
+            H, _ = max(uc, key=lambda t: t[1])
+            if sizes.get(H, 0) < host_min:
+                continue
+            iomin, iomax = shifted_iomm(sm, seg[zn] == H, max_shift=max_shift)
+            if (
+                iomin >= iomin_hi
+                and iomax <= iomax_lo
+                and _tubeness(seg, S, bounds, tcache, max_shift) >= tube_thr
+            ):
+                (ups if d == +1 else downs)[H].append((
+                    S, z_end, np.array(ndimage.center_of_mass(sm)), sa,
+                    _vel(seg, S, z_end, d, bounds),
+                ))
+
+    def host_area(H, z):
+        return int((seg[z] == H).sum())
+
+    found: List[Dict] = []
+    for H in set(ups) & set(downs):
+        for S1, z1, c1, a1, v1 in ups[H]:
+            for S2, z2, c2, a2, v2 in downs[H]:
+                if S2 == S1 or not (1 <= z2 - z1 <= max_gap):
+                    continue
+                if not (1 / cal_ratio <= a1 / max(a2, 1) <= cal_ratio):
+                    continue
+                zm = (z1 + z2) / 2
+                p1 = c1 + v1 * (zm - z1)
+                p2 = c2 + v2 * (zm - z2)
+                off = float(np.hypot((p1[0] - p2[0]) * res_nm, (p1[1] - p2[1]) * res_nm))
+                if off > collinear_nm:
+                    continue
+                below = bounds[H][0] < z1 - 1
+                above = bounds[H][1] > z2 + 1
+                if not ((below and above) if host_both else (below or above)):
+                    continue
+                cal = 0.5 * (a1 + a2)
+                si = host_area(H, z1 + 1) - host_area(H, z1)
+                so = host_area(H, z2 - 1) - host_area(H, z2)
+                ok_lo = (step_lo <= si / cal <= step_hi) if below else True
+                ok_hi = (step_lo <= so / cal <= step_hi) if above else True
+                if not (ok_lo and ok_hi):
+                    continue
+                found.append(dict(
+                    H=H, S1=S1, S2=S2, z1=z1, z2=z2,
+                    c1=c1, c2=c2, a1=a1, a2=a2, off=off, cal=cal,
+                ))
+    best: Dict[Tuple[int, int], Dict] = {}
+    for f in found:
+        k = (min(f["S1"], f["S2"]), max(f["S1"], f["S2"]))
+        if k not in best or f["off"] < best[k]["off"]:
+            best[k] = f
+    return sorted(best.values(), key=lambda f: f["off"])
+
+
+def gather_anchors(seg, f, bounds, sizes, *, anchor_nm: float = ANCHOR_NM,
+                   res_nm: float = RES_NM, min_area: int = 50):
+    """Caliber-sized in-gap waypoints lying tightly on the S1-S2 line
+    (reference split.py:347)."""
+    z1, z2, c1, c2, H, cal = f["z1"], f["z2"], f["c1"], f["c2"], f["H"], f["cal"]
+    anchors = {z1: c1, z2: c2}
+    seen = set()
+    for z in range(z1 + 1, z2):
+        best = None
+        for L in np.unique(seg[z]).tolist():
+            if L <= 0 or L == H or L in (f["S1"], f["S2"]):
+                continue
+            if sizes.get(L, 0) > 4 * cal:
+                continue
+            m = seg[z] == L
+            a = int(m.sum())
+            if not (min_area <= a <= 2 * cal):
+                continue
+            c = np.array(ndimage.center_of_mass(m))
+            t = (z - z1) / max(z2 - z1, 1)
+            pl = c1 + (c2 - c1) * t
+            d = float(np.hypot((c[0] - pl[0]) * res_nm, (c[1] - pl[1]) * res_nm))
+            if d <= anchor_nm and (best is None or d < best[0]):
+                best = (d, c, L)
+        if best:
+            anchors[z] = best[1]
+            seen.add(best[2])
+    return dict(sorted(anchors.items())), seen
+
+
+def _traj(anchors: Dict[int, np.ndarray], z: int) -> np.ndarray:
+    """Piecewise-linear centre-line through the anchors (split.py:382)."""
+    zs = sorted(anchors)
+    if z <= zs[0]:
+        return anchors[zs[0]]
+    if z >= zs[-1]:
+        return anchors[zs[-1]]
+    for i in range(1, len(zs)):
+        if zs[i] >= z:
+            za, zb = zs[i - 1], zs[i]
+            t = (z - za) / (zb - za)
+            return anchors[za] + (anchors[zb] - anchors[za]) * t
+    return anchors[zs[-1]]
+
+
+def _bbox2d(mask):
+    ys = np.where(mask.any(1))[0]
+    xs = np.where(mask.any(0))[0]
+    return int(ys[0]), int(ys[-1]) + 1, int(xs[0]), int(xs[-1]) + 1
+
+
+def split_pair(seg, f, bounds, sizes, *, drift_hi: float = DRIFT_HI,
+               anchor_nm: float = ANCHOR_NM, res_nm: float = RES_NM) -> int:
+    """Two-sided anchored carve (reference split.py:395): propagate S1's
+    ACTUAL end cross-section along the anchor trajectory through the host,
+    carving each slice with a 2-marker watershed on the host's EDT. Aborts
+    (and changes nothing) when the carve drifts past ``drift_hi`` x caliber
+    or a marker/seed degenerates — declining beats guessing."""
+    Z, Y, X = seg.shape
+    S1, S2, H, z1, z2, cal = f["S1"], f["S2"], f["H"], f["z1"], f["z2"], f["cal"]
+    anchors, anchor_ids = gather_anchors(
+        seg, f, bounds, sizes, anchor_nm=anchor_nm, res_nm=res_nm)
+    anchor_zs = set(anchors) - {z1, z2}
+    tmpl = ndimage.binary_erosion(seg[z1] == S1)
+    if not tmpl.any():
+        tmpl = seg[z1] == S1
+    tc = np.array(ndimage.center_of_mass(tmpl))
+    carved = []
+    abort = ""
+    for z in range(z1 + 1, z2):
+        if z in anchor_zs:
+            continue
+        pm = seg[z] == H
+        if not pm.any():
+            abort = f"z{z} host absent"
+            break
+        C = _traj(anchors, z)
+        dy, dx = int(round(C[0] - tc[0])), int(round(C[1] - tc[1]))
+        seed = np.roll(np.roll(tmpl, dy, 0), dx, 1) & pm
+        if not seed.any():
+            yy, xx = int(round(C[0])), int(round(C[1]))
+            if 0 <= yy < Y and 0 <= xx < X and pm[yy, xx]:
+                seed = np.zeros_like(pm)
+                seed[yy, xx] = True
+                seed = ndimage.binary_dilation(seed, iterations=2) & pm
+            if not seed.any():
+                abort = f"z{z} seed empty"
+                break
+        y0, y1e, x0, x1e = _bbox2d(pm)
+        M = 3
+        y0, y1e = max(y0 - M, 0), min(y1e + M, Y)
+        x0, x1e = max(x0 - M, 0), min(x1e + M, X)
+        pmc = pm[y0:y1e, x0:x1e]
+        sc = seed[y0:y1e, x0:x1e]
+        ma = pmc & ndimage.binary_dilation(sc, iterations=1)
+        mb = pmc & ~ndimage.binary_dilation(sc, iterations=3)
+        ma = ma & ~(ma & mb)
+        if not (ma.any() and mb.any()):
+            abort = f"z{z} marker fail"
+            break
+        mk = np.zeros(pmc.shape, np.uint32)
+        mk[mb] = 2
+        mk[ma] = 1
+        energy = -ndimage.distance_transform_edt(pmc).astype(np.float32)
+        cc = _native_watershed(
+            np.ascontiguousarray(energy[None]), np.ascontiguousarray(mk[None]),
+            mask=np.ascontiguousarray(pmc[None]),
+        )[0] == 1
+        lab, ncc = ndimage.label(cc)
+        if ncc > 1:
+            cc = lab == (int(np.bincount(lab.ravel())[1:].argmax()) + 1)
+        if not cc.any() or int(cc.sum()) > drift_hi * cal:
+            abort = f"z{z} carve {int(cc.sum())} > {drift_hi * cal:.0f}"
+            break
+        ccf = np.zeros((Y, X), bool)
+        ccf[y0:y1e, x0:x1e] = cc
+        carved.append((z, ccf))
+    if abort or (not carved and not anchor_ids):
+        return 0
+    for z, cc in carved:
+        seg[z][cc] = S1
+    for L in list(anchor_ids) + [S2]:
+        seg[seg == L] = S1
+    return len(carved) or 1
+
+
+def confident_parallel_split(
+    seg: np.ndarray,
+    *,
+    host_both: bool = False,
+    stats=None,
+    inplace: bool = False,
+    **gates,
+) -> Tuple[np.ndarray, int, List[Dict]]:
+    """Detect one-sided-containment pairs and carve them two-sided
+    (reference split.py:487). Greedy over pairs ordered by collinearity
+    offset; each label participates in at most one split."""
+    if not inplace:
+        seg = np.array(seg, dtype=np.uint32, copy=True)
+    bounds, sizes = stats if stats is not None else seg_stats(seg)
+    carve_keys = {"drift_hi", "anchor_nm", "res_nm"}
+    det_keys = {
+        "cand_min", "cand_span", "host_min", "iomin_hi", "iomax_lo",
+        "max_shift", "max_gap", "cal_ratio", "collinear_nm", "tube_thr",
+        "step_lo", "step_hi", "min_end_area", "res_nm",
+    }
+    unknown = set(gates) - carve_keys - det_keys
+    if unknown:
+        raise TypeError(f"unknown gate(s) {sorted(unknown)}")
+    carve_kw = {k: v for k, v in gates.items() if k in carve_keys}
+    det_kw = {k: v for k, v in gates.items() if k in det_keys}
+    pairs = detect_confident(seg, bounds, sizes, host_both=host_both, **det_kw)
+    used, n = set(), 0
+    for f in pairs:
+        if f["S1"] in used or f["S2"] in used or f["H"] in used:
+            continue
+        if split_pair(seg, f, bounds, sizes, **carve_kw):
+            used.update((f["S1"], f["S2"]))
+            n += 1
+    return seg, n, pairs

@@ -280,6 +280,8 @@ def decode_abiss(
     workdir: str = "abiss_work",
     agg_threshold: float = 0.2,
     fallback: bool = True,
+    ws_size: int = 0,
+    chunk_size_xyz: Optional[Tuple[int, int, int]] = None,
     **kw,
 ):
     """Decoder-registry entry: affinity prediction -> ABISS segmentation.
@@ -299,10 +301,10 @@ def decode_abiss(
         return decode_waterz(
             aff,
             threshold=agg_threshold,
-            min_size=int(kw.get("ws_size", 0)),
+            min_size=int(ws_size),
         )
     shape = aff.shape[1:]
-    chunk = kw.pop("chunk_size_xyz", (shape[2], shape[1], shape[0]))
+    chunk = chunk_size_xyz or (shape[2], shape[1], shape[0])
     payload, secrets, top_mip = prepare_abiss_run(
         aff, workdir, chunk_size_xyz=chunk, agg_threshold=agg_threshold, **kw
     )
@@ -315,6 +317,11 @@ def decode_abiss(
         .astype(np.uint32)
     )
 
+
+
+# remaining **kw is forwarded verbatim into the ABISS param file — a real
+# free-form surface, so kwarg validation must not reject unknown keys here
+decode_abiss.__free_kwargs__ = True
 
 # ---------------------------------------------------------------------------
 # Seuron provenance replay (reference ``runtime/seuron_provenance.py``)

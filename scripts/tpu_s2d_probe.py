@@ -157,7 +157,13 @@ w_dwf = jax.random.normal(key, (3, 3, 3, 1, C)).astype(DT)
 w_dws = jax.random.normal(key, (3, 3, 3, 8, C8)).astype(DT)
 w27 = jax.random.normal(key, (27, C)).astype(DT)
 bench(dw_full, (x_full, w_dwf), f"dw baseline      C={C}@{S}^3 fgc={C}")
-bench(dw_s2d_grouped, (x_s2d, w_dws), f"dw S2D grouped   C={C8}@{H}^3 fgc={C} (8x FMA)")
+if os.environ.get("S2D_TRY_GROUPED", "0") == "1":
+    # measured 2026-08-17: DOES NOT COMPILE at bench geometry — XLA lays the
+    # (32 groups, 8 phases) channel split out as an (8,128)-tiled [.,32,8]
+    # minor pair -> 16x padding -> 21.4 GB HBM for one bf16 activation.
+    bench(dw_s2d_grouped, (x_s2d, w_dws), f"dw S2D grouped   C={C8}@{H}^3 fgc={C} (8x FMA)")
+else:
+    print("dw S2D grouped: SKIPPED (OOM: 16x tile padding, see docstring)", flush=True)
 bench(dw_s2d_phase, (x_s2d, w27), f"dw S2D phase-major 216-slice (FMA-neutral)")
 
 # ------------------------------------------------------------- pointwise
@@ -216,21 +222,31 @@ from pytorch_connectomics_tpu.models.mednext import MedNeXtBlock
 
 
 class S2DBlock(nn.Module):
-    """S2D-space MedNeXt block (grouped-conv dw formulation, channel-major:
-    GN exact as groups=32; pw as reshape-einsum)."""
+    """S2D-space MedNeXt block, phase-major (p, c) layout: dw via the
+    216-slice phase formulation, per-orig-channel GN via reshape stats,
+    pw as fgc=8 grouped convs (each group a K=32 matmul)."""
 
     @nn.compact
     def __call__(self, x):
-        w_dw = self.param("w_dw", nn.initializers.normal(), (3, 3, 3, 8, C8), DT)
+        w27 = self.param("w27", nn.initializers.normal(), (27, C), DT)
+        y = dw_s2d_phase(x, w27)
+        # GN per original channel: stats over (spatial, phases) for each c
+        yr = y.astype(jnp.float32).reshape(y.shape[:-1] + (8, C))
+        mu = yr.mean(axis=(1, 2, 3, 4), keepdims=True)
+        var = yr.var(axis=(1, 2, 3, 4), keepdims=True)
+        g = self.param("g", nn.initializers.ones, (C,), jnp.float32)
+        b = self.param("b", nn.initializers.zeros, (C,), jnp.float32)
+        yr = (yr - mu) * jax.lax.rsqrt(var + 1e-5) * g + b
+        y = yr.reshape(y.shape).astype(DT)
+        w1 = self.param("w1", nn.initializers.normal(), (1, 1, 1, C, 2 * C8), DT)
         y = jax.lax.conv_general_dilated(
-            x, w_dw, (1, 1, 1), "SAME", feature_group_count=C,
+            y, w1, (1, 1, 1), "SAME", feature_group_count=8,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
-        y = nn.GroupNorm(num_groups=C, dtype=DT)(y)
-        w1 = self.param("w1", nn.initializers.normal(), (C, 2 * C), DT)
-        y = jnp.einsum("...cp,cd->...dp", y.reshape(y.shape[:-1] + (C, 8)), w1)
         y = nn.gelu(y)
-        w2 = self.param("w2", nn.initializers.normal(), (2 * C, C), DT)
-        y = jnp.einsum("...dp,dc->...cp", y, w2).reshape(x.shape)
+        w2 = self.param("w2", nn.initializers.normal(), (1, 1, 1, 2 * C, C8), DT)
+        y = jax.lax.conv_general_dilated(
+            y, w2, (1, 1, 1), "SAME", feature_group_count=8,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
         return x + y
 
 

@@ -359,3 +359,83 @@ def test_unknown_profile_rejected(tmp_path):
     )
     with pytest.raises((ConfigError, KeyError, ValueError)):
         load_config(tmp_path / "g.yaml", mode="train")
+
+
+class TestKwargValidation:
+    """Signature-derived unknown-key rejection (reference config_io.py:94,
+    schema/data.py:258-532 typed per-aug configs)."""
+
+    def test_unknown_aug_transform_rejected(self):
+        from pytorch_connectomics_tpu.config.kwarg_validation import (
+            validate_augmentation_config,
+        )
+        from pytorch_connectomics_tpu.config.schema import AugmentationConfig
+
+        bad = build_dataclass(
+            AugmentationConfig, {"enabled": True, "fliip": {"prob": 0.5}}
+        )
+        with pytest.raises(ConfigError, match="unknown transform 'fliip'"):
+            validate_augmentation_config(bad)
+
+    def test_unknown_aug_option_rejected(self):
+        from pytorch_connectomics_tpu.config.kwarg_validation import (
+            validate_augmentation_config,
+        )
+        from pytorch_connectomics_tpu.config.schema import AugmentationConfig
+
+        bad = build_dataclass(
+            AugmentationConfig,
+            {"enabled": True, "misalignment": {"prob": 0.3, "displacment": 8}},
+        )
+        with pytest.raises(ConfigError, match="displacment"):
+            validate_augmentation_config(bad)
+
+    def test_valid_aug_config_passes(self):
+        from pytorch_connectomics_tpu.config.kwarg_validation import (
+            validate_augmentation_config,
+        )
+        from pytorch_connectomics_tpu.config.schema import AugmentationConfig
+
+        ok = build_dataclass(
+            AugmentationConfig,
+            {
+                "enabled": True,
+                "flip": {"prob": 0.7, "axes": [1, 2]},
+                "misalignment": {"enabled": True, "displacement": 8},
+                "axis_permute": {"prob": 0.2},  # extra-dict transform
+            },
+        )
+        assert validate_augmentation_config(ok) == []
+
+    def test_unknown_decode_step_kwarg_rejected(self):
+        import pytorch_connectomics_tpu.decoding  # noqa: F401 — registers decoders
+        from pytorch_connectomics_tpu.config.kwarg_validation import (
+            validate_decoding_config,
+        )
+        from pytorch_connectomics_tpu.config.schema import DecodingConfig
+
+        bad = build_dataclass(
+            DecodingConfig,
+            {"enabled": True, "steps": [{"name": "threshold", "kwargs": {"treshold": 0.5}}]},
+        )
+        with pytest.raises(ConfigError, match="treshold"):
+            validate_decoding_config(bad)
+        with pytest.raises(ConfigError, match="unknown decoder"):
+            validate_decoding_config(
+                build_dataclass(
+                    DecodingConfig, {"enabled": True, "steps": [{"name": "nope"}]}
+                )
+            )
+
+    def test_abiss_free_kwargs_pass_through(self):
+        import pytorch_connectomics_tpu.decoding  # noqa: F401
+        from pytorch_connectomics_tpu.config.kwarg_validation import (
+            validate_decoding_config,
+        )
+        from pytorch_connectomics_tpu.config.schema import DecodingConfig
+
+        ok = build_dataclass(
+            DecodingConfig,
+            {"enabled": True, "steps": [{"name": "abiss", "kwargs": {"ws_size": 100, "ws_low": 0.01}}]},
+        )
+        assert validate_decoding_config(ok) == []
