@@ -223,6 +223,12 @@ class MedNeXtConfig:
     # (reference mednext_models.py:487).
     upkern_from: Optional[str] = None
     upkern_source_kernel: int = 3
+    # TPU throughput variant: stem = 2x2x2 stride-2 patch embed (an exact
+    # space-to-depth + dense 8->C matmul), every stage runs one resolution
+    # level down, and a learned 2x transposed-conv head restores full
+    # resolution. ~8x fewer full-res voxels; needs (re)training — not a
+    # drop-in transform of existing checkpoints.
+    patchify_stem: bool = False
 
 
 @dataclass

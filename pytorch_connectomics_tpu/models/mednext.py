@@ -17,11 +17,34 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.sharding import NamedSharding, PartitionSpec
 
 from .layers import Norm, get_act
 from .registry import register_architecture
+
+
+def _shard_act(x, mesh, spec: Optional[Tuple[str, ...]]):
+    """Anchor an NDHWC activation to (batch, z)-sharding on the mesh.
+
+    Without explicit anchors GSPMD resolves the block residual adds under a
+    ``{data, space}`` mesh by replicating operands ("involuntary full
+    rematerialization" warnings): constrain every stage-boundary tensor to
+    ``P(data, space)`` — falling back to batch-only when z no longer divides
+    the space axis (the deep, small stages) — so halo exchanges stay local
+    and activations stay distributed."""
+    if mesh is None or spec is None:
+        return x
+    axes: List[Any] = [spec[0]] + [None] * (x.ndim - 1)
+    if len(spec) > 1 and spec[1] in mesh.axis_names:
+        sp = mesh.shape[spec[1]]
+        if sp > 1 and x.shape[1] % sp == 0:
+            axes[1] = spec[1]
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, PartitionSpec(*axes))
+    )
 
 # size presets: (base_channels, exp_ratios[9], block_counts[9])
 _PRESETS: Dict[str, Tuple[int, List[int], List[int]]] = {
@@ -44,6 +67,9 @@ class MedNeXtBlock(nn.Module):
     # 2-D mode (reference mednext dim='2d'): in-plane kernels/strides only,
     # so z stays untouched on 2-D stacks
     two_d: bool = False
+    # spatial-partitioning anchors (see _shard_act); static mesh + axis spec
+    act_mesh: Optional[Any] = None
+    act_spec: Optional[Tuple[str, ...]] = None
 
     @nn.compact
     def __call__(self, x):
@@ -64,6 +90,7 @@ class MedNeXtBlock(nn.Module):
         y = nn.Conv(cin * self.exp_ratio, (1, 1, 1), dtype=self.dtype)(y)
         y = nn.gelu(y)
         y = nn.Conv(cout, (1, 1, 1), dtype=self.dtype)(y)
+        y = _shard_act(y, self.act_mesh, self.act_spec)
         if self.stride == 1 and cin == cout:
             return x + y
         # strided / channel-changing residual
@@ -71,6 +98,7 @@ class MedNeXtBlock(nn.Module):
             res = nn.ConvTranspose(cout, kernel_size=(1, 1, 1), strides=s, dtype=self.dtype)(x)
         else:
             res = nn.Conv(cout, (1, 1, 1), strides=s, dtype=self.dtype)(x)
+        res = _shard_act(res, self.act_mesh, self.act_spec)
         return res + y
 
 
@@ -83,6 +111,8 @@ class _Stage(nn.Module):
     dtype: Any
     remat: bool = False
     two_d: bool = False
+    act_mesh: Optional[Any] = None
+    act_spec: Optional[Tuple[str, ...]] = None
 
     @nn.compact
     def __call__(self, x):
@@ -90,7 +120,7 @@ class _Stage(nn.Module):
         for _ in range(self.num_blocks):
             x = block_cls(
                 self.features, self.exp_ratio, self.kernel, self.norm, self.dtype,
-                two_d=self.two_d,
+                two_d=self.two_d, act_mesh=self.act_mesh, act_spec=self.act_spec,
             )(x)
         return x
 
@@ -106,6 +136,8 @@ class MedNeXtTaskHead(nn.Module):
     norm: str = "group"
     dtype: Any = jnp.bfloat16
     two_d: bool = False
+    # patchify-stem models: projection doubles spatial resolution
+    upsample: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -114,6 +146,11 @@ class MedNeXtTaskHead(nn.Module):
             x = MedNeXtBlock(
                 c, self.exp_ratio, self.kernel, self.norm, self.dtype,
                 two_d=self.two_d,
+            )(x)
+        if self.upsample:
+            pk = (1, 2, 2) if self.two_d else (2, 2, 2)
+            return nn.ConvTranspose(
+                self.out_channels, kernel_size=pk, strides=pk, dtype=jnp.float32
             )(x)
         return nn.Conv(self.out_channels, (1, 1, 1), dtype=jnp.float32)(x)
 
@@ -131,24 +168,37 @@ class MedNeXt(nn.Module):
     remat: bool = False
     heads: Optional[Tuple[Tuple[str, int, int], ...]] = None  # (name, out_ch, blocks)
     two_d: bool = False
+    act_mesh: Optional[Any] = None
+    act_spec: Optional[Tuple[str, ...]] = None
+    # stem = 2x2x2 stride-2 patch embed (exact space-to-depth + dense 8->C
+    # matmul); head restores full res with a learned 2x transposed conv.
+    # TPU throughput variant (schema MedNeXtConfig.patchify_stem).
+    patchify_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         C = self.base_channels
         R = list(self.exp_ratios)
         B = list(self.block_counts)
-        x = nn.Conv(C, (1, 1, 1), dtype=self.dtype, name="stem")(x)
+        am, asp = self.act_mesh, self.act_spec
+        if self.patchify_stem:
+            pk = (1, 2, 2) if self.two_d else (2, 2, 2)
+            x = nn.Conv(C, pk, strides=pk, dtype=self.dtype, name="stem")(x)
+        else:
+            x = nn.Conv(C, (1, 1, 1), dtype=self.dtype, name="stem")(x)
+        x = _shard_act(x, am, asp)
         skips = []
         # encoder stages 0..3
         for i in range(4):
-            x = _Stage(C * 2**i, B[i], R[i], self.kernel, self.norm, self.dtype, self.remat, self.two_d)(x)
+            x = _Stage(C * 2**i, B[i], R[i], self.kernel, self.norm, self.dtype, self.remat, self.two_d, am, asp)(x)
             skips.append(x)
             x = MedNeXtBlock(
                 C * 2**i, R[i], self.kernel, self.norm, self.dtype,
                 out_features=C * 2 ** (i + 1), stride=2, two_d=self.two_d,
+                act_mesh=am, act_spec=asp,
             )(x)
         # bottleneck
-        x = _Stage(C * 16, B[4], R[4], self.kernel, self.norm, self.dtype, self.remat, self.two_d)(x)
+        x = _Stage(C * 16, B[4], R[4], self.kernel, self.norm, self.dtype, self.remat, self.two_d, am, asp)(x)
         ds: List[Any] = []
         # decoder stages 5..8
         for j in range(4):
@@ -156,23 +206,34 @@ class MedNeXt(nn.Module):
             x = MedNeXtBlock(
                 C * 2 ** (i + 1), R[5 + j], self.kernel, self.norm, self.dtype,
                 out_features=C * 2**i, stride=2, transpose=True, two_d=self.two_d,
+                act_mesh=am, act_spec=asp,
             )(x)
             x = x + skips[i]
-            x = _Stage(C * 2**i, B[5 + j], R[5 + j], self.kernel, self.norm, self.dtype, self.remat, self.two_d)(x)
+            x = _shard_act(x, am, asp)
+            x = _Stage(C * 2**i, B[5 + j], R[5 + j], self.kernel, self.norm, self.dtype, self.remat, self.two_d, am, asp)(x)
             if self.deep_supervision and i > 0:
                 ds.append(nn.Conv(self.out_channels, (1, 1, 1), dtype=jnp.float32, name=f"ds_head_{i}")(x))
+        def project(h, out_ch, name):
+            if self.patchify_stem:
+                pk = (1, 2, 2) if self.two_d else (2, 2, 2)
+                return nn.ConvTranspose(
+                    out_ch, kernel_size=pk, strides=pk, dtype=jnp.float32, name=name
+                )(h)
+            return nn.Conv(out_ch, (1, 1, 1), dtype=jnp.float32, name=name)(h)
+
         if self.heads:
             outputs: Dict[str, Any] = {}
             for name, out_ch, nblocks in self.heads:
                 outputs[name] = MedNeXtTaskHead(
                     out_ch, nblocks, 2, self.kernel, self.norm, self.dtype,
-                    two_d=self.two_d, name=f"head_{name}"
+                    two_d=self.two_d, upsample=self.patchify_stem,
+                    name=f"head_{name}"
                 )(x)
             if self.deep_supervision:
                 for k, d in enumerate(reversed(ds)):
                     outputs[f"ds_{k}"] = d
             return outputs
-        out = nn.Conv(self.out_channels, (1, 1, 1), dtype=jnp.float32, name="head")(x)
+        out = project(x, self.out_channels, "head")
         if self.deep_supervision:
             res = {"out": out}
             for k, d in enumerate(reversed(ds)):
@@ -210,4 +271,5 @@ def build_mednext(model_cfg):
         two_d=(str(m.dim).lower() == "2d"),
         remat=(m.checkpoint_style == "outside_block"),
         heads=heads,
+        patchify_stem=bool(getattr(m, "patchify_stem", False)),
     )

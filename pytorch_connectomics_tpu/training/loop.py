@@ -60,6 +60,10 @@ class Trainer:
             mesh = make_mesh(axes)
         self.mesh = mesh
         self.model = build_model(cfg.model)
+        if "space" in mesh.axis_names and hasattr(self.model, "act_spec"):
+            # anchor activations to (data, space) so GSPMD keeps them
+            # distributed instead of replicating at block residuals
+            self.model = self.model.clone(act_mesh=mesh, act_spec=("data", "space"))
         from ..data.targets.build import affinity_target_groups
 
         self.orchestrator = LossOrchestrator(

@@ -85,7 +85,10 @@ def main():
             "in_channels": 1,
             "out_channels": 1,
             "input_size": [patch] * 3,
-            "mednext": {"size": "S", "kernel_size": 3},
+            # QB_ARCH=patchify trains the space-to-depth stem variant
+            # (throughput lever; quality must hold vs the default row)
+            "mednext": {"size": "S", "kernel_size": 3,
+                        "patchify_stem": os.environ.get("QB_ARCH") == "patchify"},
             "loss": {
                 "losses": [
                     {"function": "BCEWithLogitsLoss", "weight": 1.0},
@@ -218,8 +221,9 @@ def main():
     print(json.dumps(result), flush=True)
     qfile = ROOT / "QUALITY.md"
     stamp = time.strftime("%Y-%m-%d %H:%M")
+    task_tag = f"v{task}" + ("/pf" if os.environ.get("QB_ARCH") == "patchify" else "")
     line = (
-        f"| {stamp} | v{task} | {jac:.4f} | {steps} | {patch}^3 | "
+        f"| {stamp} | {task_tag} | {jac:.4f} | {steps} | {patch}^3 | "
         f"{'on' if tta else 'off'} | {jax.devices()[0].platform} | "
         f"{train_s:.0f}s + {infer_s:.0f}s |\n"
     )

@@ -105,3 +105,38 @@ def test_forward_is_jittable():
     out = fwd(params, jnp.ones((2, 16, 32, 32, 1)))
     assert out.shape == (2, 16, 32, 32, 2)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mednext_patchify_stem_shapes_and_grads():
+    """Patchify-stem variant (exact space-to-depth stem + learned 2x
+    upsampling head): full-res output shape, finite grads, DS/multi-head
+    contract preserved."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_connectomics_tpu.config.schema import ModelConfig, build_dataclass
+    from pytorch_connectomics_tpu.models import build_model, init_model
+
+    cfg = build_dataclass(ModelConfig, {
+        "arch": {"type": "mednext"}, "in_channels": 1, "out_channels": 2,
+        "input_size": [32, 32, 32],
+        "mednext": {"size": "custom", "base_channels": 8, "exp_ratio": 2,
+                    "block_counts": [1] * 9, "patchify_stem": True,
+                    "deep_supervision": True},
+        "loss": {"losses": [{"function": "DiceLoss"}]},
+        "compute_dtype": "float32",
+    })
+    model = build_model(cfg)
+    v = init_model(model, cfg, jax.random.PRNGKey(0))
+    x = jnp.ones((1, 32, 32, 32, 1))
+    out = model.apply(v, x)
+    assert out["out"].shape == (1, 32, 32, 32, 2)
+    assert out["ds_0"].shape[1] == 8  # DS heads stay at model resolution
+
+    def loss(params):
+        o = model.apply({"params": params}, x)
+        return jnp.mean(o["out"] ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    flat = jax.tree.leaves(g)
+    assert all(jnp.isfinite(leaf).all() for leaf in flat)

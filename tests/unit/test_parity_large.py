@@ -1,0 +1,369 @@
+"""Large-scale parity goldens for the native decode stack (VERDICT r2 item 5).
+
+The toy fixtures in test_parity_fixtures.py lock exactness on hand-sized
+inputs; these tests exercise realistic scale — thousands of fragments,
+threshold sweeps, merge-order interactions — against INDEPENDENT brute-force
+oracles implemented from the definitions (python dict/heap code, structured
+nothing like csrc):
+
+- waterz mean-affinity agglomeration at 128^3 / 4096 fragments with a
+  5-threshold incremental sweep (reference decode_waterz semantics,
+  ``decoding/decoders/waterz.py:300-354``);
+- mutex watershed at 48^3 with short+long-range offsets, mirroring the
+  16-bit weight quantization + stable enumeration order so the oracle's
+  edge order matches deterministically (Wolf et al. definition; reference
+  ``decoding/decoders/mutex_watershed.py``);
+- NERL at 128^3 with analytically-known skeletons: closed-form expected run
+  lengths for perfect / split / merged segmentations, plus the end-to-end
+  TEASAR-skeletonization path (reference ``metrics/nerl.py:457``).
+"""
+
+import heapq
+
+import numpy as np
+import pytest
+
+from pytorch_connectomics_tpu.ops.native import get_lib
+
+pytestmark = pytest.mark.skipif(get_lib() is None, reason="native lib unavailable")
+
+
+# ---------------------------------------------------------------------------
+# waterz mean-affinity agglomeration
+# ---------------------------------------------------------------------------
+
+
+def _brick_fragments(n=128, brick=8):
+    ids = np.arange(1, (n // brick) ** 3 + 1, dtype=np.uint32).reshape(
+        n // brick, n // brick, n // brick
+    )
+    frags = np.repeat(np.repeat(np.repeat(ids, brick, 0), brick, 1), brick, 2)
+    return frags
+
+
+def _smooth_affinity(n=128, seed=0):
+    rng = np.random.default_rng(seed)
+    coarse = rng.random((3, n // 16, n // 16, n // 16))
+    smooth = np.repeat(np.repeat(np.repeat(coarse, 16, 1), 16, 2), 16, 3)
+    return (0.2 + 0.8 * smooth * rng.random((3, n, n, n))).astype(np.float32)
+
+
+def _brute_rag(frags, aff):
+    """Edge (a<b) -> [sum, count] from the 6-neighbourhood, deepem high-end
+    channel order (aff[0]=x, aff[1]=y, aff[2]=z)."""
+    rag = {}
+    for axis, ch in ((0, 2), (1, 1), (2, 0)):
+        sl_hi = [slice(None)] * 3
+        sl_lo = [slice(None)] * 3
+        sl_hi[axis] = slice(1, None)
+        sl_lo[axis] = slice(None, -1)
+        a = frags[tuple(sl_hi)].ravel()
+        b = frags[tuple(sl_lo)].ravel()
+        w = aff[ch][tuple(sl_hi)].ravel().astype(np.float64)
+        m = (a != b) & (a > 0) & (b > 0)
+        lo = np.minimum(a[m], b[m]).astype(np.uint64)
+        hi = np.maximum(a[m], b[m]).astype(np.uint64)
+        key = (lo << np.uint64(32)) | hi
+        uk, inv = np.unique(key, return_inverse=True)
+        sums = np.bincount(inv, weights=w[m])
+        cnts = np.bincount(inv)
+        for k, s, c in zip(uk.tolist(), sums.tolist(), cnts.tolist()):
+            e = rag.setdefault(k, [0.0, 0])
+            e[0] += s
+            e[1] += int(c)
+    return rag
+
+
+def _brute_agglomerate_multi(frags, aff, thresholds):
+    """Definition-level oracle: repeatedly merge the highest-mean RAG edge,
+    folding edge (sum, count) stats; snapshot the fragment->root map the
+    moment the best remaining mean falls to a threshold."""
+    thr = sorted(set(float(t) for t in thresholds), reverse=True)
+    rag = _brute_rag(frags, aff)
+    max_label = int(frags.max())
+    parent = list(range(max_label + 1))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    adj = {}
+    heap = []
+    for k, (s, c) in rag.items():
+        a, b = int(k >> np.uint64(32)), int(k & np.uint64(0xFFFFFFFF))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+        heapq.heappush(heap, (-(s / c), a, b))
+
+    def key_of(a, b):
+        if a > b:
+            a, b = b, a
+        return (np.uint64(a) << np.uint64(32)) | np.uint64(b)
+
+    snapshots = {}
+    t = 0
+    while heap and t < len(thr):
+        negm, a, b = heapq.heappop(heap)
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        e = rag.get(key_of(ra, rb))
+        if e is None:
+            continue
+        mean = e[0] / e[1]
+        if abs(mean + negm) > 1e-9:
+            heapq.heappush(heap, (-mean, ra, rb))
+            continue
+        while t < len(thr) and mean <= thr[t]:
+            snapshots[thr[t]] = np.array([find(i) for i in range(max_label + 1)])
+            t += 1
+        if t >= len(thr):
+            break
+        keep, gone = ra, rb
+        if len(adj.get(gone, ())) > len(adj.get(keep, ())):
+            keep, gone = gone, keep
+        parent[gone] = keep
+        del rag[key_of(keep, gone)]
+        for nb in list(adj.get(gone, ())):
+            rn = find(nb)
+            if rn == keep:
+                continue
+            old = rag.pop(key_of(gone, rn), None)
+            if old is None:
+                continue
+            tgt = rag.setdefault(key_of(keep, rn), [0.0, 0])
+            tgt[0] += old[0]
+            tgt[1] += old[1]
+            adj.setdefault(keep, set()).add(rn)
+            adj.setdefault(rn, set()).add(keep)
+            heapq.heappush(heap, (-(tgt[0] / tgt[1]), keep, rn))
+        adj.pop(gone, None)
+    while t < len(thr):
+        snapshots[thr[t]] = np.array([find(i) for i in range(max_label + 1)])
+        t += 1
+    return snapshots
+
+
+def _partitions_equal(frag_roots, frags, native_labels):
+    """Oracle fragment->root map equals the native voxel labeling up to a
+    bijection."""
+    frag_ids = np.unique(frags[frags > 0])
+    # one voxel sample per fragment
+    flat = frags.ravel()
+    first = {}
+    for i, v in enumerate(flat):
+        if v > 0 and v not in first:
+            first[int(v)] = i
+        if len(first) == len(frag_ids):
+            break
+    nl = native_labels.ravel()
+    fwd, bwd = {}, {}
+    for f in frag_ids.tolist():
+        r = int(frag_roots[f])
+        lab = int(nl[first[f]])
+        if lab == 0:
+            return False
+        if fwd.setdefault(r, lab) != lab:
+            return False
+        if bwd.setdefault(lab, r) != r:
+            return False
+    return True
+
+
+def test_agglomerate_multi_matches_bruteforce_at_128cubed():
+    from pytorch_connectomics_tpu.ops.native import agglomerate, agglomerate_multi
+
+    frags = _brick_fragments(128, 8)  # 4096 fragments
+    frags[:16, :16, :16] = 0  # background region
+    aff = _smooth_affinity(128, seed=1)
+    thresholds = [0.55, 0.4, 0.3, 0.2, 0.1]
+    native = agglomerate_multi(frags, aff, thresholds)
+    oracle = _brute_agglomerate_multi(frags, aff, thresholds)
+    for thr in thresholds:
+        labels, n = native[thr]
+        roots = oracle[thr]
+        n_oracle = len({int(roots[f]) for f in np.unique(frags[frags > 0]).tolist()})
+        assert n == n_oracle, f"thr {thr}: {n} native vs {n_oracle} oracle segments"
+        assert _partitions_equal(roots, frags, labels), f"partition mismatch @ {thr}"
+        # background stays background
+        assert (labels[:16, :16, :16] == 0).all()
+    # single-threshold entry point agrees with the sweep
+    single, n1 = agglomerate(frags, aff, 0.3)
+    multi, n2 = native[0.3]
+    assert n1 == n2
+    ok = _partitions_equal(
+        np.arange(int(frags.max()) + 1), single, multi
+    ) if False else None
+    # direct voxelwise bijection between the two labelings
+    pair = np.stack([single.ravel(), multi.ravel()])
+    uniq = np.unique(pair, axis=1)
+    assert len(np.unique(uniq[0])) == uniq.shape[1] == len(np.unique(uniq[1]))
+
+
+# ---------------------------------------------------------------------------
+# mutex watershed
+# ---------------------------------------------------------------------------
+
+
+def _brute_mutex(aff, offsets):
+    """Wolf et al. mutex watershed with csrc's 16-bit weight quantization and
+    stable (channel-major, voxel-raster) tie order mirrored exactly."""
+    K, Z, Y, X = aff.shape
+    n = Z * Y * X
+    ids, qs = [], []
+    for k in range(K):
+        oz, oy, ox = offsets[k]
+        attract = abs(oz) + abs(oy) + abs(ox) == 1
+        zz, yy, xx = np.mgrid[0:Z, 0:Y, 0:X]
+        valid = (
+            (zz - oz >= 0) & (zz - oz < Z)
+            & (yy - oy >= 0) & (yy - oy < Y)
+            & (xx - ox >= 0) & (xx - ox < X)
+        )
+        i = (zz * Y + yy) * X + xx
+        w = aff[k] if attract else 1.0 - aff[k]
+        q = np.clip(((1.0 - w) * 65535).astype(np.int64), 0, 65535)
+        ids.append((k * n + i)[valid].ravel())
+        qs.append(q[valid].ravel())
+    ids = np.concatenate(ids)
+    qs = np.concatenate(qs)
+    order = ids[np.argsort(qs, kind="stable")]
+
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    mutex = set()
+    mutex_adj = {}
+
+    def mkey(a, b):
+        return (a, b) if a < b else (b, a)
+
+    for eid in order.tolist():
+        k, i = divmod(eid, n)
+        oz, oy, ox = offsets[k]
+        z, r = divmod(i, Y * X)
+        y, x = divmod(r, X)
+        j = ((z - oz) * Y + (y - oy)) * X + (x - ox)
+        ra, rb = find(i), find(j)
+        if ra == rb:
+            continue
+        attract = abs(oz) + abs(oy) + abs(ox) == 1
+        if attract:
+            if mkey(ra, rb) in mutex:
+                continue
+            parent[rb] = ra
+            gone, keep = rb, ra
+            for other in mutex_adj.pop(gone, []):
+                mutex.discard(mkey(gone, other))
+                ro = find(other)
+                if ro != keep:
+                    mutex.add(mkey(keep, ro))
+                    mutex_adj.setdefault(keep, []).append(ro)
+                    mutex_adj.setdefault(ro, []).append(keep)
+        else:
+            if mkey(ra, rb) not in mutex:
+                mutex.add(mkey(ra, rb))
+                mutex_adj.setdefault(ra, []).append(rb)
+                mutex_adj.setdefault(rb, []).append(ra)
+    out = np.array([find(i) for i in range(n)], dtype=np.int64)
+    _, relab = np.unique(out, return_inverse=True)
+    return relab.reshape(Z, Y, X) + 1
+
+
+def test_mutex_watershed_matches_bruteforce_at_48cubed():
+    from pytorch_connectomics_tpu.ops.native import mutex_watershed
+
+    n = 48
+    offsets = [(0, 0, 1), (0, 1, 0), (1, 0, 0), (0, 0, 5), (0, 5, 0), (3, 0, 0)]
+    rng = np.random.default_rng(7)
+    # structured affinities: blobby foreground so clusters are nontrivial
+    base = np.repeat(np.repeat(np.repeat(
+        rng.random((n // 8, n // 8, n // 8)), 8, 0), 8, 1), 8, 2)
+    aff = np.clip(
+        base[None] * 0.9 + rng.normal(0, 0.1, (len(offsets), n, n, n)), 0, 1
+    ).astype(np.float32)
+    native, n_native = mutex_watershed(aff, offsets)
+    oracle = _brute_mutex(aff, offsets)
+    # same partition up to relabeling
+    pair = np.stack([native.ravel(), oracle.ravel()])
+    uniq = np.unique(pair, axis=1)
+    assert len(np.unique(uniq[0])) == uniq.shape[1] == len(np.unique(uniq[1]))
+    assert n_native == len(np.unique(oracle))
+
+
+# ---------------------------------------------------------------------------
+# NERL with analytic skeletons at 128^3
+# ---------------------------------------------------------------------------
+
+
+def _tube_volume(n=128, tubes=((30, 30), (90, 90))):
+    """Straight z-tubes of radius 3; returns (gt volume, analytic skeletons)."""
+    from pytorch_connectomics_tpu.metrics.skeleton import Skeleton
+
+    gt = np.zeros((n, 64, 128), np.uint32)
+    yy, xx = np.mgrid[0:64, 0:128]
+    skels = {}
+    for i, (cy, cx) in enumerate(tubes, start=1):
+        disk = (yy - cy) ** 2 + (xx - cx) ** 2 <= 9
+        gt[:, disk] = i
+        nodes = np.array([[z, cy, cx] for z in range(n)], np.float64)
+        edges = np.array([[k, k + 1] for k in range(n - 1)], np.int64)
+        skels[i] = Skeleton(nodes=nodes, edges=edges)
+    return gt, skels
+
+
+def test_nerl_analytic_perfect_split_merged():
+    from pytorch_connectomics_tpu.metrics.nerl import compute_nerl
+
+    n = 128
+    gt, skels = _tube_volume(n)
+    L = float(n - 1)  # skeleton length per tube
+
+    # perfect
+    res = compute_nerl(gt, skeletons=skels)
+    assert res["nerl"] == pytest.approx(1.0, abs=1e-9)
+    assert res["erl"] == pytest.approx(L, abs=1e-9)
+
+    # split tube 1 at z=40: runs of length 40 and L-41 (boundary edge voided)
+    seg = gt.copy()
+    seg[40:][gt[40:] == 1] = 3
+    res = compute_nerl(seg, skeletons=skels)
+    r1, r2 = 40.0, L - 41.0
+    expected_erl = (r1 * r1 + r2 * r2 + L * L) / (2 * L)
+    assert res["erl"] == pytest.approx(expected_erl, abs=1e-9)
+    assert res["nerl"] == pytest.approx(expected_erl / L, abs=1e-9)
+
+    # merged: both tubes one id -> every run voided
+    seg2 = gt.copy()
+    seg2[gt == 2] = 1
+    res = compute_nerl(seg2, skeletons=skels)
+    assert res["erl"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_nerl_end_to_end_with_teasar_skeletons():
+    """Full path: native TEASAR skeletonization of the GT tubes feeding ERL
+    (reference em_erl flow). Straight tubes -> TEASAR centerline -> scores
+    close to the analytic values."""
+    from pytorch_connectomics_tpu.metrics.nerl import compute_nerl
+
+    n = 128
+    gt, _ = _tube_volume(n)
+    res = compute_nerl(gt, gt=gt)
+    assert res["nerl"] == pytest.approx(1.0, abs=1e-6)
+
+    seg = gt.copy()
+    seg[64:][gt[64:] == 1] = 3  # split tube 1 at the midpoint
+    res_split = compute_nerl(seg, gt=gt)
+    # analytic: ((L/2)^2 * 2 + L^2) / 2L = 0.75 L -> nerl 0.75; TEASAR node
+    # placement near the tube ends wiggles the skeleton length slightly
+    assert res_split["nerl"] == pytest.approx(0.75, abs=0.05)
+    assert res_split["nerl"] < res["nerl"]
