@@ -231,7 +231,7 @@ def _brute_mutex(aff, offsets):
     qs = np.concatenate(qs)
     order = ids[np.argsort(qs, kind="stable")]
 
-    parent = np.arange(n, dtype=np.int64)
+    parent = list(range(n))
 
     def find(x):
         root = x
@@ -242,10 +242,17 @@ def _brute_mutex(aff, offsets):
         return root
 
     mutex = set()
-    mutex_adj = {}
+    mutex_adj: dict = {}  # root -> set of constrained roots (kept current)
 
     def mkey(a, b):
         return (a, b) if a < b else (b, a)
+
+    def add_constraint(ra, rb):
+        if mkey(ra, rb) in mutex:
+            return
+        mutex.add(mkey(ra, rb))
+        mutex_adj.setdefault(ra, set()).add(rb)
+        mutex_adj.setdefault(rb, set()).add(ra)
 
     for eid in order.tolist():
         k, i = divmod(eid, n)
@@ -260,20 +267,19 @@ def _brute_mutex(aff, offsets):
         if attract:
             if mkey(ra, rb) in mutex:
                 continue
-            parent[rb] = ra
-            gone, keep = rb, ra
-            for other in mutex_adj.pop(gone, []):
+            # union by constraint-set size: migrate the smaller side
+            keep, gone = ra, rb
+            if len(mutex_adj.get(gone, ())) > len(mutex_adj.get(keep, ())):
+                keep, gone = gone, keep
+            parent[gone] = keep
+            for other in mutex_adj.pop(gone, set()):
                 mutex.discard(mkey(gone, other))
+                mutex_adj.get(other, set()).discard(gone)
                 ro = find(other)
                 if ro != keep:
-                    mutex.add(mkey(keep, ro))
-                    mutex_adj.setdefault(keep, []).append(ro)
-                    mutex_adj.setdefault(ro, []).append(keep)
+                    add_constraint(keep, ro)
         else:
-            if mkey(ra, rb) not in mutex:
-                mutex.add(mkey(ra, rb))
-                mutex_adj.setdefault(ra, []).append(rb)
-                mutex_adj.setdefault(rb, []).append(ra)
+            add_constraint(ra, rb)
     out = np.array([find(i) for i in range(n)], dtype=np.int64)
     _, relab = np.unique(out, return_inverse=True)
     return relab.reshape(Z, Y, X) + 1
@@ -305,7 +311,7 @@ def test_mutex_watershed_matches_bruteforce_at_48cubed():
 # ---------------------------------------------------------------------------
 
 
-def _tube_volume(n=128, tubes=((30, 30), (90, 90))):
+def _tube_volume(n=128, tubes=((30, 30), (30, 90))):
     """Straight z-tubes of radius 3; returns (gt volume, analytic skeletons)."""
     from pytorch_connectomics_tpu.metrics.skeleton import Skeleton
 
@@ -333,11 +339,12 @@ def test_nerl_analytic_perfect_split_merged():
     assert res["nerl"] == pytest.approx(1.0, abs=1e-9)
     assert res["erl"] == pytest.approx(L, abs=1e-9)
 
-    # split tube 1 at z=40: runs of length 40 and L-41 (boundary edge voided)
+    # split tube 1 at z=40: nodes 0..39 keep id 1, nodes 40.. get id 3; the
+    # boundary edge (39,40) is voided -> runs of 39 and L-40 edges
     seg = gt.copy()
     seg[40:][gt[40:] == 1] = 3
     res = compute_nerl(seg, skeletons=skels)
-    r1, r2 = 40.0, L - 41.0
+    r1, r2 = 39.0, L - 40.0
     expected_erl = (r1 * r1 + r2 * r2 + L * L) / (2 * L)
     assert res["erl"] == pytest.approx(expected_erl, abs=1e-9)
     assert res["nerl"] == pytest.approx(expected_erl / L, abs=1e-9)
