@@ -48,6 +48,14 @@ def main():
     vol_shape = (64, 256, 256) if small else (165, 1024, 768)
     window = (64, 64, 64) if small else (112, 112, 112)
     sw_batch = int(os.environ.get("BENCH_SW_BATCH", "8"))  # 8 = measured sweet spot (CLAUDE.md)
+    # BENCH_ARCH=patchify measures the space-to-depth-stem variant (needs a
+    # 32-divisible window; 6x faster forward, but converges ~3x slower in
+    # training on the synthetic quality task — see QUALITY.md/docs). The
+    # DEFAULT stays the reference-parity MedNeXt-S recipe.
+    patchify = os.environ.get("BENCH_ARCH", "").lower() == "patchify"
+    if patchify:
+        window = (64, 64, 64) if small else (96, 96, 96)
+        sw_batch = int(os.environ.get("BENCH_SW_BATCH", "16"))
 
     cfg = build_dataclass(
         ModelConfig,
@@ -56,7 +64,7 @@ def main():
             "in_channels": 1,
             "out_channels": 1,
             "input_size": list(window),
-            "mednext": {"size": "S", "kernel_size": 3},
+            "mednext": {"size": "S", "kernel_size": 3, "patchify_stem": patchify},
             "loss": {"losses": [{"function": "DiceLoss"}]},
             "compute_dtype": "bfloat16",
         },
@@ -152,16 +160,15 @@ def main():
             file=sys.stderr,
         )
 
-    print(
-        json.dumps(
-            {
-                "metric": "sliding_window_inference_throughput",
-                "value": round(mvox_s, 2),
-                "unit": "Mvoxels/sec/chip",
-                "vs_baseline": round(mvox_s / BASELINE_MVOX_PER_S, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "sliding_window_inference_throughput",
+        "value": round(mvox_s, 2),
+        "unit": "Mvoxels/sec/chip",
+        "vs_baseline": round(mvox_s / BASELINE_MVOX_PER_S, 3),
+    }
+    if patchify:
+        out["detail"] = {"arch": "mednext_s_patchify", "window": list(window)}
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

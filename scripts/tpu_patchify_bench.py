@@ -57,12 +57,12 @@ def bench(fn, x, label):
         return None
 
 
-def make(patchify: bool):
+def make(patchify: bool, win: int):
     cfg = build_dataclass(
         ModelConfig,
         {
             "arch": {"type": "mednext"}, "in_channels": 1, "out_channels": 1,
-            "input_size": [112, 112, 112],
+            "input_size": [win] * 3,
             "mednext": {"size": "S", "kernel_size": 3, "patchify_stem": patchify},
             "loss": {"losses": [{"function": "DiceLoss"}]},
             "compute_dtype": "bfloat16",
@@ -73,12 +73,17 @@ def make(patchify: bool):
     return model, params
 
 
-for patchify in (False, True):
-    model, params = make(patchify)
+# patchify needs window % 32 == 0 (one extra halving level), so it runs at
+# 96/128 windows; the baseline reference point is the bench recipe's 112.
+for patchify, win, batches in (
+    (False, 112, (8,)),
+    (True, 96, (8, 16)),
+    (True, 128, (4, 8)),
+):
+    model, params = make(patchify, win)
     tag = "patchify" if patchify else "baseline"
-    batches = (8,) if not patchify else (8, 16, 32)
     for b in batches:
         x = jax.random.normal(
-            jax.random.PRNGKey(1), (b, 112, 112, 112, 1)).astype(jnp.bfloat16)
-        bench(lambda v: model.apply(params, v), x, f"{tag} b{b}")
+            jax.random.PRNGKey(1), (b, win, win, win, 1)).astype(jnp.bfloat16)
+        bench(lambda v: model.apply(params, v), x, f"{tag} {win}^3 b{b}")
 print("DONE", flush=True)
