@@ -229,6 +229,10 @@ class MedNeXtConfig:
     # resolution. ~8x fewer full-res voxels; needs (re)training — not a
     # drop-in transform of existing checkpoints.
     patchify_stem: bool = False
+    # stem/head kernel for the patchify variant: 2 = non-overlapping patch
+    # embed (exact space-to-depth); 4 = overlapping (k=4, s=2), same cost
+    # class, keeps more fine detail
+    patchify_kernel: int = 2
 
 
 @dataclass

@@ -118,6 +118,18 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _pad_grid_with_valid(grid: np.ndarray, multiple: int):
+    """Pad the (N, 3) origin grid to a multiple with duplicates of the last
+    origin, returning (grid, valid) where valid is 0.0 on the padding rows."""
+    n = grid.shape[0]
+    n_pad = _round_up(n, multiple)
+    valid = np.ones(n_pad, np.float32)
+    if n_pad != n:
+        grid = np.concatenate([grid, np.repeat(grid[-1:], n_pad - n, axis=0)])
+        valid[n:] = 0.0
+    return grid, valid
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("apply_fn", "window", "sw_batch", "out_channels", "acc_dtype"),
@@ -132,23 +144,34 @@ def _sliding_window_device(
     sw_batch: int,
     out_channels: int,
     acc_dtype=jnp.float32,
+    valid=None,  # (N,) f32: 1.0 real window, 0.0 batch-padding duplicate
 ):
     """One XLA program: scan over window batches, vmapped forward, blended
-    scatter-add into HBM accumulators."""
+    scatter-add into HBM accumulators.
+
+    Padding duplicates must carry ``valid=0``: a duplicate adds its
+    importance to BOTH value and weight, which does NOT cancel where other
+    windows overlap — it biases the weighted mean toward the duplicated
+    window (the bug behind sharded-vs-single prediction drift)."""
     zyx = volume.shape[:3]
     value = jnp.zeros(zyx + (out_channels,), acc_dtype)
     weight = jnp.zeros(zyx + (1,), acc_dtype)
     wz, wy, wx = window
-    n_batches = origins.shape[0] // sw_batch
+    n = origins.shape[0]
+    n_batches = n // sw_batch
     batched_origins = origins.reshape(n_batches, sw_batch, 3)
+    if valid is None:
+        valid = jnp.ones((n,), jnp.float32)
+    batched_valid = valid.reshape(n_batches, sw_batch)
 
     def extract(origin):
         return jax.lax.dynamic_slice(
             volume, (origin[0], origin[1], origin[2], 0), (wz, wy, wx, volume.shape[3])
         )
 
-    def body(carry, batch_orig):
+    def body(carry, batch):
         value, weight = carry
+        batch_orig, batch_ok = batch
         windows = jax.vmap(extract)(batch_orig)  # (B, wz, wy, wx, Cin)
         preds = apply_fn(params, windows)  # (B, wz, wy, wx, Cout) f32
         preds = preds.astype(acc_dtype) * imp.astype(acc_dtype)
@@ -156,19 +179,22 @@ def _sliding_window_device(
         def scatter(i, vw):
             value, weight = vw
             o = batch_orig[i]
+            ok = batch_ok[i].astype(acc_dtype)
             idx = (o[0], o[1], o[2], 0)
             cur_v = jax.lax.dynamic_slice(value, idx, (wz, wy, wx, out_channels))
-            value = jax.lax.dynamic_update_slice(value, cur_v + preds[i], idx)
+            value = jax.lax.dynamic_update_slice(value, cur_v + ok * preds[i], idx)
             cur_w = jax.lax.dynamic_slice(weight, idx, (wz, wy, wx, 1))
             weight = jax.lax.dynamic_update_slice(
-                weight, cur_w + imp.astype(acc_dtype), idx
+                weight, cur_w + ok * imp.astype(acc_dtype), idx
             )
             return value, weight
 
         value, weight = jax.lax.fori_loop(0, sw_batch, scatter, (value, weight))
         return (value, weight), None
 
-    (value, weight), _ = jax.lax.scan(body, (value, weight), batched_origins)
+    (value, weight), _ = jax.lax.scan(
+        body, (value, weight), (batched_origins, batched_valid)
+    )
     return value, weight
 
 
@@ -385,13 +411,9 @@ class SlidingWindowEngine:
         )
         if out_channels is None:
             out_channels = self.probe_out_channels(params, vol.shape[-1])
-        # pad origin list to sw_batch multiple with duplicate windows —
-        # idempotent thanks to weight normalization? no: duplicates add twice
-        # to both value and weight, so normalization still yields the mean.
-        n = grid.shape[0]
-        n_pad = _round_up(n, self.sw_batch)
-        if n_pad != n:
-            grid = np.concatenate([grid, np.repeat(grid[-1:], n_pad - n, axis=0)])
+        # pad origin list to a sw_batch multiple; padding duplicates carry
+        # valid=0 so they don't bias the blend (see _sliding_window_device)
+        grid, valid = _pad_grid_with_valid(grid, self.sw_batch)
         value, weight = _sliding_window_device(
             params,
             jnp.asarray(vol),
@@ -402,6 +424,7 @@ class SlidingWindowEngine:
             sw_batch=self.sw_batch,
             out_channels=out_channels,
             acc_dtype=self.acc_dtype,
+            valid=jnp.asarray(valid),
         )
         out = (value / jnp.maximum(weight, 1e-8)).astype(jnp.float32)
         out_np = np.asarray(out)
@@ -444,14 +467,12 @@ class SlidingWindowEngine:
             )
             return out[:Z, :Y, :X]
         grid = compute_window_grid((Z, Y, X), self.window, self.overlap, self.stride, self.snap)
-        n = grid.shape[0]
-        n_pad = _round_up(n, self.sw_batch)
-        if n_pad != n:
-            grid = np.concatenate([grid, np.repeat(grid[-1:], n_pad - n, axis=0)])
+        grid, valid = _pad_grid_with_valid(grid, self.sw_batch)
         value, weight = _sliding_window_device(
             params, vol, jnp.asarray(grid), self.imp,
             apply_fn=self.apply_fn, window=self.window, sw_batch=self.sw_batch,
             out_channels=out_channels, acc_dtype=self.acc_dtype,
+            valid=jnp.asarray(valid),
         )
         return (value / jnp.maximum(weight, 1e-8)).astype(jnp.float32)
 
@@ -532,10 +553,7 @@ class SlidingWindowEngine:
         if out_channels is None:
             out_channels = self.probe_out_channels(params, vol.shape[-1])
         n_dev = mesh.devices.size
-        n = grid.shape[0]
-        n_pad = _round_up(n, self.sw_batch * n_dev)
-        if n_pad != n:
-            grid = np.concatenate([grid, np.repeat(grid[-1:], n_pad - n, axis=0)])
+        grid, valid = _pad_grid_with_valid(grid, self.sw_batch * n_dev)
 
         apply_fn = self.apply_fn
         window = self.window
@@ -543,11 +561,12 @@ class SlidingWindowEngine:
         acc_dtype = self.acc_dtype
         imp = self.imp
 
-        def per_device(params, volume, origins):
+        def per_device(params, volume, origins, ok):
             value, weight = _sliding_window_device(
                 params, volume, origins, imp,
                 apply_fn=apply_fn, window=window, sw_batch=sw_batch,
                 out_channels=out_channels, acc_dtype=acc_dtype,
+                valid=ok,
             )
             value = jax.lax.psum(value, "data")
             weight = jax.lax.psum(weight, "data")
@@ -558,7 +577,7 @@ class SlidingWindowEngine:
         sharded = shard_map(
             per_device,
             mesh=mesh,
-            in_specs=(P(), P(), P("data")),
+            in_specs=(P(), P(), P("data"), P("data")),
             out_specs=(P(), P()),
             check_vma=False,
         )
@@ -567,8 +586,10 @@ class SlidingWindowEngine:
         rep = NamedSharding(mesh, P())
         params = jax.device_put(params, rep)
         vol_dev = jax.device_put(jnp.asarray(vol), rep)
-        grid_dev = jax.device_put(jnp.asarray(grid), NamedSharding(mesh, P("data")))
-        value, weight = jax.jit(sharded)(params, vol_dev, grid_dev)
+        shard = NamedSharding(mesh, P("data"))
+        grid_dev = jax.device_put(jnp.asarray(grid), shard)
+        valid_dev = jax.device_put(jnp.asarray(valid), shard)
+        value, weight = jax.jit(sharded)(params, vol_dev, grid_dev, valid_dev)
         out = np.asarray((value / jnp.maximum(weight, 1e-8)).astype(jnp.float32))
         sl = tuple(slice(p[0], p[0] + s) for p, s in zip(pads, orig_shape))
         return out[sl]

@@ -174,6 +174,7 @@ class MedNeXt(nn.Module):
     # matmul); head restores full res with a learned 2x transposed conv.
     # TPU throughput variant (schema MedNeXtConfig.patchify_stem).
     patchify_stem: bool = False
+    patchify_kernel: int = 2
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -182,8 +183,11 @@ class MedNeXt(nn.Module):
         B = list(self.block_counts)
         am, asp = self.act_mesh, self.act_spec
         if self.patchify_stem:
-            pk = (1, 2, 2) if self.two_d else (2, 2, 2)
-            x = nn.Conv(C, pk, strides=pk, dtype=self.dtype, name="stem")(x)
+            k = self.patchify_kernel
+            pk = (1, k, k) if self.two_d else (k, k, k)
+            ps = (1, 2, 2) if self.two_d else (2, 2, 2)
+            x = nn.Conv(C, pk, strides=ps, padding="SAME", dtype=self.dtype,
+                        name="stem")(x)
         else:
             x = nn.Conv(C, (1, 1, 1), dtype=self.dtype, name="stem")(x)
         x = _shard_act(x, am, asp)
@@ -215,9 +219,12 @@ class MedNeXt(nn.Module):
                 ds.append(nn.Conv(self.out_channels, (1, 1, 1), dtype=jnp.float32, name=f"ds_head_{i}")(x))
         def project(h, out_ch, name):
             if self.patchify_stem:
-                pk = (1, 2, 2) if self.two_d else (2, 2, 2)
+                k = self.patchify_kernel
+                pk = (1, k, k) if self.two_d else (k, k, k)
+                ps = (1, 2, 2) if self.two_d else (2, 2, 2)
                 return nn.ConvTranspose(
-                    out_ch, kernel_size=pk, strides=pk, dtype=jnp.float32, name=name
+                    out_ch, kernel_size=pk, strides=ps, padding="SAME",
+                    dtype=jnp.float32, name=name
                 )(h)
             return nn.Conv(out_ch, (1, 1, 1), dtype=jnp.float32, name=name)(h)
 
@@ -272,4 +279,5 @@ def build_mednext(model_cfg):
         remat=(m.checkpoint_style == "outside_block"),
         heads=heads,
         patchify_stem=bool(getattr(m, "patchify_stem", False)),
+        patchify_kernel=int(getattr(m, "patchify_kernel", 2)),
     )

@@ -86,9 +86,11 @@ def main():
             "out_channels": 1,
             "input_size": [patch] * 3,
             # QB_ARCH=patchify trains the space-to-depth stem variant
-            # (throughput lever; quality must hold vs the default row)
+            # (throughput lever; quality must hold vs the default row);
+            # QB_PATCHIFY_K=4 uses the overlapping (k=4, s=2) embed
             "mednext": {"size": "S", "kernel_size": 3,
-                        "patchify_stem": os.environ.get("QB_ARCH") == "patchify"},
+                        "patchify_stem": os.environ.get("QB_ARCH") == "patchify",
+                        "patchify_kernel": int(os.environ.get("QB_PATCHIFY_K", "2"))},
             "loss": {
                 "losses": [
                     {"function": "BCEWithLogitsLoss", "weight": 1.0},
@@ -221,7 +223,11 @@ def main():
     print(json.dumps(result), flush=True)
     qfile = ROOT / "QUALITY.md"
     stamp = time.strftime("%Y-%m-%d %H:%M")
-    task_tag = f"v{task}" + ("/pf" if os.environ.get("QB_ARCH") == "patchify" else "")
+    task_tag = f"v{task}"
+    if os.environ.get("QB_ARCH") == "patchify":
+        task_tag += "/pf" + (
+            f"k{os.environ['QB_PATCHIFY_K']}" if os.environ.get("QB_PATCHIFY_K", "2") != "2" else ""
+        )
     line = (
         f"| {stamp} | {task_tag} | {jac:.4f} | {steps} | {patch}^3 | "
         f"{'on' if tta else 'off'} | {jax.devices()[0].platform} | "

@@ -86,6 +86,44 @@ def test_sharded_engine_matches_single():
     np.testing.assert_allclose(sharded, single, atol=1e-5)
 
 
+def window_mean_apply(params, windows):
+    # placement-sensitive model: every voxel of a window predicts the window
+    # mean, so overlapping windows disagree — exposes any batch-padding
+    # duplicate leaking into the blend (duplicates add their importance to
+    # both value and weight, biasing the weighted mean toward them)
+    return windows * 0 + windows.mean(axis=(1, 2, 3, 4), keepdims=True)
+
+
+def test_batch_padding_does_not_bias_blend():
+    vol = np.random.default_rng(1).random((12, 40, 40), dtype=np.float32)
+    # overlap 0.25 -> stride (6,12,12): irregular path (8 % 6 != 0)
+    kw = dict(window=(8, 16, 16), overlap=0.25)
+    grid = compute_window_grid((12, 40, 40), (8, 16, 16), 0.25)
+    assert grid.shape[0] % 4 != 0  # sw_batch=4 actually pads
+    ref = SlidingWindowEngine(window_mean_apply, sw_batch_size=1, **kw)(
+        None, vol, out_channels=1
+    )
+    padded = SlidingWindowEngine(window_mean_apply, sw_batch_size=4, **kw)(
+        None, vol, out_channels=1
+    )
+    np.testing.assert_allclose(padded, ref, atol=1e-5)
+
+
+def test_sharded_engine_matches_single_nondivisible_grid():
+    from pytorch_connectomics_tpu.parallel import make_mesh
+
+    mesh = make_mesh({"data": 8})
+    vol = np.random.default_rng(2).random((12, 40, 40), dtype=np.float32)
+    eng = SlidingWindowEngine(
+        window_mean_apply, (8, 16, 16), overlap=0.25, sw_batch_size=1
+    )
+    grid = compute_window_grid((12, 40, 40), (8, 16, 16), 0.25)
+    assert grid.shape[0] % 8 != 0  # sharding actually pads the grid
+    single = eng(None, vol, out_channels=1)
+    sharded = eng.predict_sharded(None, vol, mesh, out_channels=1)
+    np.testing.assert_allclose(sharded, single, atol=1e-5)
+
+
 def test_tta_variant_enumeration():
     vs = enumerate_tta_variants("all", rotation90=False)
     assert len(vs) == 8

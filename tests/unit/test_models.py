@@ -140,3 +140,19 @@ def test_mednext_patchify_stem_shapes_and_grads():
     g = jax.grad(loss)(v["params"])
     flat = jax.tree.leaves(g)
     assert all(jnp.isfinite(leaf).all() for leaf in flat)
+
+    # overlapping (k=4, s=2) patch embed: same stride-2 geometry, full-res out
+    cfg4 = build_dataclass(ModelConfig, {
+        "arch": {"type": "mednext"}, "in_channels": 1, "out_channels": 2,
+        "input_size": [32, 32, 32],
+        "mednext": {"size": "custom", "base_channels": 8, "exp_ratio": 2,
+                    "block_counts": [1] * 9, "patchify_stem": True,
+                    "patchify_kernel": 4},
+        "loss": {"losses": [{"function": "DiceLoss"}]},
+        "compute_dtype": "float32",
+    })
+    m4 = build_model(cfg4)
+    v4 = init_model(m4, cfg4, jax.random.PRNGKey(0))
+    assert v4["params"]["stem"]["kernel"].shape[:3] == (4, 4, 4)
+    out4 = m4.apply(v4, x)
+    assert out4.shape == (1, 32, 32, 32, 2)
