@@ -233,6 +233,21 @@ class MedNeXtConfig:
     # embed (exact space-to-depth); 4 = overlapping (k=4, s=2), same cost
     # class, keeps more fine detail
     patchify_kernel: int = 2
+    # head for the patchify variant: "linear" = one 2x transposed conv
+    # (each output voxel is a linear readout of its patch feature);
+    # "refine" = 2x transposed conv to a small full-res feature map,
+    # concatenated with the RAW input (intensity guidance) and mixed by a
+    # nonlinear pointwise layer before projection. Full-res cost is
+    # pointwise/elementwise only (no full-res stencils), which the v5e
+    # probes showed is cheap; recovers fine-detail discrimination the
+    # linear patch readout loses.
+    patchify_head: str = "linear"
+    patchify_head_width: int = 16
+    # hybrid variant: keep ONE thin full-resolution MedNeXt stage of this
+    # width (e.g. 16) around the half-res patchify core — full-res stencils
+    # and a full-res skip at a fraction of the standard cost. None = pure
+    # patchify (no full-res stage).
+    patchify_full_res_width: Optional[int] = None
 
 
 @dataclass

@@ -138,9 +138,12 @@ class MedNeXtTaskHead(nn.Module):
     two_d: bool = False
     # patchify-stem models: projection doubles spatial resolution
     upsample: bool = False
+    # raw-input-guided full-res refinement (see MedNeXt.patchify_head)
+    refine: bool = False
+    refine_width: int = 16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ref=None):
         c = x.shape[-1]
         for _ in range(self.num_blocks):
             x = MedNeXtBlock(
@@ -149,6 +152,16 @@ class MedNeXtTaskHead(nn.Module):
             )(x)
         if self.upsample:
             pk = (1, 2, 2) if self.two_d else (2, 2, 2)
+            if self.refine and ref is not None:
+                x = nn.ConvTranspose(
+                    self.refine_width, kernel_size=pk, strides=pk,
+                    dtype=self.dtype, name="up",
+                )(x)
+                x = jnp.concatenate([x, ref.astype(x.dtype)], axis=-1)
+                x = nn.gelu(nn.Conv(self.refine_width, (1, 1, 1),
+                                    dtype=self.dtype, name="mix")(x))
+                return nn.Conv(self.out_channels, (1, 1, 1),
+                               dtype=jnp.float32)(x)
             return nn.ConvTranspose(
                 self.out_channels, kernel_size=pk, strides=pk, dtype=jnp.float32
             )(x)
@@ -175,6 +188,14 @@ class MedNeXt(nn.Module):
     # TPU throughput variant (schema MedNeXtConfig.patchify_stem).
     patchify_stem: bool = False
     patchify_kernel: int = 2
+    # "linear" (one 2x ConvTranspose) or "refine" (full-res pointwise
+    # refinement guided by the raw input — schema MedNeXtConfig.patchify_head)
+    patchify_head: str = "linear"
+    patchify_head_width: int = 16
+    # hybrid: keep ONE thin full-resolution stage (this width) around the
+    # half-res patchify core — full-res stencils + a full-res skip at a
+    # fraction of the standard cost (schema MedNeXtConfig.patchify_full_res_width)
+    patchify_full_res_width: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -182,7 +203,22 @@ class MedNeXt(nn.Module):
         R = list(self.exp_ratios)
         B = list(self.block_counts)
         am, asp = self.act_mesh, self.act_spec
-        if self.patchify_stem:
+        x_in = x  # raw input, kept for the "refine" patchify head
+        full_res_skip = None
+        if self.patchify_stem and self.patchify_full_res_width:
+            # hybrid: thin full-res stage (1 block) + strided downsample into
+            # the half-res core; mirrored on the way out (see below)
+            w0 = self.patchify_full_res_width
+            x = nn.Conv(w0, (1, 1, 1), dtype=self.dtype, name="stem")(x)
+            x = _shard_act(x, am, asp)
+            x = MedNeXtBlock(w0, 2, self.kernel, self.norm, self.dtype,
+                             two_d=self.two_d, act_mesh=am, act_spec=asp,
+                             name="full_res_enc")(x)
+            full_res_skip = x
+            x = MedNeXtBlock(w0, 2, self.kernel, self.norm, self.dtype,
+                             out_features=C, stride=2, two_d=self.two_d,
+                             act_mesh=am, act_spec=asp, name="full_res_down")(x)
+        elif self.patchify_stem:
             k = self.patchify_kernel
             pk = (1, k, k) if self.two_d else (k, k, k)
             ps = (1, 2, 2) if self.two_d else (2, 2, 2)
@@ -217,11 +253,38 @@ class MedNeXt(nn.Module):
             x = _Stage(C * 2**i, B[5 + j], R[5 + j], self.kernel, self.norm, self.dtype, self.remat, self.two_d, am, asp)(x)
             if self.deep_supervision and i > 0:
                 ds.append(nn.Conv(self.out_channels, (1, 1, 1), dtype=jnp.float32, name=f"ds_head_{i}")(x))
+        if full_res_skip is not None:
+            w0 = self.patchify_full_res_width
+            x = MedNeXtBlock(
+                C, 2, self.kernel, self.norm, self.dtype, out_features=w0,
+                stride=2, transpose=True, two_d=self.two_d,
+                act_mesh=am, act_spec=asp, name="full_res_up",
+            )(x)
+            x = x + full_res_skip
+            x = _shard_act(x, am, asp)
+            x = MedNeXtBlock(w0, 2, self.kernel, self.norm, self.dtype,
+                             two_d=self.two_d, act_mesh=am, act_spec=asp,
+                             name="full_res_dec")(x)
+
+        # resolution already restored in hybrid mode: heads project 1x1
+        head_upsamples = self.patchify_stem and full_res_skip is None
+
         def project(h, out_ch, name):
-            if self.patchify_stem:
+            if head_upsamples:
                 k = self.patchify_kernel
                 pk = (1, k, k) if self.two_d else (k, k, k)
                 ps = (1, 2, 2) if self.two_d else (2, 2, 2)
+                if self.patchify_head == "refine":
+                    w = self.patchify_head_width
+                    h = nn.ConvTranspose(
+                        w, kernel_size=pk, strides=ps, padding="SAME",
+                        dtype=self.dtype, name=f"{name}_up",
+                    )(h)
+                    h = jnp.concatenate([h, x_in.astype(h.dtype)], axis=-1)
+                    h = nn.gelu(nn.Conv(w, (1, 1, 1), dtype=self.dtype,
+                                        name=f"{name}_mix")(h))
+                    return nn.Conv(out_ch, (1, 1, 1), dtype=jnp.float32,
+                                   name=name)(h)
                 return nn.ConvTranspose(
                     out_ch, kernel_size=pk, strides=ps, padding="SAME",
                     dtype=jnp.float32, name=name
@@ -233,9 +296,11 @@ class MedNeXt(nn.Module):
             for name, out_ch, nblocks in self.heads:
                 outputs[name] = MedNeXtTaskHead(
                     out_ch, nblocks, 2, self.kernel, self.norm, self.dtype,
-                    two_d=self.two_d, upsample=self.patchify_stem,
+                    two_d=self.two_d, upsample=head_upsamples,
+                    refine=self.patchify_head == "refine",
+                    refine_width=self.patchify_head_width,
                     name=f"head_{name}"
-                )(x)
+                )(x, ref=x_in)
             if self.deep_supervision:
                 for k, d in enumerate(reversed(ds)):
                     outputs[f"ds_{k}"] = d
@@ -280,4 +345,7 @@ def build_mednext(model_cfg):
         heads=heads,
         patchify_stem=bool(getattr(m, "patchify_stem", False)),
         patchify_kernel=int(getattr(m, "patchify_kernel", 2)),
+        patchify_head=str(getattr(m, "patchify_head", "linear")),
+        patchify_head_width=int(getattr(m, "patchify_head_width", 16)),
+        patchify_full_res_width=getattr(m, "patchify_full_res_width", None),
     )

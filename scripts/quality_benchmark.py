@@ -90,7 +90,13 @@ def main():
             # QB_PATCHIFY_K=4 uses the overlapping (k=4, s=2) embed
             "mednext": {"size": "S", "kernel_size": 3,
                         "patchify_stem": os.environ.get("QB_ARCH") == "patchify",
-                        "patchify_kernel": int(os.environ.get("QB_PATCHIFY_K", "2"))},
+                        "patchify_kernel": int(os.environ.get("QB_PATCHIFY_K", "2")),
+                        # QB_PATCHIFY_HEAD=refine: raw-input-guided full-res
+                        # pointwise refinement head (quality-recovery lever)
+                        "patchify_head": os.environ.get("QB_PATCHIFY_HEAD", "linear"),
+                        # QB_PF_W0=16: hybrid thin full-res stage of width 16
+                        "patchify_full_res_width": (
+                            int(os.environ["QB_PF_W0"]) if os.environ.get("QB_PF_W0") else None)},
             "loss": {
                 "losses": [
                     {"function": "BCEWithLogitsLoss", "weight": 1.0},
@@ -228,6 +234,10 @@ def main():
         task_tag += "/pf" + (
             f"k{os.environ['QB_PATCHIFY_K']}" if os.environ.get("QB_PATCHIFY_K", "2") != "2" else ""
         )
+        if os.environ.get("QB_PATCHIFY_HEAD") == "refine":
+            task_tag += "r"
+        if os.environ.get("QB_PF_W0"):
+            task_tag += f"h{os.environ['QB_PF_W0']}"
     line = (
         f"| {stamp} | {task_tag} | {jac:.4f} | {steps} | {patch}^3 | "
         f"{'on' if tta else 'off'} | {jax.devices()[0].platform} | "

@@ -57,13 +57,15 @@ def bench(fn, x, label):
         return None
 
 
-def make(patchify: bool, win: int):
+def make(patchify: bool, win: int, full_res_width=None, head="linear"):
     cfg = build_dataclass(
         ModelConfig,
         {
             "arch": {"type": "mednext"}, "in_channels": 1, "out_channels": 1,
             "input_size": [win] * 3,
-            "mednext": {"size": "S", "kernel_size": 3, "patchify_stem": patchify},
+            "mednext": {"size": "S", "kernel_size": 3, "patchify_stem": patchify,
+                        "patchify_full_res_width": full_res_width,
+                        "patchify_head": head},
             "loss": {"losses": [{"function": "DiceLoss"}]},
             "compute_dtype": "bfloat16",
         },
@@ -75,13 +77,26 @@ def make(patchify: bool, win: int):
 
 # patchify needs window % 32 == 0 (one extra halving level), so it runs at
 # 96/128 windows; the baseline reference point is the bench recipe's 112.
-for patchify, win, batches in (
-    (False, 112, (8,)),
-    (True, 96, (8, 16)),
-    (True, 128, (4, 8)),
-):
-    model, params = make(patchify, win)
+# ONLY=hybrid measures just the hybrid thin-full-res-stage variants.
+only = os.environ.get("ONLY", "")
+cases = (
+    (False, 112, (8,), None, "linear"),
+    (True, 96, (8, 16), None, "linear"),
+    (True, 128, (4, 8), None, "linear"),
+    (True, 96, (8,), None, "refine"),
+    (True, 96, (8,), 8, "linear"),
+    (True, 96, (8,), 16, "linear"),
+    (True, 128, (8,), 16, "linear"),
+)
+if only == "hybrid":
+    cases = tuple(c for c in cases if c[3] is not None or c[4] != "linear")
+for patchify, win, batches, w0, head in cases:
+    model, params = make(patchify, win, w0, head)
     tag = "patchify" if patchify else "baseline"
+    if w0:
+        tag += f"+fr{w0}"
+    if head != "linear":
+        tag += f"+{head}"
     for b in batches:
         x = jax.random.normal(
             jax.random.PRNGKey(1), (b, win, win, win, 1)).astype(jnp.bfloat16)

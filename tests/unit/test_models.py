@@ -156,3 +156,85 @@ def test_mednext_patchify_stem_shapes_and_grads():
     assert v4["params"]["stem"]["kernel"].shape[:3] == (4, 4, 4)
     out4 = m4.apply(v4, x)
     assert out4.shape == (1, 32, 32, 32, 2)
+
+
+def test_mednext_patchify_refine_head():
+    """patchify_head="refine": full-res pointwise refinement guided by the
+    raw input — full-res shape, head params present, grads reach the raw-input
+    mix layer, multi-head contract preserved."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_connectomics_tpu.config.schema import ModelConfig, build_dataclass
+    from pytorch_connectomics_tpu.models import build_model, init_model
+
+    base = {
+        "arch": {"type": "mednext"}, "in_channels": 1, "out_channels": 2,
+        "input_size": [32, 32, 32],
+        "loss": {"losses": [{"function": "DiceLoss"}]},
+        "compute_dtype": "float32",
+    }
+    cfg = build_dataclass(ModelConfig, {**base, "mednext": {
+        "size": "custom", "base_channels": 8, "exp_ratio": 2,
+        "block_counts": [1] * 9, "patchify_stem": True,
+        "patchify_head": "refine", "patchify_head_width": 4}})
+    model = build_model(cfg)
+    v = init_model(model, cfg, jax.random.PRNGKey(0))
+    x = jnp.ones((1, 32, 32, 32, 1))
+    out = model.apply(v, x)
+    assert out.shape == (1, 32, 32, 32, 2)
+    # refine layers exist; mix consumes upsampled width + 1 raw channel
+    assert v["params"]["head_mix"]["kernel"].shape == (1, 1, 1, 5, 4)
+
+    def loss(params):
+        return jnp.mean(model.apply({"params": params}, x) ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    assert all(jnp.isfinite(leaf).all() for leaf in jax.tree.leaves(g))
+    assert float(jnp.abs(g["head_mix"]["kernel"]).sum()) > 0
+
+    # multi-head: task heads get the refine path too
+    cfgh = build_dataclass(ModelConfig, {**base, "mednext": {
+        "size": "custom", "base_channels": 8, "exp_ratio": 2,
+        "block_counts": [1] * 9, "patchify_stem": True,
+        "patchify_head": "refine", "patchify_head_width": 4,
+        "heads": [{"name": "aff", "out_channels": 3, "num_blocks": 1}]}})
+    mh = build_model(cfgh)
+    vh = init_model(mh, cfgh, jax.random.PRNGKey(0))
+    oh = mh.apply(vh, x)
+    assert oh["aff"].shape == (1, 32, 32, 32, 3)
+    assert "mix" in vh["params"]["head_aff"]
+
+
+def test_mednext_patchify_hybrid_full_res_stage():
+    """patchify_full_res_width: one thin full-res MedNeXt stage wraps the
+    half-res core — full-res output, hybrid stage params present, heads
+    project 1x1 (no upsampling head)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_connectomics_tpu.config.schema import ModelConfig, build_dataclass
+    from pytorch_connectomics_tpu.models import build_model, init_model
+
+    cfg = build_dataclass(ModelConfig, {
+        "arch": {"type": "mednext"}, "in_channels": 1, "out_channels": 2,
+        "input_size": [32, 32, 32],
+        "mednext": {"size": "custom", "base_channels": 8, "exp_ratio": 2,
+                    "block_counts": [1] * 9, "patchify_stem": True,
+                    "patchify_full_res_width": 4},
+        "loss": {"losses": [{"function": "DiceLoss"}]},
+        "compute_dtype": "float32",
+    })
+    model = build_model(cfg)
+    v = init_model(model, cfg, jax.random.PRNGKey(0))
+    x = jnp.ones((1, 32, 32, 32, 1))
+    out = model.apply(v, x)
+    assert out.shape == (1, 32, 32, 32, 2)
+    for k in ("full_res_enc", "full_res_down", "full_res_up", "full_res_dec"):
+        assert k in v["params"], k
+    # head is a plain 1x1 projection at full res
+    assert v["params"]["head"]["kernel"].shape == (1, 1, 1, 4, 2)
+
+    g = jax.grad(lambda p: jnp.mean(model.apply({"params": p}, x) ** 2))(v["params"])
+    assert all(jnp.isfinite(leaf).all() for leaf in jax.tree.leaves(g))
+    assert float(jnp.abs(g["full_res_enc"]["Conv_0"]["kernel"]).sum()) > 0
