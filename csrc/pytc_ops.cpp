@@ -51,6 +51,95 @@ inline int64_t idx3(int64_t z, int64_t y, int64_t x, int64_t Y, int64_t X) {
   return (z * Y + y) * X + x;
 }
 
+// RAG edge statistics for mean-affinity agglomeration: (sum, count) of the
+// affinities on the boundary between two fragments.
+struct RagEdge {
+  double sum = 0;
+  int64_t cnt = 0;
+};
+
+inline uint64_t rag_key(uint32_t a, uint32_t b) {
+  if (a > b) std::swap(a, b);
+  return ((uint64_t)a << 32) | b;
+}
+
+// Shared hierarchical merge loop (waterz mean-edge scorer): pops edges in
+// descending mean order with lazy re-scoring, folds adjacency on merge, and
+// calls snapshot(t) as the frontier crosses below each threshold
+// (thresholds sorted DESCENDING). Used by both the volume-level
+// agglomerate_mean and the RAG-level agglomerate_rag so chunked decodes
+// replay the exact same merge sequence as whole-volume ones.
+template <typename SnapshotFn>
+void agglomerate_merge_core(std::unordered_map<uint64_t, RagEdge>& rag,
+                            uint32_t max_label, const float* thresholds,
+                            int64_t T, UnionFind& uf, SnapshotFn snapshot) {
+  const float min_thr = thresholds[T - 1];
+  using QE = std::tuple<float, uint32_t, uint32_t>;
+  std::priority_queue<QE> pq;  // max-heap by mean affinity
+  // adjacency lists (may hold stale neighbor ids; rag lookup under current
+  // roots is the source of truth) so a merge touches only the smaller
+  // endpoint's neighbors instead of scanning the whole RAG
+  std::vector<std::vector<uint32_t>> adj(max_label + 1);
+  for (auto& kv : rag) {
+    uint32_t a = (uint32_t)(kv.first >> 32), b = (uint32_t)kv.first;
+    adj[a].push_back(b);
+    adj[b].push_back(a);
+    float mean = (float)(kv.second.sum / kv.second.cnt);
+    if (mean > min_thr) pq.emplace(mean, a, b);
+  }
+  int64_t t = 0;
+  while (!pq.empty() && t < T) {
+    auto [score, a, b] = pq.top();
+    pq.pop();
+    uint32_t ra = uf.find(a), rb = uf.find(b);
+    if (ra == rb) continue;
+    auto it = rag.find(rag_key(ra, rb));
+    if (it == rag.end()) continue;  // stale edge
+    float mean = (float)(it->second.sum / it->second.cnt);
+    if (std::abs(mean - score) > 1e-6f) {  // stale score: re-push
+      if (mean > min_thr) pq.emplace(mean, ra, rb);
+      continue;
+    }
+    // fresh top edge: every remaining edge scores <= mean, so thresholds
+    // above it are final — snapshot them before merging across
+    while (t < T && mean <= thresholds[t]) {
+      snapshot(t);
+      ++t;
+    }
+    if (t >= T) break;
+    // merge the endpoint with the smaller adjacency list into the larger
+    // (bounds total fold work at O(E log E) over the whole run)
+    uint32_t keep = ra, gone = rb;
+    if (adj[gone].size() > adj[keep].size()) std::swap(keep, gone);
+    uf.unite_keep(keep, gone);
+    rag.erase(rag_key(keep, gone));
+    for (uint32_t other_raw : adj[gone]) {
+      uint32_t other = uf.find(other_raw);
+      if (other == keep || other == gone) continue;  // merged edge / self
+      auto it2 = rag.find(rag_key(gone, other));
+      if (it2 == rag.end()) continue;  // already folded or stale entry
+      RagEdge moved_e = it2->second;
+      rag.erase(it2);
+      RagEdge& e = rag[rag_key(keep, other)];
+      const bool existed = e.cnt != 0;
+      e.sum += moved_e.sum;
+      e.cnt += moved_e.cnt;
+      float m2 = (float)(e.sum / e.cnt);
+      if (m2 > min_thr) pq.emplace(m2, keep, other);
+      if (!existed) {
+        adj[keep].push_back(other);
+        adj[other].push_back(keep);
+      }
+    }
+    std::vector<uint32_t>().swap(adj[gone]);
+  }
+  // queue exhausted: remaining thresholds all see the final merge state
+  while (t < T) {
+    snapshot(t);
+    ++t;
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -334,17 +423,14 @@ static int64_t agglomerate_mean_impl(const uint32_t* fragments,
                                      int64_t T, uint32_t* out,
                                      int64_t* counts) {
   const int64_t n = Z * Y * X;
-  const float min_thr = thresholds[T - 1];
   uint32_t max_label = 0;
   for (int64_t i = 0; i < n; ++i) max_label = std::max(max_label, fragments[i]);
   // RAG accumulation: edge (a<b) -> (sum, count)
-  struct Edge { double sum = 0; int64_t cnt = 0; };
-  std::unordered_map<uint64_t, Edge> rag;
+  std::unordered_map<uint64_t, RagEdge> rag;
   rag.reserve(4096);
   auto add_edge = [&](uint32_t a, uint32_t b, float v) {
     if (!a || !b || a == b) return;
-    if (a > b) std::swap(a, b);
-    Edge& e = rag[((uint64_t)a << 32) | b];
+    RagEdge& e = rag[rag_key(a, b)];
     e.sum += v; e.cnt += 1;
   };
   // channel order follows the standard offset list [(0,0,1),(0,1,0),(1,0,0)]:
@@ -363,24 +449,8 @@ static int64_t agglomerate_mean_impl(const uint32_t* fragments,
   // hierarchical merging with lazy re-evaluation: a popped edge whose
   // endpoints were merged since scoring is re-scored against current roots.
   UnionFind uf(max_label + 1);
-  using QE = std::tuple<float, uint32_t, uint32_t>;
-  std::priority_queue<QE> pq;  // max-heap by mean affinity
-  // adjacency lists (may hold stale neighbor ids; rag lookup under current
-  // roots is the source of truth) so a merge touches only the smaller
-  // endpoint's neighbors instead of scanning the whole RAG
-  std::vector<std::vector<uint32_t>> adj(max_label + 1);
-  for (auto& kv : rag) {
-    uint32_t a = (uint32_t)(kv.first >> 32), b = (uint32_t)kv.first;
-    adj[a].push_back(b);
-    adj[b].push_back(a);
-    float mean = (float)(kv.second.sum / kv.second.cnt);
-    if (mean > min_thr) pq.emplace(mean, a, b);
-  }
-  auto edge_key = [](uint32_t a, uint32_t b) {
-    if (a > b) std::swap(a, b);
-    return ((uint64_t)a << 32) | b;
-  };
-  auto snapshot = [&](uint32_t* dst) -> int64_t {
+  auto snapshot = [&](int64_t t) {
+    uint32_t* dst = out + t * n;
     std::unordered_map<uint32_t, uint32_t> root2label;
     uint32_t next = 0;
     for (int64_t i = 0; i < n; ++i) {
@@ -390,59 +460,9 @@ static int64_t agglomerate_mean_impl(const uint32_t* fragments,
       if (it == root2label.end()) { root2label.emplace(r, ++next); dst[i] = next; }
       else dst[i] = it->second;
     }
-    return (int64_t)next;
+    counts[t] = (int64_t)next;
   };
-  int64_t t = 0;
-  while (!pq.empty() && t < T) {
-    auto [score, a, b] = pq.top();
-    pq.pop();
-    uint32_t ra = uf.find(a), rb = uf.find(b);
-    if (ra == rb) continue;
-    auto it = rag.find(edge_key(ra, rb));
-    if (it == rag.end()) continue;  // stale edge
-    float mean = (float)(it->second.sum / it->second.cnt);
-    if (std::abs(mean - score) > 1e-6f) {  // stale score: re-push
-      if (mean > min_thr) pq.emplace(mean, ra, rb);
-      continue;
-    }
-    // fresh top edge: every remaining edge scores <= mean, so thresholds
-    // above it are final — snapshot them before merging across
-    while (t < T && mean <= thresholds[t]) {
-      counts[t] = snapshot(out + t * n);
-      ++t;
-    }
-    if (t >= T) break;
-    // merge the endpoint with the smaller adjacency list into the larger
-    // (bounds total fold work at O(E log E) over the whole run)
-    uint32_t keep = ra, gone = rb;
-    if (adj[gone].size() > adj[keep].size()) std::swap(keep, gone);
-    uf.unite_keep(keep, gone);
-    rag.erase(edge_key(keep, gone));
-    for (uint32_t other_raw : adj[gone]) {
-      uint32_t other = uf.find(other_raw);
-      if (other == keep || other == gone) continue;  // merged edge / self
-      auto it2 = rag.find(edge_key(gone, other));
-      if (it2 == rag.end()) continue;  // already folded or stale entry
-      Edge moved_e = it2->second;
-      rag.erase(it2);
-      Edge& e = rag[edge_key(keep, other)];
-      const bool existed = e.cnt != 0;
-      e.sum += moved_e.sum;
-      e.cnt += moved_e.cnt;
-      float m2 = (float)(e.sum / e.cnt);
-      if (m2 > min_thr) pq.emplace(m2, keep, other);
-      if (!existed) {
-        adj[keep].push_back(other);
-        adj[other].push_back(keep);
-      }
-    }
-    std::vector<uint32_t>().swap(adj[gone]);
-  }
-  // queue exhausted: remaining thresholds all see the final merge state
-  while (t < T) {
-    counts[t] = snapshot(out + t * n);
-    ++t;
-  }
+  agglomerate_merge_core(rag, max_label, thresholds, T, uf, snapshot);
   return counts[T - 1];
 }
 
@@ -462,6 +482,85 @@ int64_t agglomerate_mean_multi(const uint32_t* fragments, const float* aff,
                                uint32_t* out, int64_t* counts) {
   return agglomerate_mean_impl(fragments, aff, Z, Y, X, thresholds, T, out,
                                counts);
+}
+
+// RAG extraction for chunked agglomeration: labels [Z][Y][X] (globally
+// consistent fragment ids), aff [3][Z][Y][X] for the same region. Each
+// affinity edge is owned by its HIGH-end voxel (deepem convention), so a
+// chunk grid partitions the global edge set exactly. The optional low-side
+// neighbor label planes lz [Y*X], ly [Z*X], lx [Z*Y] (pass NULL at volume
+// boundaries) supply the labels across the chunk's low faces so seam edges
+// are owned — and counted exactly once — by the high-side chunk.
+// Writes up to max_edges (a, b, sum, count) rows; returns the edge count,
+// or -(needed) if max_edges is too small (caller retries with that size).
+int64_t rag_mean_edges(const uint32_t* labels, const float* aff, int64_t Z,
+                       int64_t Y, int64_t X, const uint32_t* lz,
+                       const uint32_t* ly, const uint32_t* lx, uint32_t* ea,
+                       uint32_t* eb, double* esum, int64_t* ecnt,
+                       int64_t max_edges) {
+  const int64_t n = Z * Y * X;
+  std::unordered_map<uint64_t, RagEdge> rag;
+  rag.reserve(4096);
+  auto add_edge = [&](uint32_t a, uint32_t b, float v) {
+    if (!a || !b || a == b) return;
+    RagEdge& e = rag[rag_key(a, b)];
+    e.sum += v; e.cnt += 1;
+  };
+  const float* ax = aff;
+  const float* ay = aff + n;
+  const float* az = aff + 2 * n;
+  for (int64_t z = 0; z < Z; ++z)
+    for (int64_t y = 0; y < Y; ++y)
+      for (int64_t x = 0; x < X; ++x) {
+        const int64_t i = idx3(z, y, x, Y, X);
+        const uint32_t li = labels[i];
+        if (z > 0) add_edge(li, labels[i - Y * X], az[i]);
+        else if (lz) add_edge(li, lz[y * X + x], az[i]);
+        if (y > 0) add_edge(li, labels[i - X], ay[i]);
+        else if (ly) add_edge(li, ly[z * X + x], ay[i]);
+        if (x > 0) add_edge(li, labels[i - 1], ax[i]);
+        else if (lx) add_edge(li, lx[z * Y + y], ax[i]);
+      }
+  if ((int64_t)rag.size() > max_edges) return -(int64_t)rag.size();
+  int64_t k = 0;
+  for (auto& kv : rag) {
+    ea[k] = (uint32_t)(kv.first >> 32);
+    eb[k] = (uint32_t)kv.first;
+    esum[k] = kv.second.sum;
+    ecnt[k] = kv.second.cnt;
+    ++k;
+  }
+  return k;
+}
+
+// RAG-level mean-affinity agglomeration: same merge policy (and therefore
+// the same merge sequence) as agglomerate_mean, applied to a prebuilt edge
+// list — duplicate (a,b) rows are combined additively, so per-chunk RAGs
+// can be concatenated directly. mapping[0..max_label] receives the
+// surviving root id per fragment (mapping[0] = 0). Returns the number of
+// distinct roots among 1..max_label.
+int64_t agglomerate_rag(const uint32_t* ea, const uint32_t* eb,
+                        const double* esum, const int64_t* ecnt, int64_t E,
+                        uint32_t max_label, float threshold,
+                        uint32_t* mapping) {
+  std::unordered_map<uint64_t, RagEdge> rag;
+  rag.reserve((size_t)E * 2);
+  for (int64_t i = 0; i < E; ++i) {
+    uint32_t a = ea[i], b = eb[i];
+    if (!a || !b || a == b || a > max_label || b > max_label) continue;
+    RagEdge& e = rag[rag_key(a, b)];
+    e.sum += esum[i];
+    e.cnt += ecnt[i];
+  }
+  UnionFind uf(max_label + 1);
+  agglomerate_merge_core(rag, max_label, &threshold, 1, uf, [](int64_t) {});
+  int64_t roots = 0;
+  mapping[0] = 0;
+  for (uint32_t i = 1; i <= max_label; ++i) {
+    mapping[i] = uf.find(i);
+    if (mapping[i] == i) ++roots;
+  }
+  return roots;
 }
 
 // Mutex watershed (Wolf et al.): attractive cardinal short-range edges +

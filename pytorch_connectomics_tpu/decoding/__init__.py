@@ -3,7 +3,7 @@ from . import decoders  # noqa: F401
 from .postprocess import apply_postprocessing, cc_instance_filter, remove_small_instances  # noqa: F401
 from .qc import QCReport, StreamingQCAccumulator, scan_affinity_quality  # noqa: F401
 from .stage import run_decoding_stage  # noqa: F401
-from .streamed import streamed_affinity_cc_decode  # noqa: F401
+from .streamed import streamed_affinity_cc_decode, streamed_waterz_decode  # noqa: F401
 from . import branch  # noqa: F401 - registers branch decoders
 from .tuning import DecodingTuner, load_best_params, make_decode_objective  # noqa: F401
 from ..runtime import abiss_bridge as _abiss_bridge  # noqa: F401 - registers 'abiss'

@@ -16,7 +16,13 @@ from typing import Callable, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from ..chunked.grid import ChunkRef, build_chunk_grid
-from ..ops import affinity_connected_components, remove_small, renumber
+from ..ops import (
+    affinity_connected_components,
+    agglomerate_rag,
+    rag_mean_edges,
+    remove_small,
+    renumber,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -81,7 +87,15 @@ def streamed_affinity_cc_decode(
         next_offset += n
 
     # seam merging: for each face between adjacent chunks, read the affinity
-    # channel that crosses the face (at the "high" side) and unite labels.
+    # channel that crosses the face (stored at the "high" side) and unite the
+    # two sides. A voxel can be BACKGROUND in its chunk decode yet foreground
+    # globally (its only supra-threshold edge crosses the seam — the C kernel
+    # only sees in-block edges); such voxels join the union-find as
+    # provisional per-voxel nodes and get labels afterwards, which keeps the
+    # chunked result exactly equal to the whole-volume decode.
+    base = int(out.max()) + 1  # provisional node ids: base + flat voxel index
+    strides = (vol_shape[1] * vol_shape[2], vol_shape[2], 1)
+    bg_nodes: List[Tuple[int, int]] = []  # (flat voxel index, node id)
     for chunk in chunks:
         for axis in range(3):
             if chunk.start[axis] == 0:
@@ -91,23 +105,150 @@ def streamed_affinity_cc_decode(
             face_hi[axis] = slice(hi, hi + 1)
             face_lo = list(face_hi)
             face_lo[axis] = slice(hi - 1, hi)
-            # affinity at the high side crossing the seam (deepem convention)
-            aff_face = aff_reader(tuple(face_hi))[axis]
+            # affinity at the high side crossing the seam. Channel order is
+            # [x, y, z] (deepem offset list) while axes are (z, y, x), so the
+            # channel crossing axis k is 2-k.
+            aff_face = aff_reader(tuple(face_hi))[2 - axis]
             lab_hi = out[tuple(face_hi)]
             lab_lo = out[tuple(face_lo)]
-            connect = (aff_face > threshold) & (lab_hi > 0) & (lab_lo > 0)
-            pairs = np.unique(
-                np.stack([lab_lo[connect], lab_hi[connect]], axis=-1).reshape(-1, 2),
-                axis=0,
-            )
-            for a, b in pairs:
-                uf.union(int(a), int(b))
+            connect = aff_face > threshold
+            if not connect.any():
+                continue
+            l_hi_f = lab_hi[connect].astype(np.int64)
+            l_lo_f = lab_lo[connect].astype(np.int64)
+            # common case (both sides labeled): dedup to unique pairs first —
+            # the union-find loop then runs per PAIR, not per voxel
+            both = (l_hi_f > 0) & (l_lo_f > 0)
+            if both.any():
+                pairs = np.unique(
+                    np.stack([l_lo_f[both], l_hi_f[both]], axis=-1), axis=0
+                )
+                for a, b in pairs:
+                    uf.union(int(a), int(b))
+            # rare case: a side that is background in its chunk decode joins
+            # as a provisional per-voxel node
+            any_bg = ~both
+            if any_bg.any():
+                zz, yy, xx = np.nonzero(connect)
+                starts = [s.start for s in face_hi]
+                vid_hi = (
+                    (zz + starts[0]) * strides[0]
+                    + (yy + starts[1]) * strides[1]
+                    + (xx + starts[2])
+                )[any_bg]
+                vid_lo = vid_hi - strides[axis]
+                l_hi = l_hi_f[any_bg]
+                l_lo = l_lo_f[any_bg]
+                node_hi = np.where(l_hi > 0, l_hi, base + vid_hi)
+                node_lo = np.where(l_lo > 0, l_lo, base + vid_lo)
+                for nh, nl, vh, vl, lh, ll in zip(node_hi, node_lo, vid_hi, vid_lo, l_hi, l_lo):
+                    uf.union(int(nh), int(nl))
+                    if lh == 0:
+                        bg_nodes.append((int(vh), int(nh)))
+                    if ll == 0:
+                        bg_nodes.append((int(vl), int(nl)))
 
     if uf.parent:
-        mapping = {a: uf.find(a) for a in uf.parent}
+        # roots that are provisional (>= base) get fresh labels above the
+        # current maximum so they survive remap untouched
+        new_label: Dict[int, int] = {}
+        next_new = base - 1
+
+        def root_label(node: int) -> int:
+            nonlocal next_new
+            r = uf.find(node)
+            if r < base:
+                return r
+            if r not in new_label:
+                next_new += 1
+                new_label[r] = next_new
+            return new_label[r]
+
+        for vid, node in bg_nodes:
+            out.flat[vid] = root_label(node)
+        mapping = {a: root_label(a) for a in list(uf.parent) if a < base}
         from ..ops import remap
 
         out = remap(out, mapping)
+    out, _ = renumber(out)
+    if min_size:
+        out, _ = remove_small(out, min_size)
+        out, _ = renumber(out)
+    if writer is not None:
+        writer[tuple(slice(0, s) for s in vol_shape)] = out
+    return out
+
+
+def streamed_waterz_decode(
+    aff_reader: Callable[[tuple], np.ndarray],
+    vol_shape: Sequence[int],
+    chunk_size: Sequence[int],
+    threshold: float = 0.5,
+    fragment_threshold: float = 0.9,
+    min_size: int = 0,
+    writer=None,
+    num_workers: int = 0,
+) -> np.ndarray:
+    """Chunk-parallel waterz decode with exact whole-volume parity.
+
+    Three memory-bounded passes over ``aff_reader`` (never the full
+    affinity volume at once):
+
+    1. fragments: per-chunk affinity-CC at ``fragment_threshold`` with exact
+       seam stitching (:func:`streamed_affinity_cc_decode` — bit-equal to the
+       whole-volume CC, including first-occurrence label order);
+    2. RAG: per-chunk mean-affinity edge statistics
+       (:func:`...ops.rag_mean_edges` — each edge owned by its high-end
+       voxel, so chunks partition the global edge set exactly);
+    3. merge: RAG-level agglomeration (:func:`...ops.agglomerate_rag`) that
+       replays the same merge sequence as the whole-volume
+       :func:`...ops.agglomerate`.
+
+    Equals ``decode_waterz(pred, threshold, fragments="cc",
+    fragment_threshold=...)`` exactly for affinities whose values are exactly
+    representable (e.g. quantized network outputs); otherwise up to
+    floating-point summation order in the RAG means.
+
+    Reference behavior target: waterz agglomeration
+    (``connectomics/decoding/decoders/waterz.py:33``) at ABISS-style chunked
+    scale (``abiss/chunk execution``), natively.
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    frags = streamed_affinity_cc_decode(
+        aff_reader, vol_shape, chunk_size,
+        threshold=fragment_threshold, min_size=0, num_workers=num_workers,
+    )
+    max_label = int(frags.max())
+    chunks = build_chunk_grid(vol_shape, chunk_size, halo=(0, 0, 0))
+
+    def rag_one(chunk):
+        sl = chunk.core_slices
+        aff = aff_reader(sl)
+        planes = []
+        for axis in range(3):
+            if chunk.start[axis] == 0:
+                planes.append(None)
+            else:
+                p = [slice(a, b) for a, b in zip(chunk.start, chunk.stop)]
+                p[axis] = slice(chunk.start[axis] - 1, chunk.start[axis])
+                planes.append(np.squeeze(frags[tuple(p)], axis=axis))
+        return rag_mean_edges(frags[sl], aff, *planes)
+
+    workers = num_workers or min(8, os.cpu_count() or 1, len(chunks))
+    if workers > 1:
+        with ThreadPoolExecutor(workers) as pool:
+            rags = list(pool.map(rag_one, chunks))
+    else:
+        rags = [rag_one(c) for c in chunks]
+
+    ea = np.concatenate([r[0] for r in rags])
+    eb = np.concatenate([r[1] for r in rags])
+    esum = np.concatenate([r[2] for r in rags])
+    ecnt = np.concatenate([r[3] for r in rags])
+    mapping = agglomerate_rag(ea, eb, esum, ecnt, max_label, threshold)
+    out = mapping[frags]
     out, _ = renumber(out)
     if min_size:
         out, _ = remove_small(out, min_size)

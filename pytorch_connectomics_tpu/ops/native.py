@@ -91,6 +91,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
     ]
     lib.mutex_watershed.restype = i64
     lib.mutex_watershed.argtypes = [f32p, i32p, i64, i64, i64, i64, u32p]
+    f64p_ = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    i64p_ = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    vp = ctypes.c_void_p
+    lib.rag_mean_edges.restype = i64
+    lib.rag_mean_edges.argtypes = [
+        u32p, f32p, i64, i64, i64, vp, vp, vp, u32p, u32p, f64p_, i64p_, i64,
+    ]
+    lib.agglomerate_rag.restype = i64
+    lib.agglomerate_rag.argtypes = [u32p, u32p, f64p_, i64p_, i64, ctypes.c_uint32, f32, u32p]
     lib.binary_morph.restype = None
     lib.binary_morph.argtypes = [u8p, i64, i64, i64, ctypes.c_int, ctypes.c_int, u8p]
     lib.edt_multilabel.restype = None
@@ -247,6 +256,79 @@ def agglomerate_multi(
     )
     by_thr = {thr[i]: (out[i], int(counts[i])) for i in range(t)}
     return {float(tv): by_thr[float(tv)] for tv in thresholds}
+
+
+def rag_mean_edges(
+    labels: np.ndarray,
+    aff: np.ndarray,
+    lz: Optional[np.ndarray] = None,
+    ly: Optional[np.ndarray] = None,
+    lx: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Mean-affinity RAG statistics for a (chunk of a) fragment volume.
+
+    Each affinity edge is owned by its HIGH-end voxel, so chunk grids
+    partition the global edge set exactly; ``lz/ly/lx`` are the neighbor
+    label planes across the chunk's low z/y/x faces (shape (Y,X)/(Z,X)/(Z,Y);
+    None at volume boundaries). Returns ``(a, b, sum, count)`` arrays with
+    ``a < b``; concatenating chunk results and feeding :func:`agglomerate_rag`
+    reproduces the whole-volume :func:`agglomerate` merge sequence exactly.
+    """
+    labels = np.ascontiguousarray(labels, dtype=np.uint32)
+    aff = np.ascontiguousarray(aff[:3], dtype=np.float32)
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("rag_mean_edges requires the native ops library")
+
+    def plane(p):
+        if p is None:
+            return None
+        return np.ascontiguousarray(p, dtype=np.uint32)
+
+    lz, ly, lx = plane(lz), plane(ly), plane(lx)
+
+    def ptr(p):
+        return p.ctypes.data if p is not None else None
+
+    max_edges = 65536
+    while True:
+        ea = np.empty(max_edges, np.uint32)
+        eb = np.empty(max_edges, np.uint32)
+        esum = np.empty(max_edges, np.float64)
+        ecnt = np.empty(max_edges, np.int64)
+        n = lib.rag_mean_edges(
+            labels, aff, *labels.shape, ptr(lz), ptr(ly), ptr(lx),
+            ea, eb, esum, ecnt, max_edges,
+        )
+        if n >= 0:
+            return ea[:n], eb[:n], esum[:n], ecnt[:n]
+        max_edges = int(-n)
+
+
+def agglomerate_rag(
+    ea: np.ndarray,
+    eb: np.ndarray,
+    esum: np.ndarray,
+    ecnt: np.ndarray,
+    max_label: int,
+    threshold: float,
+) -> np.ndarray:
+    """RAG-level waterz agglomeration: same merge policy (and sequence) as
+    :func:`agglomerate`, on a prebuilt edge list (duplicate (a,b) rows are
+    combined additively). Returns ``mapping`` with ``mapping[i]`` = surviving
+    root fragment id for fragment ``i`` (``mapping[0] == 0``)."""
+    ea = np.ascontiguousarray(ea, dtype=np.uint32)
+    eb = np.ascontiguousarray(eb, dtype=np.uint32)
+    esum = np.ascontiguousarray(esum, dtype=np.float64)
+    ecnt = np.ascontiguousarray(ecnt, dtype=np.int64)
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("agglomerate_rag requires the native ops library")
+    mapping = np.empty(int(max_label) + 1, np.uint32)
+    lib.agglomerate_rag(
+        ea, eb, esum, ecnt, len(ea), int(max_label), float(threshold), mapping
+    )
+    return mapping
 
 
 def mutex_watershed(aff: np.ndarray, offsets: Sequence[Sequence[int]]) -> Tuple[np.ndarray, int]:

@@ -89,6 +89,23 @@ def main():
     add("renumber", lambda: native.renumber(lab))
     add("waterz_decoder_e2e", lambda: decode_waterz(aff, threshold=0.3))
 
+    # chunk-parallel waterz (exact parity path): CC fragments + per-chunk
+    # RAG + RAG-level agglomeration, thread-parallel over chunks
+    from pytorch_connectomics_tpu.decoding.streamed import (
+        streamed_affinity_cc_decode,
+        streamed_waterz_decode,
+    )
+
+    # NB: workers auto-size to the CPU count — on a 1-core dev host these
+    # measure chunking OVERHEAD (no parallel win is possible); on a real
+    # decode host the chunk decodes and RAG extractions run concurrently.
+    reader = lambda sl: aff[(slice(None),) + tuple(sl)]  # noqa: E731
+    chunk = tuple(max(1, s // 2) for s in shape)
+    add("streamed_cc", lambda: streamed_affinity_cc_decode(
+        reader, shape, chunk, threshold=0.5))
+    add("streamed_waterz", lambda: streamed_waterz_decode(
+        reader, shape, chunk, threshold=0.3, fragment_threshold=0.9))
+
     print(json.dumps({"metric": "decode_throughput", "unit": "Mvox/s",
                       "shape": list(shape), "results": results}))
 

@@ -113,6 +113,72 @@ def test_streamed_chunked_decode_matches_whole():
     assert adapted_rand(stitched, whole) < 1e-6
 
 
+def test_streamed_chunked_decode_random_affinities_all_axes():
+    """Seams along every axis with ASYMMETRIC random affinities: catches
+    seam-channel mix-ups that GT-derived (channel-symmetric) affinities
+    mask. Exact partition match vs the whole-volume decode."""
+    rng = np.random.default_rng(7)
+    shape = (12, 12, 12)
+    # quantized so threshold comparisons are unambiguous across code paths
+    aff = (rng.integers(0, 9, (3,) + shape) / 8.0).astype(np.float32)
+
+    def reader(slices):
+        return aff[(slice(None),) + tuple(slices)]
+
+    whole = decode_affinity_cc(aff, 0.5)
+    stitched = streamed_affinity_cc_decode(reader, shape, (6, 6, 6), threshold=0.5)
+    assert adapted_rand(stitched, whole) < 1e-9
+
+
+def test_streamed_waterz_matches_whole_volume_exactly():
+    """Chunk-parallel waterz (CC fragments -> per-chunk RAG -> RAG-level
+    agglomeration) must be BIT-EQUAL to the whole-volume decode_waterz for
+    exactly-representable affinities: same fragments, same edge statistics,
+    same merge sequence, same first-occurrence label order."""
+    from pytorch_connectomics_tpu.decoding.decoders import decode_waterz
+    from pytorch_connectomics_tpu.decoding.streamed import streamed_waterz_decode
+
+    rng = np.random.default_rng(11)
+    shape = (16, 16, 16)
+    # dyadic quantization (k/256): double-precision RAG sums are exact, so
+    # summation order cannot perturb means and parity is bit-exact
+    aff = (rng.integers(0, 257, (3,) + shape) / 256.0).astype(np.float32)
+
+    def reader(slices):
+        return aff[(slice(None),) + tuple(slices)]
+
+    for thr in (0.3, 0.5, 0.7):
+        whole = decode_waterz(aff, threshold=thr, fragments="cc", fragment_threshold=0.9)
+        chunked = streamed_waterz_decode(
+            reader, shape, (8, 8, 8), threshold=thr, fragment_threshold=0.9,
+        )
+        assert np.array_equal(whole, chunked), f"mismatch at threshold {thr}"
+
+
+def test_streamed_waterz_min_size_and_writer():
+    from pytorch_connectomics_tpu.decoding.streamed import streamed_waterz_decode
+
+    rng = np.random.default_rng(3)
+    shape = (8, 12, 12)
+    aff = (rng.integers(0, 257, (3,) + shape) / 256.0).astype(np.float32)
+
+    def reader(slices):
+        return aff[(slice(None),) + tuple(slices)]
+
+    sink = np.zeros(shape, np.uint32)
+
+    class W:
+        def __setitem__(self, sl, v):
+            sink[sl] = v
+
+    seg = streamed_waterz_decode(
+        reader, shape, (8, 6, 6), threshold=0.5, min_size=4, writer=W(),
+    )
+    assert np.array_equal(sink, seg)
+    ids, counts = np.unique(seg[seg > 0], return_counts=True)
+    assert (counts >= 4).all()
+
+
 def test_adapted_rand_properties():
     gt = two_blob_gt()
     assert adapted_rand(gt, gt) == pytest.approx(0.0, abs=1e-9)
