@@ -804,6 +804,11 @@ class DecodingConfig:
     # came from a valid cache (its name encodes the decode recipe;
     # reference cache_resolver whole-run skip, dispatch.py:288-346)
     reuse_cached: bool = True
+    # memory-bounded chunk-parallel decode (exact whole-volume parity for
+    # affinity_cc / waterz[fragments=cc] single-step recipes); see
+    # decoding/streamed.py
+    streamed: bool = False
+    streamed_chunk: List[int] = field(default_factory=lambda: [64, 256, 256])
     postprocessing: DecodingPostprocessConfig = field(default_factory=DecodingPostprocessConfig)
     tuning: TuningConfig = field(default_factory=TuningConfig)
     qc: QCConfig = field(default_factory=QCConfig)

@@ -62,3 +62,61 @@ def run_decoding_stage(
         labels = decode_binary_cc(pred)
     labels = apply_postprocessing(labels, cfg.postprocessing)
     return np.asarray(labels)
+
+
+def run_streamed_decoding_stage(
+    reader,
+    vol_shape,
+    cfg: DecodingConfig,
+) -> np.ndarray:
+    """Memory-bounded chunk-parallel decode from a lazy affinity reader
+    (``reader(slices) -> (C, z, y, x)`` float array for a region).
+
+    Supports exactly ONE decode step — ``affinity_cc`` or ``waterz`` — whose
+    chunked implementations are exactly equal to the whole-volume decoders
+    (see :mod:`..decoding.streamed`), followed by normal postprocessing.
+    Enabled via ``decoding.streamed: true``; chunk geometry from
+    ``decoding.streamed_chunk``.
+    """
+    from .streamed import streamed_affinity_cc_decode, streamed_waterz_decode
+
+    if cfg.graph or len(cfg.steps) != 1:
+        raise ValueError(
+            "decoding.streamed supports exactly one decode step "
+            "(affinity_cc or waterz); got "
+            f"{[s.name for s in cfg.steps] or 'graph'}"
+        )
+    if cfg.qc.enabled:
+        raise ValueError(
+            "decoding.streamed does not support the affinity QC mask pass "
+            "(use the StreamingQCAccumulator during chunked inference instead)"
+        )
+    step = cfg.steps[0]
+    kw = dict(step.kwargs or {})
+    chunk = tuple(cfg.streamed_chunk)
+    if step.name == "affinity_cc":
+        labels = streamed_affinity_cc_decode(
+            reader, vol_shape, chunk,
+            threshold=float(kw.get("threshold", 0.75)),
+            min_size=int(kw.get("min_size", 0)),
+        )
+    elif step.name == "waterz":
+        if kw.get("fragments", "cc") != "cc":
+            raise ValueError(
+                "decoding.streamed waterz requires fragments='cc' "
+                "(watershed fragments are not exactly chunkable)"
+            )
+        labels = streamed_waterz_decode(
+            reader, vol_shape, chunk,
+            threshold=float(kw.get("threshold", 0.5)),
+            # same clamp as decode_waterz's cc-fragment path
+            fragment_threshold=max(0.9, float(kw.get("fragment_threshold", 0.5))),
+            min_size=int(kw.get("min_size", 0)),
+        )
+    else:
+        raise ValueError(
+            f"decoding.streamed does not support step '{step.name}' "
+            "(only affinity_cc and waterz)"
+        )
+    labels = apply_postprocessing(labels, cfg.postprocessing)
+    return np.asarray(labels)

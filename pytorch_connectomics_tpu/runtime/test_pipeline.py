@@ -215,7 +215,21 @@ def run_test_pipeline(
                 decoded = read_volume(str(dec_path)).astype(np.uint32)
             else:
                 t1 = time.time()
-                decoded = run_decoding_stage(prediction, cfg.decoding)
+                if cfg.decoding.streamed:
+                    # chunk-parallel decode through the same streamed engines
+                    # used at production scale (exact whole-volume parity)
+                    from ..decoding.stage import run_streamed_decoding_stage
+
+                    pred_cf = np.moveaxis(prediction, -1, 0)
+
+                    def _reader(slices):
+                        return pred_cf[(slice(None),) + tuple(slices)]
+
+                    decoded = run_streamed_decoding_stage(
+                        _reader, prediction.shape[:3], cfg.decoding
+                    )
+                else:
+                    decoded = run_decoding_stage(prediction, cfg.decoding)
                 logger.info("decode[%s]: %.1fs, %d instances", vol_name, time.time() - t1,
                             len(np.unique(decoded)) - 1)
                 from ..data.io import save_volume

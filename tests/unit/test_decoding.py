@@ -155,6 +155,44 @@ def test_streamed_waterz_matches_whole_volume_exactly():
         assert np.array_equal(whole, chunked), f"mismatch at threshold {thr}"
 
 
+def test_streamed_decoding_stage_config_path():
+    """decoding.streamed=true routes through the chunked engines and matches
+    the in-memory stage exactly; unsupported recipes raise."""
+    from pytorch_connectomics_tpu.decoding.stage import (
+        run_decoding_stage,
+        run_streamed_decoding_stage,
+    )
+
+    rng = np.random.default_rng(9)
+    shape = (8, 16, 16)
+    aff = (rng.integers(0, 257, (3,) + shape) / 256.0).astype(np.float32)
+
+    def reader(slices):
+        return aff[(slice(None),) + tuple(slices)]
+
+    for steps in (
+        [{"name": "affinity_cc", "kwargs": {"threshold": 0.75}}],
+        [{"name": "waterz", "kwargs": {"threshold": 0.4, "fragments": "cc",
+                                       "fragment_threshold": 0.9}}],
+    ):
+        cfg = build_dataclass(
+            DecodingConfig,
+            {"enabled": True, "streamed": True, "streamed_chunk": [8, 8, 8],
+             "steps": steps},
+        )
+        whole = run_decoding_stage(aff, cfg)
+        chunked = run_streamed_decoding_stage(reader, shape, cfg)
+        assert np.array_equal(whole, chunked), steps[0]["name"]
+
+    bad = build_dataclass(
+        DecodingConfig,
+        {"enabled": True, "streamed": True,
+         "steps": [{"name": "mutex_watershed", "kwargs": {}}]},
+    )
+    with pytest.raises(ValueError, match="streamed"):
+        run_streamed_decoding_stage(reader, shape, bad)
+
+
 def test_streamed_waterz_min_size_and_writer():
     from pytorch_connectomics_tpu.decoding.streamed import streamed_waterz_decode
 

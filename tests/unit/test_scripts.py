@@ -141,6 +141,34 @@ def test_h5_to_precomputed_multiscale(vol_h5, tmp_path):
     assert open_precomputed(layer, resolution=[30, 12, 12]).shape == (8, 16, 16)
 
 
+def test_cc3d_chunks_script_modes(vol_h5, tmp_path):
+    """Chunked decode CLI: cc and waterz modes both equal their whole-volume
+    decoders on a stored affinity volume."""
+    from pytorch_connectomics_tpu.data.io import read_volume, save_volume
+    from pytorch_connectomics_tpu.decoding.decoders import (
+        decode_affinity_cc,
+        decode_waterz,
+    )
+
+    rng = np.random.default_rng(5)
+    aff = (rng.integers(0, 257, (3, 8, 16, 16)) / 256.0).astype(np.float32)
+    save_volume(str(tmp_path / "aff.h5"), aff)
+
+    r = run(["scripts/cc3d_chunks.py", str(tmp_path / "aff.h5"), str(tmp_path / "cc.h5"),
+             "--threshold", "0.75", "--chunk", "8", "8", "8"])
+    assert r.returncode == 0, r.stderr
+    assert np.array_equal(
+        read_volume(str(tmp_path / "cc.h5")), decode_affinity_cc(aff, 0.75))
+
+    r = run(["scripts/cc3d_chunks.py", str(tmp_path / "aff.h5"), str(tmp_path / "wz.h5"),
+             "--mode", "waterz", "--threshold", "0.4", "--fragment-threshold", "0.9",
+             "--chunk", "8", "8", "8"])
+    assert r.returncode == 0, r.stderr
+    assert np.array_equal(
+        read_volume(str(tmp_path / "wz.h5")),
+        decode_waterz(aff, threshold=0.4, fragments="cc", fragment_threshold=0.9))
+
+
 def test_decode_bench_smoke():
     r = run(["scripts/decode_bench.py", "--shape", "16", "32", "32", "--reps", "1"])
     assert r.returncode == 0, r.stderr
