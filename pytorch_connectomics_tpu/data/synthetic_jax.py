@@ -147,6 +147,103 @@ def synthetic_em_volume_v2(
     return jnp.clip(img, 0.0, 1.0), lbl
 
 
+@partial(jax.jit, static_argnames=("shape", "n_cells"))
+def synthetic_instance_volume(
+    key: jax.Array,
+    shape: Tuple[int, int, int] = (64, 128, 128),
+    n_cells: int = 48,
+):
+    """Dense instance-segmentation task (CREMI-style space-filling cells).
+
+    Warped-Voronoi cells: random seed points, an elastic coordinate warp
+    (three smooth displacement fields) so boundaries curve, each voxel
+    assigned to its nearest seed in warped space. Image = bright cytoplasm
+    with interior texture, dark membranes along label boundaries, low-freq
+    gain, per-slice jitter, and sensor noise — the EM neuron-tissue analog
+    of :func:`synthetic_em_volume_v2`, generated entirely on-device.
+
+    Returns (image float32 [0,1] (Z,Y,X), labels int32 (Z,Y,X) in 1..K).
+    """
+    ks = jax.random.split(key, 9)
+    Z, Y, X = shape
+    zz, yy, xx = jnp.meshgrid(
+        jnp.arange(Z, dtype=jnp.float32),
+        jnp.arange(Y, dtype=jnp.float32),
+        jnp.arange(X, dtype=jnp.float32),
+        indexing="ij",
+    )
+    # elastic warp: smooth displacement per axis, amplitude ~ cell-scale/3
+    amp = 0.25 * (float(min(Y, X)) / max(1.0, n_cells ** (1.0 / 3.0)))
+    wz = amp * 0.5 * (2.0 * _smooth_field(ks[0], shape, 24.0) - 1.0)
+    wy = amp * (2.0 * _smooth_field(ks[1], shape, 24.0) - 1.0)
+    wx = amp * (2.0 * _smooth_field(ks[2], shape, 24.0) - 1.0)
+    pz, py, px = zz + wz, yy + wy, xx + wx
+    seeds = jax.random.uniform(ks[3], (n_cells, 3)) * jnp.array(
+        [Z - 1, Y - 1, X - 1], jnp.float32
+    )
+
+    # nearest seed in warped space, scanned over cells (keeps memory at one
+    # distance volume instead of K)
+    def nearest(carry, seed):
+        best_d, best_i, i = carry
+        d = (
+            (pz - seed[0]) ** 2
+            + (py - seed[1]) ** 2
+            + (px - seed[2]) ** 2
+        )
+        take = d < best_d
+        return (
+            jnp.where(take, d, best_d),
+            jnp.where(take, i, best_i),
+            i + 1,
+        ), None
+
+    init = (jnp.full(shape, jnp.inf, jnp.float32), jnp.zeros(shape, jnp.int32), 1)
+    (_, labels, _), _ = jax.lax.scan(nearest, init, seeds)
+
+    # membranes: voxels whose 6-neighborhood crosses a label boundary
+    def boundary(lbl):
+        b = jnp.zeros(shape, bool)
+        for ax in range(3):
+            d = lbl != jnp.roll(lbl, 1, axis=ax)
+            d = d.at[(slice(None),) * ax + (0,)].set(False)
+            b = b | d | jnp.roll(d, -1, axis=ax)
+        return b
+
+    mem = boundary(labels)
+
+    tex = _smooth_field(ks[4], shape, 5.0)
+    img = jnp.full(shape, 0.72, jnp.float32)
+    img = img + 0.10 * (2.0 * tex - 1.0)
+    # intracellular organelle clutter (dark blobs that are NOT boundaries)
+    org = _smooth_field(ks[5], shape, 10.0) > 0.78
+    img = jnp.where(org & ~mem, 0.45, img)
+    img = jnp.where(mem, 0.18, img)
+    img = img * (1.0 + _band_noise(ks[6], shape, 90.0, 0.08))
+    slice_gain = 1.0 + 0.04 * jax.random.normal(ks[7], (Z, 1, 1))
+    img = img * slice_gain
+    img = img + 0.07 * jax.random.normal(ks[8], shape)
+    return jnp.clip(img, 0.0, 1.0), labels
+
+
+@jax.jit
+def affinity_targets(labels: jnp.ndarray):
+    """Short-range affinities from instance labels, deepem convention:
+    channels [x, y, z], each stored at the HIGH-end voxel — aff[c][v] = 1
+    iff v and v-offset share a label (both > 0). labels (..., Z, Y, X) ->
+    (..., Z, Y, X, 3) float32. First (boundary) plane of each axis is 0."""
+    offs = ((0, 0, 1), (0, 1, 0), (1, 0, 0))
+    chans = []
+    for off in offs:
+        ax = max(range(3), key=lambda d: off[d]) + labels.ndim - 3
+        same = (labels == jnp.roll(labels, 1, axis=ax)) & (labels > 0)
+        idx = [slice(None)] * labels.ndim
+        idx[ax] = 0
+        same = same.at[tuple(idx)].set(False)
+        chans.append(same.astype(jnp.float32))
+    return jnp.stack(chans, axis=-1)
+
+
 @partial(jax.jit, static_argnames=("patch", "batch"))
 def sample_patches(
     key: jax.Array,

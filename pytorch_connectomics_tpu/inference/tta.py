@@ -121,6 +121,55 @@ def ensemble(
     return out
 
 
+def affinity_flip_align(aff, flipped_axes, offsets, channel_slice=None):
+    """Re-align flip-inverted affinity predictions to canonical offsets.
+
+    Under the deepem high-end convention (``data/targets/affinity.py``:
+    ``aff_c[p] = same(seg[p], seg[p - off_c])``), predicting on a volume
+    flipped along spatial axis ``a`` and flipping the prediction back yields
+    the affinity for the offset with its ``a``-component NEGATED:
+    ``aff_{-o}[q] = same(seg[q], seg[q + o_a])``. Converting back to the
+    canonical channel is a shift: ``aff_{+o}[p] = aff_{-o}[p - o_a]`` along
+    ``a``, zero-filled at the start. Plain flip-back (what image-channel TTA
+    does) is off by ``o_a`` voxels on that channel — this helper applies the
+    missing shift so affinity TTA ensembles stay voxel-aligned.
+
+    ``aff``: (..., Z, Y, X, C) with affinity channels last, AFTER the naive
+    flip-back. ``flipped_axes``: spatial axes (0=z,1=y,2=x) the variant
+    flipped. ``offsets``: parsed (dz,dy,dx) per channel (affinity channel
+    order). ``channel_slice``: optional (start, stop) if the affinity block
+    sits inside a wider channel dim. jnp-traceable (usable inside jit).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if not flipped_axes:
+        return aff
+    c0 = 0 if channel_slice is None else channel_slice[0]
+    sdim = aff.ndim - 4  # index of Z among aff dims
+    chans = {}
+    for c, off in enumerate(offsets):
+        ch = aff[..., c0 + c]
+        for a in flipped_axes:
+            o = int(off[a])
+            if o == 0:
+                continue
+            ax = sdim + a
+            n = ch.shape[ax]
+            if o > 0:
+                body = jax.lax.slice_in_dim(ch, 0, n - o, axis=ax)
+                pad = [(0, 0)] * ch.ndim
+                pad[ax] = (o, 0)
+            else:
+                body = jax.lax.slice_in_dim(ch, -o, n, axis=ax)
+                pad = [(0, 0)] * ch.ndim
+                pad[ax] = (0, -o)
+            ch = jnp.pad(body, pad)
+        chans[c0 + c] = ch
+    cols = [chans.get(i, aff[..., i]) for i in range(aff.shape[-1])]
+    return jnp.stack(cols, axis=-1)
+
+
 def make_patch_local_apply_fn(
     apply_fn: Callable,
     variants: List[Dict[str, Any]],

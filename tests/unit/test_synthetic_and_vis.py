@@ -71,3 +71,89 @@ def test_visualizer_writes_png(tmp_path):
     out = np.random.rand(2, 8, 16, 16, 1).astype(np.float32)
     p = save_visualization(tmp_path, step=7, batch=batch, outputs=out)
     assert p.exists() and p.suffix == ".png" and p.stat().st_size > 0
+
+
+def test_instance_volume_properties(gen):
+    jax, *_ = gen
+    from pytorch_connectomics_tpu.data.synthetic_jax import synthetic_instance_volume
+
+    img, lbl = synthetic_instance_volume(jax.random.PRNGKey(0), (16, 48, 48), n_cells=12)
+    img, lbl = np.asarray(img), np.asarray(lbl)
+    assert img.shape == lbl.shape == (16, 48, 48)
+    assert 0.0 <= img.min() and img.max() <= 1.0
+    ids = np.unique(lbl)
+    # space-filling cells: many instances, every voxel labeled >= 1
+    assert lbl.min() >= 1 and len(ids) >= 6
+    # determinism
+    img2, lbl2 = synthetic_instance_volume(jax.random.PRNGKey(0), (16, 48, 48), n_cells=12)
+    np.testing.assert_array_equal(lbl, np.asarray(lbl2))
+    # membranes are dark relative to cytoplasm: boundary voxels darker on average
+    bnd = np.zeros_like(lbl, bool)
+    for ax in range(3):
+        d = lbl != np.roll(lbl, 1, axis=ax)
+        sl = [slice(None)] * 3
+        sl[ax] = 0
+        d[tuple(sl)] = False
+        bnd |= d | np.roll(d, -1, axis=ax)
+    assert img[bnd].mean() < img[~bnd].mean() - 0.1
+
+
+def test_affinity_targets_match_seg_to_affinity(gen):
+    """The on-device affinity generator must agree bit-for-bit with the host
+    target engine (deepem high-end convention, x/y/z channel order)."""
+    jax, *_ = gen
+    import jax.numpy as jnp
+
+    from pytorch_connectomics_tpu.data.synthetic_jax import affinity_targets
+    from pytorch_connectomics_tpu.data.targets.affinity import seg_to_affinity
+
+    rng = np.random.RandomState(0)
+    seg = rng.randint(0, 5, size=(7, 9, 11)).astype(np.int32)
+    dev = np.asarray(affinity_targets(jnp.asarray(seg)))  # (Z,Y,X,3)
+    host = seg_to_affinity(seg, ["0-0-1", "0-1-0", "1-0-0"])  # (3,Z,Y,X)
+    np.testing.assert_array_equal(dev, np.moveaxis(host, 0, -1))
+
+
+def test_affinity_targets_batched(gen):
+    jax, *_ = gen
+    import jax.numpy as jnp
+
+    from pytorch_connectomics_tpu.data.synthetic_jax import affinity_targets
+
+    seg = np.random.RandomState(1).randint(0, 4, size=(2, 5, 6, 7)).astype(np.int32)
+    out = np.asarray(affinity_targets(jnp.asarray(seg)))
+    assert out.shape == (2, 5, 6, 7, 3)
+    from pytorch_connectomics_tpu.data.targets.affinity import seg_to_affinity
+
+    for b in range(2):
+        host = seg_to_affinity(seg[b], ["0-0-1", "0-1-0", "1-0-0"])
+        np.testing.assert_array_equal(out[b], np.moveaxis(host, 0, -1))
+
+
+def test_affinity_flip_align_recovers_canonical(gen):
+    """Predict-on-flipped + naive flip-back + affinity_flip_align must equal
+    the direct affinity target in the interior (TTA voxel alignment)."""
+    jax, *_ = gen
+    import jax.numpy as jnp
+
+    from pytorch_connectomics_tpu.data.synthetic_jax import affinity_targets
+    from pytorch_connectomics_tpu.inference.tta import affinity_flip_align
+
+    offsets = [(0, 0, 1), (0, 1, 0), (1, 0, 0)]
+    seg = np.random.RandomState(2).randint(0, 6, size=(8, 10, 12)).astype(np.int32)
+    ref = np.asarray(affinity_targets(jnp.asarray(seg)))
+    for axes in [(0,), (1,), (2,), (0, 2), (0, 1, 2)]:
+        flipped = np.flip(seg, axis=axes)
+        aff_f = np.asarray(affinity_targets(jnp.asarray(flipped.copy())))
+        naive = np.flip(aff_f, axis=axes)  # what image-channel TTA would do
+        aligned = np.asarray(
+            affinity_flip_align(jnp.asarray(naive.copy()), axes, offsets)
+        )
+        # interior: drop the first+last plane of every flipped axis (zero-fill
+        # and flipped-space border planes differ there by construction)
+        sl = [slice(None)] * 3
+        for a in axes:
+            sl[a] = slice(1, seg.shape[a] - 1)
+        np.testing.assert_array_equal(aligned[tuple(sl)], ref[tuple(sl)])
+        # and the naive flip-back is genuinely wrong without the shift
+        assert not np.array_equal(naive[tuple(sl)], ref[tuple(sl)])
