@@ -293,9 +293,11 @@ def main():
     stamp = time.strftime("%Y-%m-%d %H:%M")
     tag = "pf" if os.environ.get("IQ_ARCH") == "patchify" else "base"
     wz = results["waterz"]
+    cc = results["affinity_cc@0.75"]
     line = (
-        f"| {stamp} | {tag} | {wz['voi']:.4f} | {wz['arand']:.4f} | {best_thr} | "
-        f"{results['affinity_cc@0.75']['voi']:.4f} | {results['mutex']['voi']:.4f} | "
+        f"| {stamp} | {tag} | {wz['voi']:.4f} | {wz['arand']:.4f} | "
+        f"{wz['nerl']:.4f} | {wz['ap']:.4f} | {best_thr} | "
+        f"{cc['voi']:.4f} | {cc['nerl']:.4f} | {results['mutex']['voi']:.4f} | "
         f"{steps} | {'on' if tta else 'off'} | {jax.devices()[0].platform} | "
         f"{train_s:.0f}s + {infer_s:.0f}s + {decode_s:.0f}s |\n"
     )
@@ -310,24 +312,37 @@ def main():
                 "waterz VOI is at the best sweep threshold (chosen on this volume\n"
                 "-- an oracle sweep, tracking decode+tuner health, not held-out\n"
                 "generalization).\n\n"
-                "| date | arch | wz VOI | wz aRand | wz thr | cc VOI | mutex VOI | steps | tta | platform | time |\n"
-                "|---|---|---|---|---|---|---|---|---|---|---|\n"
+                "| date | arch | wz VOI | wz aRand | wz NERL | wz AP | wz thr | cc VOI | cc NERL | mutex VOI | steps | tta | platform | time |\n"
+                "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|\n"
             )
     with qfile.open("a") as f:
         f.write(line)
     print(f"total {time.time()-t_all:.0f}s; appended to QUALITY.md", flush=True)
 
 
-def _score(seg, gt):
-    from pytorch_connectomics_tpu.metrics.seg import adapted_rand, voi
+_GT_SKELETONS = {}
 
+
+def _score(seg, gt):
+    """aRand + VOI (SNEMI conventions), COCO AP (MitoEM convention), and
+    NERL over native-TEASAR gt skeletons (NISB convention) — one scorer for
+    every reference instance headline (reference README.md:43-45)."""
+    from pytorch_connectomics_tpu.metrics.nerl import compute_nerl
+    from pytorch_connectomics_tpu.metrics.seg import adapted_rand, average_precision, voi
+    from pytorch_connectomics_tpu.metrics.skeleton import skeletonize_volume
+
+    if "gt" not in _GT_SKELETONS:
+        _GT_SKELETONS["gt"] = skeletonize_volume(gt)
     ar = adapted_rand(seg, gt)
     vs, vm = voi(seg, gt)
+    nerl = compute_nerl(seg, skeletons=_GT_SKELETONS["gt"])
     return {
         "arand": round(float(ar), 4),
         "voi": round(float(vs + vm), 4),
         "voi_split": round(float(vs), 4),
         "voi_merge": round(float(vm), 4),
+        "ap": round(float(average_precision(seg, gt)), 4),
+        "nerl": round(float(nerl["nerl"]), 4),
         "n_segments": int(len(np.unique(seg))),
     }
 
