@@ -118,7 +118,7 @@ def maybe_autodownload_train_data(cfg, interactive: Optional[bool] = None) -> No
     value = cfg.data.train.image
     paths = value if isinstance(value, list) else ([value] if value else [])
     paths = [str(p) for p in paths]
-    if not paths or any(p.startswith("random://") for p in paths):
+    if not paths or any(p.startswith(("random://", "synthetic://")) for p in paths):
         return
 
     def _exists(p: str) -> bool:

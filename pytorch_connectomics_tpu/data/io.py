@@ -99,6 +99,81 @@ def synthetic_volume(name: str, shape: Tuple[int, ...] = (64, 128, 128)) -> np.n
     return (vol * 255).astype(np.uint8)
 
 
+_SYNTH_TASKS = ("em", "em2", "instance")
+
+
+def _parse_synthetic_url(path: str):
+    """``synthetic://<task>/<name>?shape=Z,Y,X&seed=N&cells=K`` —
+    task in {em, em2, instance}; role (image vs label) inferred from name."""
+    body = path[len("synthetic://"):]
+    shape, seed, cells = (64, 128, 128), None, None
+    if "?" in body:
+        body, qs = body.split("?", 1)
+        m = re.search(r"shape=([\dx,]+)", qs)
+        if m:
+            shape = tuple(int(s) for s in re.split("[x,]", m.group(1)))
+        m = re.search(r"seed=(\d+)", qs)
+        if m:
+            seed = int(m.group(1))
+        m = re.search(r"cells=(\d+)", qs)
+        if m:
+            cells = int(m.group(1))
+    task, _, name = body.partition("/")
+    if task not in _SYNTH_TASKS:
+        raise ValueError(f"unknown synthetic task '{task}' (one of {_SYNTH_TASKS})")
+    if seed is None:
+        import zlib
+
+        base = (name or "x").lower()
+        for tag in ("image", "label", "mask", "seg", "_im", "_lb"):
+            base = base.replace(tag, "")
+        seed = zlib.crc32((task + base).encode()) % (2**31)
+    return task, name, tuple(shape), seed, cells
+
+
+_SYNTH_CACHE: Dict[Tuple, Tuple[np.ndarray, np.ndarray]] = {}
+
+
+def synthetic_task_volume(path: str) -> np.ndarray:
+    """Materialize one role of an on-device synthetic task as numpy.
+
+    Runs the jitted generators from ``data/synthetic_jax.py`` on the current
+    default JAX platform; image/label names sharing a seed come from the SAME
+    generator call, so labels are learnable from images through the standard
+    config-driven pipeline (targets/augmentation/decoding all apply). Intended
+    for tutorials and CI at modest shapes — the TPU quality benchmarks keep
+    volumes on device instead (scripts/quality_benchmark.py).
+    """
+    task, name, shape, seed, cells = _parse_synthetic_url(path)
+    cache_key = (task, shape, seed, cells)
+    if cache_key not in _SYNTH_CACHE:
+        import jax
+
+        from .synthetic_jax import (
+            synthetic_em_volume,
+            synthetic_em_volume_v2,
+            synthetic_instance_volume,
+        )
+
+        key = jax.random.PRNGKey(seed)
+        if task == "instance":
+            n = cells or max(8, int(180 * np.prod(shape) / 1e6))
+            img, lbl = synthetic_instance_volume(key, shape, n_cells=n)
+        elif task == "em2":
+            img, lbl = synthetic_em_volume_v2(key, shape)
+        else:
+            img, lbl = synthetic_em_volume(key, shape)
+        if len(_SYNTH_CACHE) >= 8:
+            _SYNTH_CACHE.pop(next(iter(_SYNTH_CACHE)))
+        _SYNTH_CACHE[cache_key] = (
+            np.asarray(np.clip(np.asarray(img) * 255.0, 0, 255), np.uint8),
+            np.asarray(lbl, np.uint32),
+        )
+    img, lbl = _SYNTH_CACHE[cache_key]
+    is_label = any(t in name.lower() for t in ("label", "_lb", "seg", "mask"))
+    return lbl if is_label else img
+
+
 def _parse_random_url(path: str) -> Tuple[str, Tuple[int, ...]]:
     body = path[len("random://"):]
     if "?" in body:
@@ -124,6 +199,9 @@ def read_volume(
     if path.startswith("random://"):
         name, shape = _parse_random_url(path)
         vol = synthetic_volume(name, shape)
+        return vol[tuple(roi)] if roi else vol
+    if path.startswith("synthetic://"):
+        vol = synthetic_task_volume(path)
         return vol[tuple(roi)] if roi else vol
     fpath, inner = split_internal_path(path)
     internal_path = internal_path or inner
@@ -324,6 +402,10 @@ def _save_tiff_stack(path: str, volume: np.ndarray) -> None:
 def probe_volume(path: str, internal_path: Optional[str] = None) -> Tuple[Tuple[int, ...], np.dtype]:
     if path.startswith("random://"):
         name, shape = _parse_random_url(path)
+        dt = np.uint32 if any(t in name.lower() for t in ("label", "_lb", "seg", "mask")) else np.uint8
+        return shape, np.dtype(dt)
+    if path.startswith("synthetic://"):
+        task, name, shape, _, _ = _parse_synthetic_url(path)
         dt = np.uint32 if any(t in name.lower() for t in ("label", "_lb", "seg", "mask")) else np.uint8
         return shape, np.dtype(dt)
     fpath, inner = split_internal_path(path)

@@ -226,20 +226,32 @@ def synthetic_instance_volume(
     return jnp.clip(img, 0.0, 1.0), labels
 
 
-@jax.jit
-def affinity_targets(labels: jnp.ndarray):
-    """Short-range affinities from instance labels, deepem convention:
-    channels [x, y, z], each stored at the HIGH-end voxel — aff[c][v] = 1
-    iff v and v-offset share a label (both > 0). labels (..., Z, Y, X) ->
-    (..., Z, Y, X, 3) float32. First (boundary) plane of each axis is 0."""
-    offs = ((0, 0, 1), (0, 1, 0), (1, 0, 0))
+@partial(jax.jit, static_argnames=("offsets",))
+def affinity_targets(
+    labels: jnp.ndarray,
+    offsets: Tuple[Tuple[int, int, int], ...] = ((0, 0, 1), (0, 1, 0), (1, 0, 0)),
+):
+    """Affinities from instance labels, deepem convention: one channel per
+    (dz, dy, dx) offset, stored at the HIGH-end voxel — aff[c][v] = 1 iff v
+    and v-offset share a label (both > 0). labels (..., Z, Y, X) ->
+    (..., Z, Y, X, C) float32. Positions whose offset neighbor falls outside
+    the volume are 0 (bit-exact vs the host engine,
+    ``data/targets/affinity.py::seg_to_affinity`` — tested). Default offsets
+    are the standard short-range x/y/z profile; pass long-range offsets for
+    mutex-watershed training."""
+    sdim = labels.ndim - 3
     chans = []
-    for off in offs:
-        ax = max(range(3), key=lambda d: off[d]) + labels.ndim - 3
-        same = (labels == jnp.roll(labels, 1, axis=ax)) & (labels > 0)
-        idx = [slice(None)] * labels.ndim
-        idx[ax] = 0
-        same = same.at[tuple(idx)].set(False)
+    for off in offsets:
+        shifted = labels
+        valid = jnp.ones(labels.shape, bool)
+        for d, o in enumerate(off):
+            if o == 0:
+                continue
+            ax = sdim + d
+            shifted = jnp.roll(shifted, o, axis=ax)
+            idx = jax.lax.broadcasted_iota(jnp.int32, labels.shape, ax)
+            valid = valid & ((idx >= o) if o > 0 else (idx < labels.shape[ax] + o))
+        same = (labels == shifted) & (labels > 0) & valid
         chans.append(same.astype(jnp.float32))
     return jnp.stack(chans, axis=-1)
 

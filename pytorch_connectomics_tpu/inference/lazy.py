@@ -146,6 +146,11 @@ class LazyVolumeAccessor:
             name, shape = _parse_random_url(self.path)
             self._handle = synthetic_volume(name, shape)
             return
+        if self.path.startswith("synthetic://"):
+            from ..data.io import synthetic_task_volume
+
+            self._handle = synthetic_task_volume(self.path)
+            return
         fpath, inner = split_internal_path(self.path)
         internal = self.internal_path or inner
         if fpath.endswith((".h5", ".hdf5")):

@@ -103,9 +103,10 @@ def _train_path_issues(cfg: Config) -> List[str]:
         value = getattr(cfg.data.train, kind)
         paths = value if isinstance(value, list) else ([value] if value else [])
         for raw in paths:
-            raw = str(raw).split(":")[0]
-            if raw.startswith("random://"):
+            raw = str(raw)
+            if raw.startswith(("random://", "synthetic://")):
                 continue
+            raw = raw.split(":")[0]
             if "*" in raw or "?" in raw:
                 if not glob(raw):
                     issues.append(f"train {kind} pattern matched no files: {raw}")

@@ -43,7 +43,10 @@ if os.environ.get("IQ_PLATFORM"):
 import jax.numpy as jnp
 import numpy as np
 
-OFFSETS = ((0, 0, 1), (0, 1, 0), (1, 0, 0))  # x, y, z — deepem high-end
+SHORT = ((0, 0, 1), (0, 1, 0), (1, 0, 0))  # x, y, z — deepem high-end
+# mutex-watershed profile: short-range attractive + long-range repulsive
+# (reference decoders/mutex_watershed.py convention)
+LONG = SHORT + ((0, 0, 8), (0, 8, 0), (4, 0, 0))
 
 
 def _shape(env, default):
@@ -92,6 +95,9 @@ def main():
     test_shape = _shape("IQ_TEST_SHAPE", (64, 128, 128))
     per_mvox = float(os.environ.get("IQ_CELLS_PER_MVOX", "180"))
     tta = os.environ.get("IQ_TTA", "1") == "1"
+    # IQ_OFFSETS=long adds long-range repulsive channels (mutex training)
+    offsets = LONG if os.environ.get("IQ_OFFSETS") == "long" else SHORT
+    n_ch = len(offsets)
 
     print(f"devices: {jax.devices()}", flush=True)
     t_all = time.time()
@@ -104,13 +110,14 @@ def main():
         jax.random.PRNGKey(12), test_shape, n_cells=_cells(test_shape, per_mvox)
     )
 
-    # ---- model: 3-channel affinity head (BCE + Dice, offset-valid masks) ----
+    # ---- model: affinity head, one channel per offset (BCE + Dice,
+    # offset-valid masks via the orchestrator's affinity groups) ----
     cfg = build_dataclass(
         ModelConfig,
         {
             "arch": {"type": "mednext"},
             "in_channels": 1,
-            "out_channels": 3,
+            "out_channels": n_ch,
             "input_size": [patch] * 3,
             "mednext": {
                 "size": "S",
@@ -144,7 +151,7 @@ def main():
     tx, _ = build_optimizer(opt_cfg, steps)
     orch = LossOrchestrator(
         cfg.loss,
-        affinity_groups=[{"start": 0, "end": 3, "offsets": list(OFFSETS)}],
+        affinity_groups=[{"start": 0, "end": n_ch, "offsets": list(offsets)}],
     )
 
     def apply_fn(v, x, train=False):
@@ -159,7 +166,7 @@ def main():
     @jax.jit
     def sample(k):
         im, lb = sample_patches(k, img_tr, lbl_tr.astype(jnp.float32), (patch,) * 3, batch)
-        aff = affinity_targets(lb[..., 0].astype(jnp.int32))
+        aff = affinity_targets(lb[..., 0].astype(jnp.int32), offsets)
         return im, aff
 
     # ---- train ----
@@ -176,7 +183,7 @@ def main():
                 raise RuntimeError(f"non-finite loss at step {step}")
     train_s = time.time() - t0
 
-    # ---- sliding-window inference (overlap 0.5, bump), 3 channels ----
+    # ---- sliding-window inference (overlap 0.5, bump), C channels ----
     window = (patch,) * 3
     stride = tuple(w // 2 for w in window)
     cover = []
@@ -219,17 +226,17 @@ def main():
         variants = [()]
         if tta:
             variants = [(), (0,), (1,), (2,)]
-        acc = jnp.zeros(cover + (3,), jnp.float32)
+        acc = jnp.zeros(cover + (n_ch,), jnp.float32)
         for axes in variants:
             vv = jnp.flip(v, axes) if axes else v
             out = _sliding_window_regular_device(
                 p, vv, imp, inv_weight, apply_fn=afn, window=window,
-                stride=stride, sw_batch=batch, out_channels=3,
+                stride=stride, sw_batch=batch, out_channels=n_ch,
                 acc_dtype=jnp.float32,
             )
             if axes:
                 out = jnp.flip(out, axes)
-                out = affinity_flip_align(out, axes, OFFSETS)
+                out = affinity_flip_align(out, axes, offsets)
             acc = acc + out
         aff = jax.nn.sigmoid(acc / len(variants))
         # quantize for the ~1 MB/s tunnel: 3 channels uint8
@@ -243,14 +250,14 @@ def main():
     print(f"inference + fetch: {infer_s:.0f}s", flush=True)
 
     # ---- native decode + evaluate (host) ----
-    aff_host = np.moveaxis(pred_q.astype(np.float32) / 255.0, -1, 0)  # (3,Z,Y,X)
+    aff_host = np.moveaxis(pred_q.astype(np.float32) / 255.0, -1, 0)  # (C,Z,Y,X)
     t0 = time.time()
     results = {}
 
     sweep = {}
     wz_thresholds = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7]
     by_thr = decode_waterz(
-        aff_host, fragment_threshold=0.5, thresholds=wz_thresholds,
+        aff_host[:3], fragment_threshold=0.5, thresholds=wz_thresholds,
         return_all_thresholds=True, min_size=20,
     )
     for thr, seg in by_thr.items():
@@ -264,10 +271,12 @@ def main():
         **_score(seg_wz, gt),
     }
 
-    seg_cc = decode_affinity_cc(aff_host, threshold=0.75, min_size=20)
+    seg_cc = decode_affinity_cc(aff_host[:3], threshold=0.75, min_size=20)
     results["affinity_cc@0.75"] = _score(seg_cc, gt)
 
-    seg_mx = decode_mutex_watershed(aff_host, offsets=["0-0-1", "0-1-0", "1-0-0"], min_size=20)
+    seg_mx = decode_mutex_watershed(
+        aff_host, offsets=["-".join(str(x) for x in o) for o in offsets], min_size=20
+    )
     results["mutex"] = _score(seg_mx, gt)
     decode_s = time.time() - t0
 
@@ -292,6 +301,8 @@ def main():
     header = "## Instance task (CREMI-style synthetic, affinity -> decode)"
     stamp = time.strftime("%Y-%m-%d %H:%M")
     tag = "pf" if os.environ.get("IQ_ARCH") == "patchify" else "base"
+    if os.environ.get("IQ_OFFSETS") == "long":
+        tag += "/lr"
     wz = results["waterz"]
     cc = results["affinity_cc@0.75"]
     line = (

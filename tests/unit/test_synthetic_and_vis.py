@@ -157,3 +157,17 @@ def test_affinity_flip_align_recovers_canonical(gen):
         np.testing.assert_array_equal(aligned[tuple(sl)], ref[tuple(sl)])
         # and the naive flip-back is genuinely wrong without the shift
         assert not np.array_equal(naive[tuple(sl)], ref[tuple(sl)])
+
+
+def test_affinity_targets_long_range_offsets(gen):
+    jax, *_ = gen
+    import jax.numpy as jnp
+
+    from pytorch_connectomics_tpu.data.synthetic_jax import affinity_targets
+    from pytorch_connectomics_tpu.data.targets.affinity import seg_to_affinity
+
+    offs = ((0, 0, 1), (0, 1, 0), (1, 0, 0), (0, 0, 4), (0, 4, 0), (2, 0, 0))
+    seg = np.random.RandomState(3).randint(0, 5, size=(6, 9, 10)).astype(np.int32)
+    dev = np.asarray(affinity_targets(jnp.asarray(seg), offs))
+    host = seg_to_affinity(seg, ["0-0-1", "0-1-0", "1-0-0", "0-0-4", "0-4-0", "2-0-0"])
+    np.testing.assert_array_equal(dev, np.moveaxis(host, 0, -1))
