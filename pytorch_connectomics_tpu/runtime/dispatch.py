@@ -68,6 +68,15 @@ def dispatch_runtime(args=None) -> Dict[str, Any]:
     # config system.distributed can still force afterwards (idempotent)
     import os as _os
 
+    # PYTC_PLATFORM=cpu forces the backend before any device query. Needed on
+    # TPU-plugin hosts where JAX_PLATFORMS from the environment is ignored by
+    # the plugin (CLAUDE.md) — e.g. CI/smoke runs of tutorials on CPU while
+    # the chip is busy.
+    if _os.environ.get("PYTC_PLATFORM"):
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["PYTC_PLATFORM"])
+
     from ..parallel.distributed import maybe_initialize_distributed
 
     proc_idx, proc_count = maybe_initialize_distributed(

@@ -109,3 +109,39 @@ def test_split_volume():
     tr, va = split_volume(vol, axis=0, train_range=[0.0, 0.8])
     assert tr.shape[0] == 80 and va.shape[0] == 20
     assert va[0, 0, 0] == 80
+
+
+def test_synthetic_scheme_roundtrip():
+    """synthetic:// scheme: image/label share a generator call, roles split
+    by name, probe matches read, ROI slicing works, determinism holds."""
+    import numpy as np
+
+    from pytorch_connectomics_tpu.data.io import probe_volume, read_volume
+
+    img = read_volume("synthetic://instance/train_image?shape=8,24,24&seed=5&cells=6")
+    lbl = read_volume("synthetic://instance/train_label?shape=8,24,24&seed=5&cells=6")
+    assert img.shape == lbl.shape == (8, 24, 24)
+    assert img.dtype == np.uint8 and lbl.dtype == np.uint32
+    assert lbl.min() >= 1 and len(np.unique(lbl)) >= 3
+    shape, dt = probe_volume("synthetic://instance/train_label?shape=8,24,24&seed=5")
+    assert shape == (8, 24, 24) and dt == np.uint32
+    roi = read_volume(
+        "synthetic://instance/train_image?shape=8,24,24&seed=5&cells=6",
+        roi=(slice(0, 4), slice(0, 8), slice(0, 8)),
+    )
+    np.testing.assert_array_equal(roi, img[:4, :8, :8])
+    img2 = read_volume("synthetic://instance/other_image?shape=8,24,24&seed=5&cells=6")
+    np.testing.assert_array_equal(img, img2)  # same seed -> same volume
+
+
+def test_synthetic_scheme_em_tasks_and_errors():
+    import numpy as np
+    import pytest
+
+    from pytorch_connectomics_tpu.data.io import read_volume
+
+    for task in ("em", "em2"):
+        lbl = read_volume(f"synthetic://{task}/x_label?shape=8,16,16")
+        assert set(np.unique(lbl)) <= {0, 1}
+    with pytest.raises(ValueError, match="unknown synthetic task"):
+        read_volume("synthetic://nope/x_image?shape=8,16,16")
