@@ -106,7 +106,7 @@ def _parse_synthetic_url(path: str):
     """``synthetic://<task>/<name>?shape=Z,Y,X&seed=N&cells=K`` —
     task in {em, em2, instance}; role (image vs label) inferred from name."""
     body = path[len("synthetic://"):]
-    shape, seed, cells = (64, 128, 128), None, None
+    shape, seed, cells, elong = (64, 128, 128), None, None, 1.0
     if "?" in body:
         body, qs = body.split("?", 1)
         m = re.search(r"shape=([\dx,]+)", qs)
@@ -118,6 +118,9 @@ def _parse_synthetic_url(path: str):
         m = re.search(r"cells=(\d+)", qs)
         if m:
             cells = int(m.group(1))
+        m = re.search(r"elong=([\d.]+)", qs)
+        if m:
+            elong = float(m.group(1))
     task, _, name = body.partition("/")
     if task not in _SYNTH_TASKS:
         raise ValueError(f"unknown synthetic task '{task}' (one of {_SYNTH_TASKS})")
@@ -128,10 +131,11 @@ def _parse_synthetic_url(path: str):
         for tag in ("image", "label", "mask", "seg", "_im", "_lb"):
             base = base.replace(tag, "")
         seed = zlib.crc32((task + base).encode()) % (2**31)
-    return task, name, tuple(shape), seed, cells
+    return task, name, tuple(shape), seed, cells, elong
 
 
 _SYNTH_CACHE: Dict[Tuple, Tuple[np.ndarray, np.ndarray]] = {}
+_SYNTH_LOCK = __import__("threading").Lock()
 
 
 def synthetic_task_volume(path: str) -> np.ndarray:
@@ -144,32 +148,33 @@ def synthetic_task_volume(path: str) -> np.ndarray:
     for tutorials and CI at modest shapes — the TPU quality benchmarks keep
     volumes on device instead (scripts/quality_benchmark.py).
     """
-    task, name, shape, seed, cells = _parse_synthetic_url(path)
-    cache_key = (task, shape, seed, cells)
-    if cache_key not in _SYNTH_CACHE:
-        import jax
+    task, name, shape, seed, cells, elong = _parse_synthetic_url(path)
+    cache_key = (task, shape, seed, cells, elong)
+    with _SYNTH_LOCK:  # read_volume runs on chunked-engine reader threads
+        if cache_key not in _SYNTH_CACHE:
+            import jax
 
-        from .synthetic_jax import (
-            synthetic_em_volume,
-            synthetic_em_volume_v2,
-            synthetic_instance_volume,
-        )
+            from .synthetic_jax import (
+                synthetic_em_volume,
+                synthetic_em_volume_v2,
+                synthetic_instance_volume,
+            )
 
-        key = jax.random.PRNGKey(seed)
-        if task == "instance":
-            n = cells or max(8, int(180 * np.prod(shape) / 1e6))
-            img, lbl = synthetic_instance_volume(key, shape, n_cells=n)
-        elif task == "em2":
-            img, lbl = synthetic_em_volume_v2(key, shape)
-        else:
-            img, lbl = synthetic_em_volume(key, shape)
-        if len(_SYNTH_CACHE) >= 8:
-            _SYNTH_CACHE.pop(next(iter(_SYNTH_CACHE)))
-        _SYNTH_CACHE[cache_key] = (
-            np.asarray(np.clip(np.asarray(img) * 255.0, 0, 255), np.uint8),
-            np.asarray(lbl, np.uint32),
-        )
-    img, lbl = _SYNTH_CACHE[cache_key]
+            key = jax.random.PRNGKey(seed)
+            if task == "instance":
+                n = cells or max(8, int(180 * np.prod(shape) / 1e6))
+                img, lbl = synthetic_instance_volume(key, shape, n_cells=n, elongation=elong)
+            elif task == "em2":
+                img, lbl = synthetic_em_volume_v2(key, shape)
+            else:
+                img, lbl = synthetic_em_volume(key, shape)
+            if len(_SYNTH_CACHE) >= 8:
+                _SYNTH_CACHE.pop(next(iter(_SYNTH_CACHE)))
+            _SYNTH_CACHE[cache_key] = (
+                np.asarray(np.clip(np.asarray(img) * 255.0, 0, 255), np.uint8),
+                np.asarray(lbl, np.uint32),
+            )
+        img, lbl = _SYNTH_CACHE[cache_key]
     is_label = any(t in name.lower() for t in ("label", "_lb", "seg", "mask"))
     return lbl if is_label else img
 
@@ -405,7 +410,7 @@ def probe_volume(path: str, internal_path: Optional[str] = None) -> Tuple[Tuple[
         dt = np.uint32 if any(t in name.lower() for t in ("label", "_lb", "seg", "mask")) else np.uint8
         return shape, np.dtype(dt)
     if path.startswith("synthetic://"):
-        task, name, shape, _, _ = _parse_synthetic_url(path)
+        task, name, shape, _, _, _ = _parse_synthetic_url(path)
         dt = np.uint32 if any(t in name.lower() for t in ("label", "_lb", "seg", "mask")) else np.uint8
         return shape, np.dtype(dt)
     fpath, inner = split_internal_path(path)

@@ -147,11 +147,12 @@ def synthetic_em_volume_v2(
     return jnp.clip(img, 0.0, 1.0), lbl
 
 
-@partial(jax.jit, static_argnames=("shape", "n_cells"))
+@partial(jax.jit, static_argnames=("shape", "n_cells", "elongation"))
 def synthetic_instance_volume(
     key: jax.Array,
     shape: Tuple[int, int, int] = (64, 128, 128),
     n_cells: int = 48,
+    elongation: float = 1.0,
 ):
     """Dense instance-segmentation task (CREMI-style space-filling cells).
 
@@ -161,6 +162,11 @@ def synthetic_instance_volume(
     with interior texture, dark membranes along label boundaries, low-freq
     gain, per-slice jitter, and sensor noise — the EM neuron-tissue analog
     of :func:`synthetic_em_volume_v2`, generated entirely on-device.
+
+    ``elongation`` > 1 divides the z-term of the seed metric, stretching
+    cells into fiber-like processes that run through the volume — makes
+    skeleton metrics (NERL) meaningful, since centerlines of near-convex
+    cells are degenerately short.
 
     Returns (image float32 [0,1] (Z,Y,X), labels int32 (Z,Y,X) in 1..K).
     """
@@ -187,7 +193,7 @@ def synthetic_instance_volume(
     def nearest(carry, seed):
         best_d, best_i, i = carry
         d = (
-            (pz - seed[0]) ** 2
+            ((pz - seed[0]) / elongation) ** 2
             + (py - seed[1]) ** 2
             + (px - seed[2]) ** 2
         )

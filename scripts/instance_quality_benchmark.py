@@ -97,6 +97,8 @@ def main():
     tta = os.environ.get("IQ_TTA", "1") == "1"
     # IQ_OFFSETS=long adds long-range repulsive channels (mutex training)
     offsets = LONG if os.environ.get("IQ_OFFSETS") == "long" else SHORT
+    # IQ_ELONGATION>1: fiber-like cells stretched in z (meaningful NERL)
+    elong = float(os.environ.get("IQ_ELONGATION", "1"))
     n_ch = len(offsets)
 
     print(f"devices: {jax.devices()}", flush=True)
@@ -104,10 +106,12 @@ def main():
 
     # ---- data (on device; instances stay there until the final fetch) ----
     img_tr, lbl_tr = synthetic_instance_volume(
-        jax.random.PRNGKey(11), train_shape, n_cells=_cells(train_shape, per_mvox)
+        jax.random.PRNGKey(11), train_shape,
+        n_cells=_cells(train_shape, per_mvox), elongation=elong,
     )
     img_te, lbl_te = synthetic_instance_volume(
-        jax.random.PRNGKey(12), test_shape, n_cells=_cells(test_shape, per_mvox)
+        jax.random.PRNGKey(12), test_shape,
+        n_cells=_cells(test_shape, per_mvox), elongation=elong,
     )
 
     # ---- model: affinity head, one channel per offset (BCE + Dice,
@@ -303,6 +307,8 @@ def main():
     tag = "pf" if os.environ.get("IQ_ARCH") == "patchify" else "base"
     if os.environ.get("IQ_OFFSETS") == "long":
         tag += "/lr"
+    if elong != 1:
+        tag += f"/e{elong:g}"
     wz = results["waterz"]
     cc = results["affinity_cc@0.75"]
     line = (
