@@ -346,6 +346,24 @@ def _regular_weight_host(
     return weight
 
 
+def regular_cover_setup(vol_shape, window, stride, blending: str = "bump"):
+    """Inputs for driving ``_sliding_window_regular_device`` directly
+    (benchmark scripts): returns ``(cover, imp, inv_weight)`` — the padded
+    full-coverage shape for a regular grid, the (\\*window, 1) importance
+    map, and the (\\*cover, 1) reciprocal of the summed-importance blend
+    normalizer (both as jnp arrays)."""
+    import jax.numpy as jnp
+
+    cover = tuple(
+        (max(1, -(-(s - w) // st) + 1) - 1) * st + w
+        for s, w, st in zip(vol_shape, window, stride)
+    )
+    imp_np = importance_map(window, blending)
+    weight = _regular_weight_host(cover, window, stride, imp_np)
+    inv = (1.0 / np.maximum(weight, 1e-8))[..., None]
+    return cover, jnp.asarray(imp_np[..., None]), jnp.asarray(inv, jnp.float32)
+
+
 class SlidingWindowEngine:
     """Host wrapper: grid planning, padding, device pass, normalization.
 

@@ -171,3 +171,42 @@ def test_affinity_targets_long_range_offsets(gen):
     dev = np.asarray(affinity_targets(jnp.asarray(seg), offs))
     host = seg_to_affinity(seg, ["0-0-1", "0-1-0", "1-0-0", "0-0-4", "0-4-0", "2-0-0"])
     np.testing.assert_array_equal(dev, np.moveaxis(host, 0, -1))
+
+
+def test_blob_instance_volume_and_bc_targets(gen):
+    """Blob task invariants: sparse fg, analytic distance matches labels,
+    bc targets match host-derivable definitions."""
+    jax, *_ = gen
+    import jax.numpy as jnp
+
+    from pytorch_connectomics_tpu.data.synthetic_jax import (
+        bc_targets,
+        synthetic_blob_instance_volume,
+    )
+
+    img, lbl, dist = synthetic_blob_instance_volume(
+        jax.random.PRNGKey(1), (16, 40, 40), n_blobs=8
+    )
+    img, lbl, dist = map(np.asarray, (img, lbl, dist))
+    assert img.shape == lbl.shape == dist.shape == (16, 40, 40)
+    fg = lbl > 0
+    assert 0.1 < fg.mean() < 0.8  # sparse instances over background
+    assert len(np.unique(lbl)) - 1 >= 4
+    # analytic distance: positive exactly on foreground, peaks inside
+    np.testing.assert_array_equal(dist > 0, fg)
+    assert dist.max() > 0.5
+    bc = np.asarray(bc_targets(jnp.asarray(lbl)))
+    assert bc.shape == (16, 40, 40, 2)
+    np.testing.assert_array_equal(bc[..., 0], fg.astype(np.float32))
+    # contour: fg voxels adjacent (6-conn) to a different label (incl. bg)
+    expect = np.zeros_like(fg)
+    for ax in range(3):
+        d = lbl != np.roll(lbl, 1, axis=ax)
+        sl = [slice(None)] * 3
+        sl[ax] = 0
+        d[tuple(sl)] = False
+        expect |= d | np.roll(d, -1, axis=ax)
+    expect &= fg
+    np.testing.assert_array_equal(bc[..., 1].astype(bool), expect)
+    # distance is low on the contour shell, higher in cores
+    assert dist[expect].mean() < dist[fg & ~expect].mean()
