@@ -99,7 +99,7 @@ def synthetic_volume(name: str, shape: Tuple[int, ...] = (64, 128, 128)) -> np.n
     return (vol * 255).astype(np.uint8)
 
 
-_SYNTH_TASKS = ("em", "em2", "instance")
+_SYNTH_TASKS = ("em", "em2", "instance", "blobs")
 
 
 def _parse_synthetic_url(path: str):
@@ -164,6 +164,11 @@ def synthetic_task_volume(path: str) -> np.ndarray:
             if task == "instance":
                 n = cells or max(8, int(180 * np.prod(shape) / 1e6))
                 img, lbl = synthetic_instance_volume(key, shape, n_cells=n, elongation=elong)
+            elif task == "blobs":
+                from .synthetic_jax import synthetic_blob_instance_volume
+
+                n = cells or max(6, int(40 * np.prod(shape) / 1e6))
+                img, lbl, _ = synthetic_blob_instance_volume(key, shape, n_blobs=n)
             elif task == "em2":
                 img, lbl = synthetic_em_volume_v2(key, shape)
             else:
