@@ -40,7 +40,7 @@ def main():
     from pytorch_connectomics_tpu.config.schema import ModelConfig, build_dataclass
     from pytorch_connectomics_tpu.inference.window import (
         _sliding_window_regular_device,
-        importance_map,
+        regular_cover_setup_device,
     )
     from pytorch_connectomics_tpu.models import build_model, init_model
 
@@ -75,35 +75,13 @@ def main():
     def apply_fn(p, windows):
         return model.apply(p, windows)
 
-    # dense parity-group engine: pad to full regular-grid coverage
+    # dense parity-group engine: pad to full regular-grid coverage.
+    # Blend weights built ON DEVICE from tiny 1-D profiles (uploading a
+    # full-volume weight map is impossible through the tunnel); the device
+    # setup uses the unclipped separable bump so normalization is exact
+    # (the clipped stock bump is non-separable at corners).
     stride = tuple(w // 2 for w in window)  # overlap 0.5
-    cover = []
-    for size, w, st in zip(vol_shape, window, stride):
-        n = max(1, -(-(size - w) // st) + 1)
-        cover.append((n - 1) * st + w)
-    cover = tuple(cover)
-    imp_np = importance_map(window, "bump")
-    imp = jnp.asarray(imp_np[..., None])
-
-    # separable inverse-weight built ON DEVICE from tiny 1-D profiles
-    # (uploading a full-volume weight map is impossible through the tunnel)
-    c = tuple(w // 2 for w in window)
-    profiles = [imp_np[:, c[1], c[2]], imp_np[c[0], :, c[2]], imp_np[c[0], c[1], :]]
-    w1d = []
-    for d, (size, w, st) in enumerate(zip(cover, window, stride)):
-        wd = np.zeros(size, np.float64)
-        for o in range(0, size - w + 1, st):
-            wd[o : o + w] += profiles[d]
-        w1d.append(jnp.asarray(wd, jnp.float32))
-    center = float(imp_np[c])
-    inv_weight = (
-        1.0
-        / jnp.maximum(
-            w1d[0][:, None, None] * w1d[1][None, :, None] * w1d[2][None, None, :]
-            / center**2,
-            1e-8,
-        )
-    )[..., None]
+    cover, imp, inv_weight = regular_cover_setup_device(vol_shape, window, stride)
 
     # volume generated on device (see module docstring)
     vol = jax.random.uniform(jax.random.PRNGKey(1), cover + (1,), jnp.bfloat16)

@@ -346,6 +346,53 @@ def _regular_weight_host(
     return weight
 
 
+def regular_cover_setup_device(
+    vol_shape, window, stride, sigma_scale: float = 0.125
+):
+    """Exact separable bump blend built ON DEVICE from 1-D profiles.
+
+    For hosts where uploading a full-volume weight map is impossible (the
+    dev TPU tunnel moves ~1 MB/s — CLAUDE.md), the blend normalizer must be
+    assembled on device from tiny per-axis vectors. The stock ``bump``
+    importance map clips the separable Gaussian at 1e-4
+    (``importance_map``), which breaks separability — a separable weight
+    built from its center profiles mis-normalizes corner voxels by up to
+    1e4. This helper instead uses the UNCLIPPED per-axis Gaussians for both
+    the window importance and the summed weight, so
+    ``inv_weight == 1 / sum-of-window-importances`` exactly (per-axis
+    minimum exp(-8) ≈ 3e-4; the 3-axis product ≈ 4e-11 is far above f32
+    underflow). Returns ``(cover, imp (*window,1), inv_weight (*cover,1))``
+    as jnp arrays.
+    """
+    import jax.numpy as jnp
+
+    cover = tuple(
+        (max(1, -(-(s - w) // st) + 1) - 1) * st + w
+        for s, w, st in zip(vol_shape, window, stride)
+    )
+    sigma = max(sigma_scale * 2.0, 1e-3)
+    profiles = []
+    for n in window:
+        x = (np.arange(n) - (n - 1) / 2.0) / max(1.0, (n - 1) / 2.0)
+        profiles.append(np.exp(-0.5 * (x / sigma) ** 2))
+    imp = (
+        jnp.asarray(profiles[0], jnp.float32)[:, None, None]
+        * jnp.asarray(profiles[1], jnp.float32)[None, :, None]
+        * jnp.asarray(profiles[2], jnp.float32)[None, None, :]
+    )[..., None]
+    w1d = []
+    for d, (size, w, st) in enumerate(zip(cover, window, stride)):
+        wd = np.zeros(size, np.float64)
+        for o in range(0, size - w + 1, st):
+            wd[o : o + w] += profiles[d]
+        w1d.append(jnp.asarray(wd, jnp.float32))
+    inv_weight = (
+        1.0
+        / (w1d[0][:, None, None] * w1d[1][None, :, None] * w1d[2][None, None, :])
+    )[..., None]
+    return cover, imp, inv_weight
+
+
 def regular_cover_setup(vol_shape, window, stride, blending: str = "bump"):
     """Inputs for driving ``_sliding_window_regular_device`` directly
     (benchmark scripts): returns ``(cover, imp, inv_weight)`` — the padded

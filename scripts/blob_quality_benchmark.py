@@ -64,7 +64,7 @@ def main():
     )
     from pytorch_connectomics_tpu.inference.window import (
         _sliding_window_regular_device,
-        regular_cover_setup,
+        regular_cover_setup_device,
     )
     from pytorch_connectomics_tpu.losses.orchestrator import LossOrchestrator
     from pytorch_connectomics_tpu.metrics.seg import adapted_rand, average_precision, voi
@@ -187,7 +187,7 @@ def main():
     # ---- sliding-window inference (overlap 0.5, bump) + flip TTA ----
     window = (patch,) * 3
     stride = tuple(w // 2 for w in window)
-    cover, imp, inv_weight = regular_cover_setup(test_shape, window, stride)
+    cover, imp, inv_weight = regular_cover_setup_device(test_shape, window, stride)
     vol = jnp.pad(
         img_te.astype(jnp.bfloat16),
         [(0, cv - s) for cv, s in zip(cover, test_shape)],

@@ -50,7 +50,7 @@ def main():
     )
     from pytorch_connectomics_tpu.inference.window import (
         _sliding_window_regular_device,
-        importance_map,
+        regular_cover_setup_device,
     )
     from pytorch_connectomics_tpu.losses.orchestrator import LossOrchestrator
     from pytorch_connectomics_tpu.metrics.binary import jaccard_index
@@ -151,30 +151,9 @@ def main():
     # ---- full sliding-window inference (overlap 0.5, bump) ----
     window = (patch,) * 3
     stride = tuple(w // 2 for w in window)
-    cover = []
-    for size, w, st in zip(test_shape, window, stride):
-        n = max(1, -(-(size - w) // st) + 1)
-        cover.append((n - 1) * st + w)
-    cover = tuple(cover)
-    imp_np = importance_map(window, "bump")
-    imp = jnp.asarray(imp_np[..., None])
-    c = tuple(w // 2 for w in window)
-    profiles = [imp_np[:, c[1], c[2]], imp_np[c[0], :, c[2]], imp_np[c[0], c[1], :]]
-    w1d = []
-    for d, (size, w, st) in enumerate(zip(cover, window, stride)):
-        wd = np.zeros(size, np.float64)
-        for o in range(0, size - w + 1, st):
-            wd[o : o + w] += profiles[d]
-        w1d.append(jnp.asarray(wd, jnp.float32))
-    center = float(imp_np[c])
-    inv_weight = (
-        1.0
-        / jnp.maximum(
-            w1d[0][:, None, None] * w1d[1][None, :, None] * w1d[2][None, None, :]
-            / center**2,
-            1e-8,
-        )
-    )[..., None]
+    # exact on-device separable blend (the clipped stock bump is
+    # non-separable; see window.regular_cover_setup_device)
+    cover, imp, inv_weight = regular_cover_setup_device(test_shape, window, stride)
     vol = jnp.pad(
         img_te.astype(jnp.bfloat16),
         [(0, cv - s) for cv, s in zip(cover, test_shape)],

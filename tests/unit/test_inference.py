@@ -383,3 +383,40 @@ def test_patch_first_local_tta_minmax_and_rot():
         make_patch_local_apply_fn(
             _conv_apply, enumerate_tta_variants("all", True), "mean", (4, 8, 6)
         )
+
+
+def test_regular_cover_setup_device_exact_blend():
+    """The on-device separable blend must normalize EXACTLY: inv_weight is
+    the reciprocal of the brute-force sum of window importances (the clipped
+    stock bump breaks separability, mis-normalizing corners by up to 1e4 —
+    the defect this helper exists to avoid)."""
+    import numpy as np
+
+    from pytorch_connectomics_tpu.inference.window import (
+        importance_map,
+        regular_cover_setup_device,
+    )
+
+    window, stride, shape = (8, 8, 8), (4, 4, 4), (12, 16, 16)
+    cover, imp, inv = regular_cover_setup_device(shape, window, stride)
+    imp = np.asarray(imp)[..., 0]
+    inv = np.asarray(inv)[..., 0]
+    # brute-force accumulate the SAME importance map over the grid
+    acc = np.zeros(cover, np.float64)
+    for oz in range(0, cover[0] - window[0] + 1, stride[0]):
+        for oy in range(0, cover[1] - window[1] + 1, stride[1]):
+            for ox in range(0, cover[2] - window[2] + 1, stride[2]):
+                acc[oz:oz + window[0], oy:oy + window[1], ox:ox + window[2]] += imp
+    np.testing.assert_allclose(inv, 1.0 / acc, rtol=2e-5)
+    # and the clipped stock bump is NOT separable — the old hand-rolled
+    # center-profile product disagrees with its true accumulation at corners
+    clipped = importance_map(window, "bump")
+    c = tuple(w // 2 for w in window)
+    sep = (
+        np.multiply.outer(
+            np.multiply.outer(clipped[:, c[1], c[2]], clipped[c[0], :, c[2]]),
+            clipped[c[0], c[1], :],
+        )
+        / float(clipped[c]) ** 2
+    )
+    assert (clipped / sep).max() > 10.0  # clip floor >> true corner weight
