@@ -103,8 +103,8 @@ _SYNTH_TASKS = ("em", "em2", "instance", "blobs")
 
 
 def _parse_synthetic_url(path: str):
-    """``synthetic://<task>/<name>?shape=Z,Y,X&seed=N&cells=K`` —
-    task in {em, em2, instance}; role (image vs label) inferred from name."""
+    """``synthetic://<task>/<name>?shape=Z,Y,X&seed=N&cells=K&elong=E`` —
+    task in ``_SYNTH_TASKS``; role (image vs label) inferred from name."""
     body = path[len("synthetic://"):]
     shape, seed, cells, elong = (64, 128, 128), None, None, 1.0
     if "?" in body:
@@ -152,6 +152,8 @@ def synthetic_task_volume(path: str) -> np.ndarray:
     cache_key = (task, shape, seed, cells, elong)
     with _SYNTH_LOCK:  # read_volume runs on chunked-engine reader threads
         if cache_key not in _SYNTH_CACHE:
+            import contextlib
+
             import jax
 
             from .synthetic_jax import (
@@ -160,19 +162,29 @@ def synthetic_task_volume(path: str) -> np.ndarray:
                 synthetic_instance_volume,
             )
 
-            key = jax.random.PRNGKey(seed)
-            if task == "instance":
-                n = cells or max(8, int(180 * np.prod(shape) / 1e6))
-                img, lbl = synthetic_instance_volume(key, shape, n_cells=n, elongation=elong)
-            elif task == "blobs":
-                from .synthetic_jax import synthetic_blob_instance_volume
+            # host-destined volumes must NOT be generated on an accelerator:
+            # on the dev TPU host the fetch rides a ~1 MB/s relay (CLAUDE.md
+            # "generate data on device; fetch scalars") — pin to the CPU
+            # backend, which stays available alongside TPU plugins
+            try:
+                ctx = jax.default_device(jax.devices("cpu")[0])
+            except RuntimeError:  # pragma: no cover - cpu backend disabled
+                ctx = contextlib.nullcontext()
+            with ctx:
+                key = jax.random.PRNGKey(seed)
+                if task == "instance":
+                    n = cells or max(8, int(180 * np.prod(shape) / 1e6))
+                    img, lbl = synthetic_instance_volume(key, shape, n_cells=n, elongation=elong)
+                elif task == "blobs":
+                    from .synthetic_jax import synthetic_blob_instance_volume
 
-                n = cells or max(6, int(40 * np.prod(shape) / 1e6))
-                img, lbl, _ = synthetic_blob_instance_volume(key, shape, n_blobs=n)
-            elif task == "em2":
-                img, lbl = synthetic_em_volume_v2(key, shape)
-            else:
-                img, lbl = synthetic_em_volume(key, shape)
+                    n = cells or max(6, int(40 * np.prod(shape) / 1e6))
+                    img, lbl, _ = synthetic_blob_instance_volume(key, shape, n_blobs=n)
+                elif task == "em2":
+                    img, lbl = synthetic_em_volume_v2(key, shape)
+                else:
+                    img, lbl = synthetic_em_volume(key, shape)
+                img, lbl = jax.device_get(img), jax.device_get(lbl)
             if len(_SYNTH_CACHE) >= 8:
                 _SYNTH_CACHE.pop(next(iter(_SYNTH_CACHE)))
             _SYNTH_CACHE[cache_key] = (

@@ -363,6 +363,31 @@ def affinity_targets(
 
 
 @partial(jax.jit, static_argnames=("patch", "batch"))
+def sample_patches_multi(
+    key: jax.Array,
+    volumes: Tuple[jnp.ndarray, ...],
+    patch: Tuple[int, int, int],
+    batch: int,
+):
+    """Random crops + on-device flip augmentation of N aligned volumes
+    (image / labels / extra targets share offsets and flips). Returns a
+    tuple of (B, *patch) arrays, input dtypes preserved."""
+    shape = volumes[0].shape
+
+    def one(k):
+        ko, kf = jax.random.split(k)
+        maxs = jnp.array([s - p for s, p in zip(shape, patch)])
+        off = (jax.random.uniform(ko, (3,)) * (maxs + 1)).astype(jnp.int32)
+        crops = [jax.lax.dynamic_slice(v, off, patch) for v in volumes]
+        flips = jax.random.bernoulli(kf, 0.5, (3,))
+        for ax in range(3):
+            crops = [jnp.where(flips[ax], jnp.flip(c, ax), c) for c in crops]
+        return tuple(crops)
+
+    return jax.vmap(one)(jax.random.split(key, batch))
+
+
+@partial(jax.jit, static_argnames=("patch", "batch"))
 def sample_patches(
     key: jax.Array,
     image: jnp.ndarray,
@@ -372,17 +397,5 @@ def sample_patches(
 ):
     """Random crops + on-device flip augmentation.
     Returns (img (B,*patch,1) float32, lbl (B,*patch,1) float32)."""
-    def one(k):
-        ko, kf = jax.random.split(k)
-        maxs = jnp.array([s - p for s, p in zip(image.shape, patch)])
-        off = (jax.random.uniform(ko, (3,)) * (maxs + 1)).astype(jnp.int32)
-        im = jax.lax.dynamic_slice(image, off, patch)
-        lb = jax.lax.dynamic_slice(label, off, patch).astype(jnp.float32)
-        flips = jax.random.bernoulli(kf, 0.5, (3,))
-        for ax in range(3):
-            im = jnp.where(flips[ax], jnp.flip(im, ax), im)
-            lb = jnp.where(flips[ax], jnp.flip(lb, ax), lb)
-        return im, lb
-
-    ims, lbs = jax.vmap(one)(jax.random.split(key, batch))
+    ims, lbs = sample_patches_multi(key, (image, label.astype(jnp.float32)), patch, batch)
     return ims[..., None], lbs[..., None]

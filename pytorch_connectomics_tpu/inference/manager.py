@@ -44,12 +44,20 @@ class InferenceManager:
         if acts is None:
             extra = getattr(inf.model, "extra", None) or {}
             acts = extra.get("channel_activations")
+        # affinity channel ranges from the label transform: flip TTA on
+        # affinity outputs needs per-offset realignment (tta.py docstring)
+        from ..data.targets.build import affinity_target_groups
+
+        aff_groups = affinity_target_groups(
+            getattr(cfg.data, "label_transform", None)
+        )
         self.predictor = TTAPredictor(
             self.engine,
             inf.test_time_augmentation,
             activations=acts,
             select_channel=inf.model.select_channel,
             mesh=mesh,
+            affinity_groups=aff_groups,
         )
         self.mesh = mesh
 

@@ -175,6 +175,7 @@ def make_patch_local_apply_fn(
     variants: List[Dict[str, Any]],
     ensemble_mode: Union[str, List[Any]] = "mean",
     window: Optional[Sequence[int]] = None,
+    affinity_groups: Optional[List[Any]] = None,
 ) -> Callable:
     """Wrap a model ``apply_fn`` so every window batch is evaluated under all
     TTA variants on-device and ensembled per window (reference
@@ -194,6 +195,10 @@ def make_patch_local_apply_fn(
             raise ValueError(
                 "patch_first_local rotation90 needs a square (y, x) window, "
                 f"got {tuple(window)}"
+            )
+        if affinity_groups:
+            raise ValueError(
+                "rotation90 TTA over affinity channels is not supported"
             )
 
     modes: Union[str, List[Any]] = ensemble_mode
@@ -215,6 +220,11 @@ def make_patch_local_apply_fn(
                 p = jnp.rot90(p, -v["rot"], axes=(2, 3))
             if v["flip"]:
                 p = jnp.flip(p, axis=tuple(a + 1 for a in v["flip"]))
+                for g in affinity_groups or ():
+                    p = affinity_flip_align(
+                        p, tuple(v["flip"]), g["offsets"],
+                        channel_slice=(g["start"], g["end"]),
+                    )
             p = p.astype(jnp.float32)
             if "mean" in need:
                 accs["mean"] = p if "mean" not in accs else accs["mean"] + p
@@ -245,6 +255,7 @@ class TTAPredictor:
         activations: Optional[Union[str, List[Any]]] = None,
         select_channel: Optional[List[int]] = None,
         mesh=None,
+        affinity_groups: Optional[List[Any]] = None,
     ):
         self.engine = engine
         cfg = tta_cfg or TTAConfig()
@@ -256,16 +267,43 @@ class TTAPredictor:
         self.activations = activations if activations is not None else cfg.act
         self.select_channel = select_channel
         self.mesh = mesh
+        # affinity channel ranges ([{start, end, offsets}]): flip inversion
+        # of affinity channels needs a per-offset shift (affinity_flip_align)
+        # or the ensemble combines channels misaligned by each offset
+        self.affinity_groups = list(affinity_groups or [])
+        if self.affinity_groups and any(v["rot"] for v in self.variants):
+            raise ValueError(
+                "rotation90 TTA over affinity channels is not supported: a "
+                "(y,x) rotation permutes offset channels; use flip-only TTA "
+                "for affinity outputs"
+            )
         self.patch_first_local = bool(getattr(cfg, "patch_first_local", False))
         self._patch_engine: Optional[SlidingWindowEngine] = None
         if self.patch_first_local and len(self.variants) > 1:
             import copy
 
             wrapped = make_patch_local_apply_fn(
-                engine.apply_fn, self.variants, self.ensemble_mode, engine.window
+                engine.apply_fn, self.variants, self.ensemble_mode, engine.window,
+                affinity_groups=self.affinity_groups,
             )
             self._patch_engine = copy.copy(engine)
             self._patch_engine.apply_fn = wrapped
+
+    def _align_affinities(self, pred, variant):
+        """Post-flip-back offset realignment of affinity channel groups
+        (no-op without groups or flips). Applied on raw outputs, before
+        channel activations."""
+        if not self.affinity_groups or not variant["flip"]:
+            return pred
+        out = pred
+        for g in self.affinity_groups:
+            out = np.asarray(
+                affinity_flip_align(
+                    out, tuple(variant["flip"]), g["offsets"],
+                    channel_slice=(g["start"], g["end"]),
+                )
+            )
+        return out
 
     @property
     def num_variants(self) -> int:
@@ -303,6 +341,7 @@ class TTAPredictor:
                 v = apply_variant(volume, variant)
                 p = self._run_engine(params, v, out_channels)
                 p = invert_variant(p, variant)
+                p = self._align_affinities(p, variant)
                 p = apply_channel_activations(p, self.activations)
                 preds.append(p)
         out = ensemble(preds, self.ensemble_mode) if len(preds) > 1 else preds[0]
@@ -364,5 +403,6 @@ class TTAPredictor:
         for i, variant in enumerate(self.variants):
             p = outs[i][sl]
             p = invert_variant(p, variant)
+            p = self._align_affinities(p, variant)
             preds.append(apply_channel_activations(p, self.activations))
         return preds

@@ -56,6 +56,7 @@ def main():
     )
     from pytorch_connectomics_tpu.data.synthetic_jax import (
         bc_targets,
+        sample_patches_multi,
         synthetic_blob_instance_volume,
     )
     from pytorch_connectomics_tpu.decoding.decoders import (
@@ -152,21 +153,9 @@ def main():
     # label patch (ids commute with flips), distance flips as a scalar field
     @jax.jit
     def sample(k):
-        def one(kk):
-            ko, kf = jax.random.split(kk)
-            maxs = jnp.array([s - patch for s in train_shape])
-            off = (jax.random.uniform(ko, (3,)) * (maxs + 1)).astype(jnp.int32)
-            im = jax.lax.dynamic_slice(img_tr, off, (patch,) * 3)
-            lb = jax.lax.dynamic_slice(lbl_tr, off, (patch,) * 3)
-            dt = jax.lax.dynamic_slice(dist_tr, off, (patch,) * 3)
-            flips = jax.random.bernoulli(kf, 0.5, (3,))
-            for ax in range(3):
-                im = jnp.where(flips[ax], jnp.flip(im, ax), im)
-                lb = jnp.where(flips[ax], jnp.flip(lb, ax), lb)
-                dt = jnp.where(flips[ax], jnp.flip(dt, ax), dt)
-            return im, lb, dt
-
-        ims, lbs, dts = jax.vmap(one)(jax.random.split(k, batch))
+        ims, lbs, dts = sample_patches_multi(
+            k, (img_tr, lbl_tr, dist_tr), (patch,) * 3, batch
+        )
         target = jnp.concatenate([bc_targets(lbs), dts[..., None]], axis=-1)
         return ims[..., None], target
 

@@ -420,3 +420,70 @@ def test_regular_cover_setup_device_exact_blend():
         / float(clipped[c]) ** 2
     )
     assert (clipped / sep).max() > 10.0  # clip floor >> true corner weight
+
+
+def _affinity_oracle_setup(patch_local=False, groups=True):
+    """TTA predictor over an 'affinity oracle' model: the input volume IS an
+    instance-label volume and the model emits its exact affinities — so the
+    flip-TTA ensemble must reproduce the direct affinities in the interior
+    IF (and only if) per-offset realignment is wired in."""
+    import numpy as np
+
+    from pytorch_connectomics_tpu.config.schema import SlidingWindowConfig, TTAConfig
+    from pytorch_connectomics_tpu.data.synthetic_jax import affinity_targets
+    from pytorch_connectomics_tpu.inference.tta import TTAPredictor
+    from pytorch_connectomics_tpu.inference.window import make_engine
+
+    offsets = [(0, 0, 1), (0, 1, 0), (1, 0, 0)]
+
+    def apply_fn(params, batch):
+        return affinity_targets(batch[..., 0].astype("int32"))
+
+    shape = (8, 12, 12)
+    cfg = SlidingWindowConfig(window_size=list(shape), blending="constant", sw_batch_size=1)
+    engine = make_engine(apply_fn, cfg, list(shape))
+    tta = TTAConfig(
+        enabled=True, flip_axes=[[0], [1], [2]], ensemble_mode="mean",
+        patch_first_local=patch_local,
+    )
+    g = [{"start": 0, "end": 3, "offsets": offsets}] if groups else None
+    pred = TTAPredictor(engine, tta, affinity_groups=g)
+    rng = np.random.RandomState(0)
+    labels = rng.randint(1, 5, size=shape).astype(np.float32)
+    direct = np.asarray(affinity_targets(labels.astype("int32")))
+    out = pred.predict(None, labels[..., None])
+    interior = (slice(1, -1),) * 3
+    return out[interior], direct[interior]
+
+
+def test_tta_predictor_aligns_affinity_channels():
+    import numpy as np
+
+    out, direct = _affinity_oracle_setup(groups=True)
+    np.testing.assert_allclose(out, direct, atol=1e-6)
+    # and WITHOUT wiring, the naive flip-back ensemble is wrong
+    out_naive, direct = _affinity_oracle_setup(groups=False)
+    assert np.abs(out_naive - direct).max() > 0.2
+
+
+def test_patch_local_tta_aligns_affinity_channels():
+    import numpy as np
+
+    out, direct = _affinity_oracle_setup(patch_local=True, groups=True)
+    np.testing.assert_allclose(out, direct, atol=1e-6)
+
+
+def test_rot90_tta_with_affinity_groups_rejected():
+    import pytest
+
+    from pytorch_connectomics_tpu.config.schema import SlidingWindowConfig, TTAConfig
+    from pytorch_connectomics_tpu.inference.tta import TTAPredictor
+    from pytorch_connectomics_tpu.inference.window import make_engine
+
+    engine = make_engine(lambda p, b: b, SlidingWindowConfig(window_size=[8, 8, 8]), [8, 8, 8])
+    with pytest.raises(ValueError, match="rotation90"):
+        TTAPredictor(
+            engine,
+            TTAConfig(enabled=True, rotation90=True),
+            affinity_groups=[{"start": 0, "end": 3, "offsets": [(0, 0, 1)]}],
+        )
