@@ -75,3 +75,12 @@ bench:
 # -> Jaccard (appends to QUALITY.md; tracked round-over-round vs Lucchi++ 0.935)
 quality *args:
     {{args}} python scripts/quality_benchmark.py
+
+# instance pipeline quality (affinity -> waterz/CC/mutex -> aRand/VOI/AP/NERL);
+# IQ_OFFSETS=long adds long-range channels for mutex, IQ_ELONGATION=4 fibers
+quality-instance *args:
+    {{args}} python scripts/instance_quality_benchmark.py
+
+# blob pipeline quality (binary-contour-distance -> bcd watershed -> COCO AP)
+quality-blob *args:
+    {{args}} python scripts/blob_quality_benchmark.py
