@@ -31,18 +31,23 @@ class PlainConvUNet(nn.Module):
     features_per_stage: Sequence[int] = (32, 64, 128, 256)
     strides: Sequence[Sequence[int]] = ((1, 1, 1), (2, 2, 2), (2, 2, 2), (2, 2, 2))
     kernel_sizes: Sequence[Sequence[int]] = ((3, 3, 3),) * 4
-    n_conv_per_stage: int = 2
+    n_conv_per_stage: Any = 2  # int, or per-stage Sequence[int] (nnU-Net plans)
     norm: str = "instance"
     act: str = "leaky_relu"
     deep_supervision: bool = False
     dtype: Any = jnp.bfloat16
+
+    def _n_conv(self, stage: int) -> int:
+        if isinstance(self.n_conv_per_stage, (list, tuple)):
+            return int(self.n_conv_per_stage[stage])
+        return int(self.n_conv_per_stage)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         skips = []
         for i, (f, s, k) in enumerate(zip(self.features_per_stage, self.strides, self.kernel_sizes)):
             x = ConvNormAct(f, tuple(k), strides=tuple(s), norm=self.norm, act=self.act, dtype=self.dtype)(x)
-            for _ in range(self.n_conv_per_stage - 1):
+            for _ in range(self._n_conv(i) - 1):
                 x = ConvNormAct(f, tuple(k), norm=self.norm, act=self.act, dtype=self.dtype)(x)
             skips.append(x)
         ds = []
@@ -50,7 +55,7 @@ class PlainConvUNet(nn.Module):
         for i in reversed(range(len(self.features_per_stage) - 1)):
             y = UpConv(self.features_per_stage[i], tuple(self.strides[i + 1]), dtype=self.dtype)(y)
             y = jnp.concatenate([y, skips[i]], axis=-1)
-            for _ in range(self.n_conv_per_stage):
+            for _ in range(self._n_conv(i)):
                 y = ConvNormAct(
                     self.features_per_stage[i], tuple(self.kernel_sizes[i]),
                     norm=self.norm, act=self.act, dtype=self.dtype,
@@ -77,7 +82,7 @@ def parse_nnunet_plans(plans_path: str | Path, configuration: str = "3d_fullres"
         or cfg.get("UNet_base_num_features") and None,
         "strides": kw.get("strides"),
         "kernel_sizes": kw.get("kernel_sizes"),
-        "n_conv_per_stage": (kw.get("n_conv_per_stage") or [2])[0]
+        "n_conv_per_stage": tuple(kw["n_conv_per_stage"])
         if isinstance(kw.get("n_conv_per_stage"), list)
         else kw.get("n_conv_per_stage", 2),
         "spacing": cfg.get("spacing"),

@@ -76,3 +76,47 @@ def test_preflight_checks():
         preflight_check(cfg, "train")
     cfg.model.loss.deep_supervision = False
     assert isinstance(preflight_check(cfg, "train"), list)
+
+
+def test_nnunet_anisotropic_plans(tmp_path):
+    """Real nnU-Net plans use anisotropic strides, non-cubic kernels, and
+    per-stage conv counts — the loader must honor all three (reference
+    nnunet_models.py arch_kwargs passthrough)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_connectomics_tpu.config.schema import ModelConfig, build_dataclass
+    from pytorch_connectomics_tpu.models import build_model, init_model
+
+    plans = {
+        "configurations": {
+            "3d_fullres": {
+                "patch_size": [8, 32, 32],
+                "spacing": [8.0, 1.0, 1.0],
+                "architecture": {
+                    "arch_kwargs": {
+                        "features_per_stage": [8, 16, 32],
+                        "strides": [[1, 1, 1], [1, 2, 2], [2, 2, 2]],
+                        "kernel_sizes": [[1, 3, 3], [3, 3, 3], [3, 3, 3]],
+                        "n_conv_per_stage": [1, 2, 3],
+                    }
+                },
+            }
+        }
+    }
+    p = tmp_path / "plans.json"
+    p.write_text(json.dumps(plans))
+    cfg = build_dataclass(
+        ModelConfig,
+        {"arch": {"type": "nnunet"}, "in_channels": 1, "out_channels": 2,
+         "input_size": [8, 32, 32], "nnunet": {"plans_path": str(p)}},
+    )
+    model = build_model(cfg)
+    assert tuple(model.n_conv_per_stage) == (1, 2, 3)
+    params = init_model(model, cfg, jax.random.PRNGKey(0))
+    out = jax.jit(model.apply)(params, jnp.zeros((1, 8, 32, 32, 1)))
+    assert out.shape == (1, 8, 32, 32, 2)
+    # stage 0 has exactly ONE encoder conv (per-stage count honored):
+    # its params contain ConvNormAct_0 but the second-stage extra conv ids
+    names = str(jax.tree_util.tree_structure(params))
+    assert "ConvNormAct_0" in names
