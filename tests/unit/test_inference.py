@@ -487,3 +487,40 @@ def test_rot90_tta_with_affinity_groups_rejected():
             TTAConfig(enabled=True, rotation90=True),
             affinity_groups=[{"start": 0, "end": 3, "offsets": [(0, 0, 1)]}],
         )
+
+
+def test_sharded_variant_tta_aligns_affinity_channels():
+    """The variant-sharded TTA path (one device per flip variant) must apply
+    the same affinity realignment as the serial path."""
+    import numpy as np
+
+    from pytorch_connectomics_tpu.config.schema import SlidingWindowConfig, TTAConfig
+    from pytorch_connectomics_tpu.data.synthetic_jax import affinity_targets
+    from pytorch_connectomics_tpu.inference.tta import TTAPredictor
+    from pytorch_connectomics_tpu.inference.window import make_engine
+    from pytorch_connectomics_tpu.parallel import make_mesh
+
+    offsets = [(0, 0, 1), (0, 1, 0), (1, 0, 0)]
+
+    def apply_fn(params, batch):
+        return affinity_targets(batch[..., 0].astype("int32"))
+
+    shape = (8, 12, 12)
+    engine = make_engine(
+        apply_fn,
+        SlidingWindowConfig(window_size=list(shape), blending="constant", sw_batch_size=1),
+        list(shape),
+    )
+    tta = TTAConfig(enabled=True, flip_axes=[[0], [1], [2]], ensemble_mode="mean")
+    mesh = make_mesh({"data": 4})
+    pred = TTAPredictor(
+        engine, tta, mesh=mesh,
+        affinity_groups=[{"start": 0, "end": 3, "offsets": offsets}],
+    )
+    assert pred.num_variants == 4 and mesh.devices.size == 4  # sharded path
+    rng = np.random.RandomState(1)
+    labels = rng.randint(1, 5, size=shape).astype(np.float32)
+    direct = np.asarray(affinity_targets(labels.astype("int32")))
+    out = pred.predict(None, labels[..., None])
+    interior = (slice(1, -1),) * 3
+    np.testing.assert_allclose(out[interior], direct[interior], atol=1e-6)
