@@ -104,7 +104,7 @@ def branch_split(
     w: int = 4,
     link_min_size: int = 10000,
     min_frag: int = 6,
-    recover: float = 1.1,
+    recover: float = 0.4,  # branch_cues.RECOVER (reference split.py:79)
     host_both: bool = False,
     gates: Optional[Dict] = None,
     **kw,

@@ -229,7 +229,7 @@ def sustained_area_bump(
         pres = np.where(areas > 0)[0]
         if len(pres) < 2 * taper + min_run:
             continue
-        interior = pres[taper:-taper]
+        interior = pres[taper:len(pres) - taper]
         a = areas[interior].astype(np.float64)
         run_start, run_len, peak = None, 0, 0.0
         for k in range(len(interior)):

@@ -97,6 +97,38 @@ def _apply_act(x, act: str):
     raise ValueError(f"unknown activation '{act}'")
 
 
+def apply_channel_activations_jnp(pred, acts: Optional[Union[str, List[Any]]]):
+    """Traced (jit-safe) twin of :func:`apply_channel_activations` — same
+    spec semantics, jnp ops, channels last."""
+    import jax.nn as jnn
+    import jax.numpy as jnp
+
+    def one(v, act: str):
+        if act in ("none", None, ""):
+            return v
+        if act == "sigmoid":
+            return jnn.sigmoid(v)
+        if act == "tanh":
+            return jnp.tanh(v)
+        if act == "softmax":
+            return jnn.softmax(v, axis=-1)
+        raise ValueError(f"unknown activation '{act}'")
+
+    if acts is None:
+        return pred
+    x = pred.astype(jnp.float32)
+    if isinstance(acts, str):
+        return one(x, acts)
+    for entry in acts:
+        if isinstance(entry, dict):
+            spec, act = entry.get("channels", ":"), entry.get("activation", "none")
+        else:
+            spec, act = entry
+        sl = parse_slice(str(spec))
+        x = x.at[..., sl].set(one(x[..., sl], str(act)))
+    return x
+
+
 def _ensemble_reduce(stack: List[np.ndarray], mode: str) -> np.ndarray:
     if mode == "mean":
         return np.mean(stack, axis=0)
@@ -170,12 +202,37 @@ def affinity_flip_align(aff, flipped_axes, offsets, channel_slice=None):
     return jnp.stack(cols, axis=-1)
 
 
+def flip_align_valid_mask(
+    shape_zyx: Sequence[int],
+    n_channels: int,
+    flipped_axes: Sequence[int],
+    affinity_groups: Sequence[Dict[str, Any]],
+) -> np.ndarray:
+    """(Z,Y,X,C) mask: 1 where a flip-realigned value is genuine, 0 on the
+    planes :func:`affinity_flip_align` zero-fills (the realigned value lives
+    outside this block). Static — built once per variant at trace time."""
+    m = np.ones((*tuple(shape_zyx), n_channels), np.float32)
+    for g in affinity_groups or ():
+        for c, off in enumerate(g["offsets"]):
+            ci = g["start"] + c
+            for a in flipped_axes:
+                o = int(off[a])
+                if o == 0:
+                    continue
+                n = int(shape_zyx[a])
+                idx: List[Any] = [slice(None)] * 3
+                idx[a] = slice(0, min(o, n)) if o > 0 else slice(max(n + o, 0), n)
+                m[tuple(idx) + (ci,)] = 0.0
+    return m
+
+
 def make_patch_local_apply_fn(
     apply_fn: Callable,
     variants: List[Dict[str, Any]],
     ensemble_mode: Union[str, List[Any]] = "mean",
     window: Optional[Sequence[int]] = None,
     affinity_groups: Optional[List[Any]] = None,
+    activations: Optional[Union[str, List[Any]]] = None,
 ) -> Callable:
     """Wrap a model ``apply_fn`` so every window batch is evaluated under all
     TTA variants on-device and ensembled per window (reference
@@ -183,10 +240,20 @@ def make_patch_local_apply_fn(
     handful of vmapped lane/sublane reversals — nearly free on TPU — so this
     removes the per-variant volume sweeps entirely.
 
-    Ensembling happens on raw per-window outputs (before blending and before
-    channel activations); with mean ensembling and a flip-symmetric window
-    grid this is exactly the whole-volume result (blending is linear), while
-    min/max differ from whole-volume mode by design (window-level reduce).
+    Semantics (the standard patch-local convention, cf. nnU-Net mirroring):
+    each variant is inverted, affinity-realigned, ACTIVATED, then ensembled
+    per window, and the ensembled window is blended into the volume. With
+    ``activations=None`` + mean ensembling + a flip-symmetric grid this is
+    exactly the whole-volume TTA result (blending is linear); with a
+    nonlinear activation it activates before blending where whole-volume
+    mode activates after — the window-level analogue, not bit-equal.
+
+    Affinity channels: per-window realignment shifts values in from OUTSIDE
+    the window, so the first ``|offset|`` planes of every flipped variant
+    are unknown at every window (not just the volume border). Those planes
+    are excluded per variant via a validity mask — mean becomes a weighted
+    mean, min/max skip masked entries — instead of ensembling a spurious
+    zero logit at every interior window seam.
     """
     import jax.numpy as jnp
 
@@ -206,9 +273,22 @@ def make_patch_local_apply_fn(
     bad = need - {"mean", "min", "max"}
     if bad:
         raise ValueError(f"unknown ensemble mode(s) {sorted(bad)}")
+    # masking only matters when a flip variant realigns an affinity channel
+    masked = bool(affinity_groups) and any(
+        v["flip"]
+        and any(
+            off[a]
+            for g in affinity_groups
+            for off in g["offsets"]
+            for a in v["flip"]
+        )
+        for v in variants
+    )
 
     def tta_apply(params, batch):
         accs: Dict[str, Any] = {}
+        den = None
+        big = jnp.float32(3.4e38)
         for v in variants:
             vb = batch
             if v["flip"]:
@@ -225,15 +305,37 @@ def make_patch_local_apply_fn(
                         p, tuple(v["flip"]), g["offsets"],
                         channel_slice=(g["start"], g["end"]),
                     )
-            p = p.astype(jnp.float32)
-            if "mean" in need:
-                accs["mean"] = p if "mean" not in accs else accs["mean"] + p
-            if "min" in need:
-                accs["min"] = p if "min" not in accs else jnp.minimum(accs["min"], p)
-            if "max" in need:
-                accs["max"] = p if "max" not in accs else jnp.maximum(accs["max"], p)
+            p = apply_channel_activations_jnp(p.astype(jnp.float32), activations)
+            if masked:
+                m = jnp.asarray(
+                    flip_align_valid_mask(
+                        p.shape[-4:-1], p.shape[-1], tuple(v["flip"]),
+                        affinity_groups or (),
+                    )
+                )
+                den = m if den is None else den + m
+                if "mean" in need:
+                    pm = p * m
+                    accs["mean"] = pm if "mean" not in accs else accs["mean"] + pm
+                if "min" in need:
+                    pm = jnp.where(m > 0, p, big)
+                    accs["min"] = pm if "min" not in accs else jnp.minimum(accs["min"], pm)
+                if "max" in need:
+                    pm = jnp.where(m > 0, p, -big)
+                    accs["max"] = pm if "max" not in accs else jnp.maximum(accs["max"], pm)
+            else:
+                if "mean" in need:
+                    accs["mean"] = p if "mean" not in accs else accs["mean"] + p
+                if "min" in need:
+                    accs["min"] = p if "min" not in accs else jnp.minimum(accs["min"], p)
+                if "max" in need:
+                    accs["max"] = p if "max" not in accs else jnp.maximum(accs["max"], p)
         if "mean" in accs:
-            accs["mean"] = accs["mean"] / len(variants)
+            if masked:
+                # identity variant is always valid -> den >= 1 everywhere
+                accs["mean"] = accs["mean"] / jnp.maximum(den, 1.0)
+            else:
+                accs["mean"] = accs["mean"] / len(variants)
         if isinstance(modes, str):
             return accs[modes]
         out = accs[str(modes[0][1])]
@@ -285,6 +387,7 @@ class TTAPredictor:
             wrapped = make_patch_local_apply_fn(
                 engine.apply_fn, self.variants, self.ensemble_mode, engine.window,
                 affinity_groups=self.affinity_groups,
+                activations=self.activations,
             )
             self._patch_engine = copy.copy(engine)
             self._patch_engine.apply_fn = wrapped
@@ -319,13 +422,14 @@ class TTAPredictor:
     ) -> np.ndarray:
         """volume (Z,Y,X[,C]) -> activated ensembled prediction (Z,Y,X,C)."""
         if self._patch_engine is not None:
-            # ONE sweep; variants ensembled per window inside the jitted pass
+            # ONE sweep; variants activated + ensembled per window inside the
+            # jitted pass (activations already applied — see
+            # make_patch_local_apply_fn)
             eng = self._patch_engine
             if self.mesh is not None and self.mesh.devices.size > 1:
-                p = eng.predict_sharded(params, volume, self.mesh, out_channels)
+                out = eng.predict_sharded(params, volume, self.mesh, out_channels)
             else:
-                p = eng(params, volume, out_channels)
-            out = apply_channel_activations(p, self.activations)
+                out = eng(params, volume, out_channels)
             if self.select_channel is not None:
                 out = out[..., self.select_channel]
             return out.astype(np.float32)

@@ -138,6 +138,9 @@ class MedNeXtTaskHead(nn.Module):
     two_d: bool = False
     # patchify-stem models: projection doubles spatial resolution
     upsample: bool = False
+    # transposed-conv kernel edge for the upsample path (MedNeXt.patchify_kernel;
+    # stride stays 2 — k>2 gives an overlapping readout)
+    up_kernel: int = 2
     # raw-input-guided full-res refinement (see MedNeXt.patchify_head)
     refine: bool = False
     refine_width: int = 16
@@ -151,11 +154,13 @@ class MedNeXtTaskHead(nn.Module):
                 two_d=self.two_d,
             )(x)
         if self.upsample:
-            pk = (1, 2, 2) if self.two_d else (2, 2, 2)
+            k = self.up_kernel
+            pk = (1, k, k) if self.two_d else (k, k, k)
+            ps = (1, 2, 2) if self.two_d else (2, 2, 2)
             if self.refine and ref is not None:
                 x = nn.ConvTranspose(
-                    self.refine_width, kernel_size=pk, strides=pk,
-                    dtype=self.dtype, name="up",
+                    self.refine_width, kernel_size=pk, strides=ps,
+                    padding="SAME", dtype=self.dtype, name="up",
                 )(x)
                 x = jnp.concatenate([x, ref.astype(x.dtype)], axis=-1)
                 x = nn.gelu(nn.Conv(self.refine_width, (1, 1, 1),
@@ -163,7 +168,8 @@ class MedNeXtTaskHead(nn.Module):
                 return nn.Conv(self.out_channels, (1, 1, 1),
                                dtype=jnp.float32)(x)
             return nn.ConvTranspose(
-                self.out_channels, kernel_size=pk, strides=pk, dtype=jnp.float32
+                self.out_channels, kernel_size=pk, strides=ps,
+                padding="SAME", dtype=jnp.float32
             )(x)
         return nn.Conv(self.out_channels, (1, 1, 1), dtype=jnp.float32)(x)
 
@@ -297,6 +303,7 @@ class MedNeXt(nn.Module):
                 outputs[name] = MedNeXtTaskHead(
                     out_ch, nblocks, 2, self.kernel, self.norm, self.dtype,
                     two_d=self.two_d, upsample=head_upsamples,
+                    up_kernel=self.patchify_kernel,
                     refine=self.patchify_head == "refine",
                     refine_width=self.patchify_head_width,
                     name=f"head_{name}"

@@ -32,6 +32,9 @@ class PlainConvUNet(nn.Module):
     strides: Sequence[Sequence[int]] = ((1, 1, 1), (2, 2, 2), (2, 2, 2), (2, 2, 2))
     kernel_sizes: Sequence[Sequence[int]] = ((3, 3, 3),) * 4
     n_conv_per_stage: Any = 2  # int, or per-stage Sequence[int] (nnU-Net plans)
+    # decoder conv counts (nnU-Net ``n_conv_per_stage_decoder``): length
+    # S-1, ordered deepest decoder stage first; None = mirror the encoder
+    n_conv_per_stage_decoder: Any = None
     norm: str = "instance"
     act: str = "leaky_relu"
     deep_supervision: bool = False
@@ -41,6 +44,16 @@ class PlainConvUNet(nn.Module):
         if isinstance(self.n_conv_per_stage, (list, tuple)):
             return int(self.n_conv_per_stage[stage])
         return int(self.n_conv_per_stage)
+
+    def _n_conv_dec(self, level: int) -> int:
+        """Convs at decoder resolution level ``level`` (0 = full res)."""
+        dec = self.n_conv_per_stage_decoder
+        if dec is None:
+            return self._n_conv(level)
+        if isinstance(dec, (list, tuple)):
+            # nnU-Net orders the decoder list deepest-first
+            return int(dec[len(self.features_per_stage) - 2 - level])
+        return int(dec)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -55,7 +68,7 @@ class PlainConvUNet(nn.Module):
         for i in reversed(range(len(self.features_per_stage) - 1)):
             y = UpConv(self.features_per_stage[i], tuple(self.strides[i + 1]), dtype=self.dtype)(y)
             y = jnp.concatenate([y, skips[i]], axis=-1)
-            for _ in range(self._n_conv(i)):
+            for _ in range(self._n_conv_dec(i)):
                 y = ConvNormAct(
                     self.features_per_stage[i], tuple(self.kernel_sizes[i]),
                     norm=self.norm, act=self.act, dtype=self.dtype,
@@ -85,6 +98,9 @@ def parse_nnunet_plans(plans_path: str | Path, configuration: str = "3d_fullres"
         "n_conv_per_stage": tuple(kw["n_conv_per_stage"])
         if isinstance(kw.get("n_conv_per_stage"), list)
         else kw.get("n_conv_per_stage", 2),
+        "n_conv_per_stage_decoder": tuple(kw["n_conv_per_stage_decoder"])
+        if isinstance(kw.get("n_conv_per_stage_decoder"), list)
+        else kw.get("n_conv_per_stage_decoder"),
         "spacing": cfg.get("spacing"),
         "normalization": cfg.get("normalization_schemes", ["zscore"]),
     }
@@ -103,6 +119,7 @@ def build_nnunet(model_cfg):
         if plans.get("kernel_sizes"):
             kw["kernel_sizes"] = tuple(tuple(k) if isinstance(k, (list, tuple)) else (k,) * 3 for k in plans["kernel_sizes"])
         kw["n_conv_per_stage"] = plans.get("n_conv_per_stage", 2)
+        kw["n_conv_per_stage_decoder"] = plans.get("n_conv_per_stage_decoder")
     return PlainConvUNet(
         in_channels=model_cfg.in_channels,
         out_channels=model_cfg.out_channels,

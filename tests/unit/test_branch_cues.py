@@ -92,6 +92,17 @@ def test_sustained_area_bump_ignores_endpoint_taper():
     assert bc.sustained_area_bump(seg, min_size=100, taper=5, min_run=3) == []
 
 
+def test_sustained_area_bump_taper_zero_includes_all_slices():
+    """taper=0 means 'no endpoint exclusion', not 'no detection' (pres[0:-0]
+    is the empty-slice trap)."""
+    seg = np.zeros((50, 40, 40), np.uint32)
+    for z in range(50):
+        r = 3 if not (20 <= z < 26) else 6
+        seg[z][_disk((40, 40), 20, 20, r)] = 1
+    events = bc.sustained_area_bump(seg, min_size=100, taper=0, min_run=3)
+    assert len(events) == 1 and events[0]["label"] == 1
+
+
 # ------------------------------------------------- containment + carve
 
 

@@ -473,6 +473,72 @@ def test_patch_local_tta_aligns_affinity_channels():
     np.testing.assert_allclose(out, direct, atol=1e-6)
 
 
+def test_patch_local_tta_activates_per_variant():
+    """Patch-local TTA must ensemble ACTIVATED variants (mean of sigmoids),
+    matching the stock path's activation order. On a non-overlapping window
+    grid blending is per-window identity, so both paths must agree exactly;
+    ensembling raw logits then activating (the old behavior) gives
+    sigmoid(mean) != mean(sigmoid) for any non-symmetric logit set."""
+    from pytorch_connectomics_tpu.config.schema import SlidingWindowConfig
+    from pytorch_connectomics_tpu.inference.window import make_engine
+
+    vol = np.random.default_rng(3).random((8, 16, 16)).astype(np.float32)
+    cfg = SlidingWindowConfig(
+        window_size=[8, 8, 8], overlap=0.0, blending="constant", sw_batch_size=2
+    )
+    cfg_w = build_dataclass(TTAConfig, {"enabled": True, "flip_axes": "all", "act": "sigmoid"})
+    cfg_p = build_dataclass(
+        TTAConfig,
+        {"enabled": True, "flip_axes": "all", "act": "sigmoid", "patch_first_local": True},
+    )
+    whole = TTAPredictor(
+        make_engine(_conv_apply, cfg, [8, 16, 16]), cfg_w
+    ).predict(None, vol, out_channels=2)
+    patch = TTAPredictor(
+        make_engine(_conv_apply, cfg, [8, 16, 16]), cfg_p
+    ).predict(None, vol, out_channels=2)
+    np.testing.assert_allclose(patch, whole, atol=2e-5)
+
+
+def test_patch_local_tta_masks_realigned_affinity_planes():
+    """Per-window affinity realignment shifts values in from OUTSIDE the
+    window: the first |offset| planes of a flipped variant are unknown at
+    EVERY window, so they must be excluded from the ensemble (weighted mean)
+    rather than averaging in a spurious zero logit."""
+    import jax.numpy as jnp
+
+    from pytorch_connectomics_tpu.inference.tta import make_patch_local_apply_fn
+
+    offsets = [(0, 0, 1)]
+    groups = [{"start": 0, "end": 1, "offsets": offsets}]
+    variants = [{"flip": (), "rot": 0}, {"flip": (2,), "rot": 0}]
+    rng = np.random.default_rng(5)
+    win = jnp.asarray(rng.random((1, 4, 4, 6, 1)).astype(np.float32))
+
+    calls = []
+
+    def apply_fn(params, batch):
+        calls.append(np.asarray(batch))
+        return batch * 3.0 + 1.0
+
+    wrapped = make_patch_local_apply_fn(
+        apply_fn, variants, "mean", (4, 4, 6), affinity_groups=groups
+    )
+    out = np.asarray(wrapped(None, win))
+    ident = np.asarray(win) * 3.0 + 1.0
+    # flipped-variant prediction, flipped back, then realigned (shift +1 in x)
+    flipped = np.flip(np.flip(np.asarray(win), axis=3) * 3.0 + 1.0, axis=3)
+    realigned = np.zeros_like(flipped)
+    realigned[:, :, :, 1:] = flipped[:, :, :, :-1]
+    # interior planes: plain two-variant mean
+    np.testing.assert_allclose(
+        out[:, :, :, 1:], (ident + realigned)[:, :, :, 1:] / 2.0, atol=1e-6
+    )
+    # plane x=0: realigned value unavailable -> identity variant ONLY,
+    # not (ident + 0)/2
+    np.testing.assert_allclose(out[:, :, :, 0], ident[:, :, :, 0], atol=1e-6)
+
+
 def test_rot90_tta_with_affinity_groups_rejected():
     import pytest
 

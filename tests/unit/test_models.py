@@ -157,6 +157,27 @@ def test_mednext_patchify_stem_shapes_and_grads():
     out4 = m4.apply(v4, x)
     assert out4.shape == (1, 32, 32, 32, 2)
 
+    # multi-task heads honor patchify_kernel too (same overlapping readout
+    # as the single-head project() path)
+    cfg4h = build_dataclass(ModelConfig, {
+        "arch": {"type": "mednext"}, "in_channels": 1, "out_channels": 2,
+        "input_size": [32, 32, 32],
+        "mednext": {"size": "custom", "base_channels": 8, "exp_ratio": 2,
+                    "block_counts": [1] * 9, "patchify_stem": True,
+                    "patchify_kernel": 4,
+                    "heads": [{"name": "aff", "out_channels": 3},
+                              {"name": "sem", "out_channels": 1}]},
+        "loss": {"losses": [{"function": "DiceLoss"}]},
+        "compute_dtype": "float32",
+    })
+    m4h = build_model(cfg4h)
+    v4h = init_model(m4h, cfg4h, jax.random.PRNGKey(0))
+    up = v4h["params"]["head_aff"]["ConvTranspose_0"]["kernel"]
+    assert up.shape[:3] == (4, 4, 4)
+    out4h = m4h.apply(v4h, x)
+    assert out4h["aff"].shape == (1, 32, 32, 32, 3)
+    assert out4h["sem"].shape == (1, 32, 32, 32, 1)
+
 
 def test_mednext_patchify_refine_head():
     """patchify_head="refine": full-res pointwise refinement guided by the

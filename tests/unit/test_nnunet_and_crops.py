@@ -120,3 +120,50 @@ def test_nnunet_anisotropic_plans(tmp_path):
     # its params contain ConvNormAct_0 but the second-stage extra conv ids
     names = str(jax.tree_util.tree_structure(params))
     assert "ConvNormAct_0" in names
+
+
+def test_nnunet_decoder_conv_counts(tmp_path):
+    """nnU-Net v2 plans always carry BOTH n_conv_per_stage (encoder) and
+    n_conv_per_stage_decoder; the decoder must honor its own (deepest-first)
+    list, not reuse the encoder counts (dynamic_network_architectures
+    UNetDecoder contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_connectomics_tpu.config.schema import ModelConfig, build_dataclass
+    from pytorch_connectomics_tpu.models import build_model, init_model
+
+    plans = {
+        "configurations": {
+            "3d_fullres": {
+                "patch_size": [8, 16, 16],
+                "spacing": [1.0, 1.0, 1.0],
+                "architecture": {
+                    "arch_kwargs": {
+                        "features_per_stage": [8, 16, 32],
+                        "strides": [[1, 1, 1], [2, 2, 2], [2, 2, 2]],
+                        "kernel_sizes": [[3, 3, 3]] * 3,
+                        "n_conv_per_stage": [2, 2, 2],
+                        "n_conv_per_stage_decoder": [1, 1],
+                    }
+                },
+            }
+        }
+    }
+    p = tmp_path / "plans.json"
+    p.write_text(json.dumps(plans))
+    cfg = build_dataclass(
+        ModelConfig,
+        {"arch": {"type": "nnunet"}, "in_channels": 1, "out_channels": 2,
+         "input_size": [8, 16, 16], "nnunet": {"plans_path": str(p)}},
+    )
+    model = build_model(cfg)
+    assert tuple(model.n_conv_per_stage_decoder) == (1, 1)
+    params = init_model(model, cfg, jax.random.PRNGKey(0))
+    top = params["params"] if "params" in params else params
+    n_cna = sum(1 for k in top if str(k).startswith("ConvNormAct_"))
+    # 6 encoder convs (2+2+2) + 2 decoder convs (1+1); encoder-count reuse
+    # would build 10
+    assert n_cna == 8
+    out = jax.jit(model.apply)(params, jnp.zeros((1, 8, 16, 16, 1)))
+    assert out.shape == (1, 8, 16, 16, 2)
