@@ -20,7 +20,14 @@ def build_parser() -> argparse.ArgumentParser:
         prog="connectomics-tpu",
         description="TPU-native connectomics: train / test / tune EM segmentation",
     )
-    p.add_argument("--config", "-c", required=True, help="YAML config path")
+    p.add_argument("--config", "-c", default=None, help="YAML config path")
+    p.add_argument(
+        "--demo",
+        action="store_true",
+        help="install-verification run: train a small model on synthetic "
+        "data (tutorials/minimal.yaml) and report success (reference "
+        "scripts/main.py --demo)",
+    )
     p.add_argument(
         "--mode",
         default="train",
@@ -53,10 +60,22 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
-    return build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if not args.config and not getattr(args, "demo", False):
+        parser.error("--config is required (or use --demo)")
+    return args
 
 
 def setup_config(args: argparse.Namespace) -> Config:
+    if getattr(args, "demo", False) and not args.config:
+        from pathlib import Path
+
+        args.config = str(
+            Path(__file__).resolve().parents[2] / "tutorials" / "minimal.yaml"
+        )
+        args.mode = "train"
+        args.fast_dev_run = True
     cfg = load_config(args.config, overrides=args.overrides, mode=args.mode)
     if args.shard_id is not None:
         cfg.system.shard_id = args.shard_id

@@ -221,3 +221,22 @@ def test_decode_stage_cache_reuse(tmp_path, monkeypatch):
     monkeypatch.setattr(tp, "run_decoding_stage", boom)
     run_test_pipeline(cfg, model, params, tmp_path / "out")
     assert dec[0].stat().st_mtime_ns == mtime
+
+
+def test_cli_demo_flag_and_config_requirement():
+    """--demo runs without --config (resolves tutorials/minimal.yaml,
+    fast-dev-run train); without either, parsing errors out (reference
+    scripts/main.py --demo)."""
+    import pytest
+
+    from pytorch_connectomics_tpu.runtime.cli import parse_args, setup_config
+
+    args = parse_args(["--demo"])
+    assert args.demo and args.config is None
+    cfg = setup_config(args)
+    assert args.config.endswith("minimal.yaml")
+    assert args.mode == "train" and args.fast_dev_run
+    assert cfg.optimization.max_epochs == 1
+
+    with pytest.raises(SystemExit):
+        parse_args([])
