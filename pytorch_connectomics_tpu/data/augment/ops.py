@@ -190,9 +190,10 @@ def rand_slice_drop(sample: Sample, rng, prob=0.2, num_slices=2, fill="neighbor"
     return out
 
 
-def rand_slice_shift(sample: Sample, rng, prob=0.2, max_shift=8, num_slices=2) -> Sample:
+def rand_slice_shift(sample: Sample, rng, prob=0.2, max_shift=8, num_slices=2, wrap=True) -> Sample:
     """Shift individual slices in-plane — image only
-    (reference ``RandSliceShiftd:207``)."""
+    (reference ``RandSliceShiftd:207``; ``wrap`` matches its default wrap
+    semantics, ``wrap=False`` gives a bounded shift with zero fill)."""
     if rng.random() >= prob:
         return sample
     img = _img(sample).copy()
@@ -200,7 +201,17 @@ def rand_slice_shift(sample: Sample, rng, prob=0.2, max_shift=8, num_slices=2) -
     for zi in rng.choice(z, size=min(num_slices, z), replace=False):
         dy = int(rng.integers(-max_shift, max_shift + 1))
         dx = int(rng.integers(-max_shift, max_shift + 1))
-        img[:, zi] = np.roll(img[:, zi], (dy, dx), axis=(1, 2))
+        if wrap:
+            img[:, zi] = np.roll(img[:, zi], (dy, dx), axis=(1, 2))
+        else:
+            h, w = img.shape[2], img.shape[3]
+            moved = np.zeros_like(img[:, zi])
+            sy = slice(max(0, -dy), min(h, h - dy))
+            sx = slice(max(0, -dx), min(w, w - dx))
+            ty = slice(max(0, dy), min(h, h + dy))
+            tx = slice(max(0, dx), min(w, w + dx))
+            moved[:, ty, tx] = img[:, zi, sy, sx]
+            img[:, zi] = moved
     out = dict(sample)
     out["image"] = img
     return out

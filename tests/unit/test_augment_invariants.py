@@ -211,3 +211,26 @@ def test_motion_blur_box_kernel_matches_scipy():
         if not np.array_equal(out, img):
             matched = True
     assert matched
+
+
+def test_slice_shift_nowrap_zero_fills_instead_of_wrapping():
+    """wrap=False bounds the shift with zero fill (reference RandSliceShiftd's
+    wrap=False mode); the opposite edge must NOT leak into the shifted slice."""
+    img = np.ones((1, 4, 8, 8), np.float32)
+    s = {"image": img, "label": np.zeros_like(img)}
+    rng = np.random.default_rng(3)
+    out = ops.rand_slice_shift(
+        dict(s), rng, prob=1.0, max_shift=3, num_slices=4, wrap=False
+    )
+    changed = np.any(out["image"] != 1.0, axis=(0, 2, 3))
+    assert changed.any()  # at least one slice got a nonzero shift
+    for zi in np.nonzero(changed)[0]:
+        sl = out["image"][0, zi]
+        # a bounded shift of an all-ones slice zero-fills the vacated band
+        assert set(np.unique(sl).tolist()) <= {0.0, 1.0}
+        assert (sl == 0.0).any()
+    # wrap=True on an all-ones slice is the identity (roll of constant)
+    out_w = ops.rand_slice_shift(
+        dict(s), np.random.default_rng(3), prob=1.0, max_shift=3, num_slices=4
+    )
+    np.testing.assert_array_equal(out_w["image"], img)
