@@ -190,28 +190,57 @@ def rand_slice_drop(sample: Sample, rng, prob=0.2, num_slices=2, fill="neighbor"
     return out
 
 
-def rand_slice_shift(sample: Sample, rng, prob=0.2, max_shift=8, num_slices=2, wrap=True) -> Sample:
+def rand_slice_shift(
+    sample: Sample,
+    rng,
+    prob=0.2,
+    max_shift=8,
+    num_slices=2,
+    wrap=True,
+    slice_prob=None,
+    spatial_axis=None,
+    shift_magnitude=None,
+) -> Sample:
     """Shift individual slices in-plane — image only
-    (reference ``RandSliceShiftd:207``; ``wrap`` matches its default wrap
-    semantics, ``wrap=False`` gives a bounded shift with zero fill)."""
+    (reference ``RandSliceShiftd:207``). Parity knobs: ``wrap`` matches its
+    wrap default (``wrap=False`` = bounded shift, zero fill); ``slice_prob``
+    switches slice selection from a fixed ``num_slices`` count to the
+    reference's per-slice Bernoulli; ``spatial_axis`` (int or candidate
+    tuple, 0=z/1=y/2=x) samples the slicing axis instead of the z default;
+    ``shift_magnitude`` is the reference's name for ``max_shift``."""
     if rng.random() >= prob:
         return sample
+    mag = int(max_shift if shift_magnitude is None else shift_magnitude)
     img = _img(sample).copy()
-    z = img.shape[1]
-    for zi in rng.choice(z, size=min(num_slices, z), replace=False):
-        dy = int(rng.integers(-max_shift, max_shift + 1))
-        dx = int(rng.integers(-max_shift, max_shift + 1))
+    if spatial_axis is None:
+        axis = 0
+    elif isinstance(spatial_axis, (int, np.integer)):
+        axis = int(spatial_axis)
+    else:
+        axis = int(rng.choice(list(spatial_axis)))
+    sa = axis + 1  # volume axis -> array axis (channel first)
+    depth = img.shape[sa]
+    if slice_prob is not None:
+        sel = np.nonzero(rng.random(depth) < slice_prob)[0]
+    else:
+        sel = rng.choice(depth, size=min(num_slices, depth), replace=False)
+    for zi in sel:
+        idx = [slice(None)] * 4
+        idx[sa] = int(zi)
+        plane = img[tuple(idx)]  # (c, A, B): the two remaining spatial axes
+        d0 = int(rng.integers(-mag, mag + 1))
+        d1 = int(rng.integers(-mag, mag + 1))
         if wrap:
-            img[:, zi] = np.roll(img[:, zi], (dy, dx), axis=(1, 2))
+            img[tuple(idx)] = np.roll(plane, (d0, d1), axis=(1, 2))
         else:
-            h, w = img.shape[2], img.shape[3]
-            moved = np.zeros_like(img[:, zi])
-            sy = slice(max(0, -dy), min(h, h - dy))
-            sx = slice(max(0, -dx), min(w, w - dx))
-            ty = slice(max(0, dy), min(h, h + dy))
-            tx = slice(max(0, dx), min(w, w + dx))
-            moved[:, ty, tx] = img[:, zi, sy, sx]
-            img[:, zi] = moved
+            h, w = plane.shape[1], plane.shape[2]
+            moved = np.zeros_like(plane)
+            s0 = slice(max(0, -d0), min(h, h - d0))
+            s1 = slice(max(0, -d1), min(w, w - d1))
+            t0 = slice(max(0, d0), min(h, h + d0))
+            t1 = slice(max(0, d1), min(w, w + d1))
+            moved[:, t0, t1] = plane[:, s0, s1]
+            img[tuple(idx)] = moved
     out = dict(sample)
     out["image"] = img
     return out

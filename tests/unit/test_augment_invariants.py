@@ -234,3 +234,31 @@ def test_slice_shift_nowrap_zero_fills_instead_of_wrapping():
         dict(s), np.random.default_rng(3), prob=1.0, max_shift=3, num_slices=4
     )
     np.testing.assert_array_equal(out_w["image"], img)
+
+
+def test_slice_shift_reference_knobs():
+    """slice_prob (per-slice Bernoulli), spatial_axis sampling, and the
+    shift_magnitude alias all behave per reference RandSliceShiftd."""
+    rng0 = np.random.default_rng(0)
+    img = rng0.random((1, 10, 10, 10), dtype=np.float32)
+    s = {"image": img, "label": np.zeros_like(img)}
+    # slice_prob=1 with mag 0 on every axis is the identity
+    out = ops.rand_slice_shift(
+        dict(s), np.random.default_rng(1), prob=1.0, slice_prob=1.0,
+        shift_magnitude=0, spatial_axis=(0, 1, 2),
+    )
+    np.testing.assert_array_equal(out["image"], img)
+    # spatial_axis=2 shifts x-slices: every yz-plane is a permutation of the
+    # original plane's voxels (wrap=roll), and some plane must change
+    out = ops.rand_slice_shift(
+        dict(s), np.random.default_rng(2), prob=1.0, slice_prob=1.0,
+        shift_magnitude=3, spatial_axis=2,
+    )
+    assert not np.array_equal(out["image"], img)
+    for xi in range(img.shape[3]):
+        np.testing.assert_allclose(
+            np.sort(out["image"][0, :, :, xi], axis=None),
+            np.sort(img[0, :, :, xi], axis=None),
+        )
+    # label is never touched (image-only op, reference keys=["image"])
+    np.testing.assert_array_equal(out["label"], s["label"])
