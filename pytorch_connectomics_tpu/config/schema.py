@@ -407,6 +407,7 @@ class AugmentationConfig:
     on_device: bool = False
     flip: Optional[Dict[str, Any]] = None
     rotate: Optional[Dict[str, Any]] = None
+    affine: Optional[Dict[str, Any]] = None
     transpose: Optional[Dict[str, Any]] = None
     intensity: Optional[Dict[str, Any]] = None
     elastic: Optional[Dict[str, Any]] = None

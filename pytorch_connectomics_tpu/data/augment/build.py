@@ -21,6 +21,7 @@ _ORDER: List[Tuple[str, Callable, bool]] = [
     ("axis_permute", ops.rand_axis_permute, False),
     ("transpose", ops.rand_transpose, False),
     ("rotate", ops.rand_rotate90, False),
+    ("affine", ops.rand_affine, False),
     ("elastic", ops.rand_elastic, False),
     ("misalignment", ops.rand_misalignment, False),
     ("missing_section", ops.rand_missing_section, False),

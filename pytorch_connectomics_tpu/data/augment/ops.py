@@ -97,6 +97,53 @@ def rand_elastic(sample: Sample, rng, prob=0.3, sigma=16.0, alpha=20.0) -> Sampl
     return _geom_apply(sample, warp)
 
 
+def rand_affine(
+    sample: Sample,
+    rng,
+    prob=0.2,
+    rotate_range=(0.0, 0.0, 0.0),
+    scale_range=(0.0, 0.0, 0.0),
+    shear_range=(0.0, 0.0, 0.0),
+) -> Sample:
+    """Continuous 3-D affine: per-axis rotation angles U(-r, r) in radians,
+    scale jitter 1 + U(-s, s), shear coefficients U(-h, h); image bilinear,
+    labels nearest, reflection padding (reference ``build.py:826-852`` /
+    MONAI RandAffined semantics)."""
+    if rng.random() >= prob:
+        return sample
+    rot = [float(rng.uniform(-r, r)) if r else 0.0 for r in rotate_range]
+    scl = [1.0 + (float(rng.uniform(-s, s)) if s else 0.0) for s in scale_range]
+    shr = [float(rng.uniform(-h, h)) if h else 0.0 for h in shear_range]
+
+    def _rot(angle: float, axis: int) -> np.ndarray:
+        m = np.eye(3)
+        if angle:
+            i, j = [a for a in range(3) if a != axis]
+            c, s = np.cos(angle), np.sin(angle)
+            m[i, i] = c
+            m[i, j] = -s
+            m[j, i] = s
+            m[j, j] = c
+        return m
+
+    shear = np.eye(3)
+    shear[0, 1], shear[0, 2], shear[1, 2] = shr
+    mat = _rot(rot[0], 0) @ _rot(rot[1], 1) @ _rot(rot[2], 2) @ shear @ np.diag(scl)
+
+    def apply(v, interp):
+        order = 1 if interp else 0
+        out = np.empty_like(v)
+        center = (np.asarray(v.shape[1:], np.float64) - 1.0) / 2.0
+        offset = center - mat @ center
+        for ci in range(v.shape[0]):
+            out[ci] = ndimage.affine_transform(
+                v[ci], mat, offset=offset, order=order, mode="reflect"
+            )
+        return out
+
+    return _geom_apply(sample, apply)
+
+
 # -- EM artifact simulation --------------------------------------------------
 
 

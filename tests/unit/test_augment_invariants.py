@@ -22,6 +22,9 @@ OPS = [
     ("transpose", ops.rand_transpose, {"prob": 1.0}, False, True),
     ("axis_permute", ops.rand_axis_permute, {"prob": 1.0}, False, True),
     ("elastic", ops.rand_elastic, {"prob": 1.0}, False, True),
+    ("affine", ops.rand_affine,
+     {"prob": 1.0, "rotate_range": (0.3, 0.3, 0.3), "scale_range": (0.1, 0.1, 0.1),
+      "shear_range": (0.05, 0.05, 0.05)}, False, True),
     ("misalignment", ops.rand_misalignment, {"prob": 1.0, "displacement": 4}, False, True),
     ("missing_section", ops.rand_missing_section, {"prob": 1.0}, False, False),
     ("lost_section", ops.rand_lost_section, {"prob": 1.0}, False, True),
@@ -43,7 +46,7 @@ OPS = [
 ]
 # ops that rewrite label content by design (geometric or structural)
 LABEL_CHANGING = {
-    "flip", "rotate90", "transpose", "axis_permute", "elastic",
+    "flip", "rotate90", "transpose", "axis_permute", "elastic", "affine",
     "misalignment", "lost_section", "copy_paste",
 }
 
@@ -262,3 +265,15 @@ def test_slice_shift_reference_knobs():
         )
     # label is never touched (image-only op, reference keys=["image"])
     np.testing.assert_array_equal(out["label"], s["label"])
+
+
+def test_affine_label_nearest_stays_binary():
+    """Labels go through nearest-neighbor resampling — a binary label must
+    stay binary under an arbitrary affine (reference: per-key 'nearest')."""
+    s = _sample()
+    out = ops.rand_affine(
+        dict(s), np.random.default_rng(1), prob=1.0,
+        rotate_range=(0.4, 0.2, 0.2), scale_range=(0.1, 0.1, 0.1),
+    )
+    assert set(np.unique(out["label"]).tolist()) <= {0.0, 1.0}
+    assert not np.array_equal(out["label"], s["label"])
