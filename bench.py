@@ -11,7 +11,12 @@ host IO with device compute. Data is generated on-device because this dev
 environment's TPU tunnel has ~MB/s host<->device bandwidth (a real TPU VM
 has >10 GB/s PCIe, so host IO is not the steady-state bottleneck there).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — the
+reference-parity MedNeXt-S recipe. A "variants" key additionally records
+the patchify-stem TPU throughput variant (same task, stride-2 patch embed;
+faster but lower-saturating on the synthetic quality task — QUALITY.md),
+unless BENCH_VARIANTS=0. BENCH_ARCH=patchify makes patchify the headline
+instead (for comparisons only — the recorded default stays stock).
 """
 
 import json
@@ -33,7 +38,18 @@ import numpy as np
 BASELINE_MVOX_PER_S = 34.6
 
 
-def main():
+def _fetch_latency_s(jnp):
+    """Median-of-3 scalar round-trip through the (possibly slow) tunnel."""
+    lats = []
+    for _ in range(3):
+        t0 = time.time()
+        _ = float(jnp.zeros(()) + 1.0)
+        lats.append(time.time() - t0)
+    return sorted(lats)[1]
+
+
+def measure(patchify: bool, small: bool, breakdown: bool = False) -> float:
+    """Sliding-window Mvox/s (output voxels) for one architecture recipe."""
     import jax
     import jax.numpy as jnp
 
@@ -44,18 +60,14 @@ def main():
     )
     from pytorch_connectomics_tpu.models import build_model, init_model
 
-    small = os.environ.get("BENCH_SMALL", "0") == "1"
     vol_shape = (64, 256, 256) if small else (165, 1024, 768)
-    window = (64, 64, 64) if small else (112, 112, 112)
-    sw_batch = int(os.environ.get("BENCH_SW_BATCH", "8"))  # 8 = measured sweet spot (CLAUDE.md)
-    # BENCH_ARCH=patchify measures the space-to-depth-stem variant (needs a
-    # 32-divisible window; 6x faster forward, but converges ~3x slower in
-    # training on the synthetic quality task — see QUALITY.md/docs). The
-    # DEFAULT stays the reference-parity MedNeXt-S recipe.
-    patchify = os.environ.get("BENCH_ARCH", "").lower() == "patchify"
     if patchify:
+        # 32-divisible window; batch sweet spot is higher for the cheap fwd
         window = (64, 64, 64) if small else (96, 96, 96)
         sw_batch = int(os.environ.get("BENCH_SW_BATCH", "16"))
+    else:
+        window = (64, 64, 64) if small else (112, 112, 112)
+        sw_batch = int(os.environ.get("BENCH_SW_BATCH", "8"))  # measured sweet spot
 
     cfg = build_dataclass(
         ModelConfig,
@@ -97,15 +109,7 @@ def main():
     # warmup / compile (scalar fetch = hard sync; block_until_ready is not
     # reliable on the experimental axon platform)
     _ = float(run())
-    # measure the tunnel round-trip latency of a scalar fetch so it can be
-    # subtracted (this dev environment reaches the TPU through a slow relay);
-    # median of 3 — single samples jitter by hundreds of ms
-    lats = []
-    for _ in range(3):
-        lat0 = time.time()
-        _ = float(jnp.zeros(()) + 1.0)
-        lats.append(time.time() - lat0)
-    fetch_latency = sorted(lats)[1]
+    fetch_latency = _fetch_latency_s(jnp)
     reps = int(os.environ.get("BENCH_REPS", "5" if small else "3"))
     t0 = time.time()
     acc = jnp.zeros(())
@@ -116,7 +120,7 @@ def main():
     voxels = float(np.prod(vol_shape)) * reps
     mvox_s = voxels / dt / 1e6
 
-    if os.environ.get("BENCH_BREAKDOWN") == "1":
+    if breakdown:
         # per-stage breakdown to stderr (stdout stays one JSON line):
         # model-forward-only rate vs full engine rate isolates window
         # extract/scatter overhead from conv time
@@ -137,15 +141,36 @@ def main():
             f" inflation) | engine e2e: {mvox_s:.2f} Mvox/s output",
             file=sys.stderr,
         )
+    return mvox_s
 
+
+def main():
+    small = os.environ.get("BENCH_SMALL", "0") == "1"
+    breakdown = os.environ.get("BENCH_BREAKDOWN") == "1"
+    headline_patchify = os.environ.get("BENCH_ARCH", "").lower() == "patchify"
+
+    mvox_s = measure(headline_patchify, small, breakdown)
     out = {
         "metric": "sliding_window_inference_throughput",
         "value": round(mvox_s, 2),
         "unit": "Mvoxels/sec/chip",
         "vs_baseline": round(mvox_s / BASELINE_MVOX_PER_S, 3),
     }
-    if patchify:
-        out["detail"] = {"arch": "mednext_s_patchify", "window": list(window)}
+    if headline_patchify:
+        out["detail"] = {"arch": "mednext_s_patchify"}
+    elif os.environ.get("BENCH_VARIANTS", "1") != "0":
+        # additionally record the TPU throughput variant; a variant failure
+        # (compile OOM, tunnel hiccup) must never sink the headline number
+        try:
+            pf = measure(True, small, breakdown)
+            out["variants"] = {
+                "mednext_s_patchify": {
+                    "value": round(pf, 2),
+                    "vs_baseline": round(pf / BASELINE_MVOX_PER_S, 3),
+                }
+            }
+        except Exception as e:  # pragma: no cover - device-environment dependent
+            print(f"[bench] patchify variant skipped: {e}", file=sys.stderr)
     print(json.dumps(out))
 
 
