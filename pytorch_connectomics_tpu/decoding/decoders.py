@@ -150,6 +150,124 @@ def decode_waterz(
     return labels
 
 
+@register_decoder("channel_gate")
+def decode_channel_gate(pred, signal_channels=0, gate_channel=-1, **kw):
+    """Multiply selected signal channels by one gate channel (reference
+    ``decoders/transforms.py:10``). Channels accept an int, a list of ints,
+    or a slice string like ``"0:3"``."""
+    from ..utils.slicing import parse_slice
+
+    arr = _chan(np.asarray(pred))
+
+    def _resolve(spec, what):
+        if isinstance(spec, (int, np.integer)):
+            idx = [int(spec) % arr.shape[0]]
+        elif isinstance(spec, str):
+            idx = list(range(arr.shape[0]))[parse_slice(spec)]
+        else:
+            idx = [int(i) % arr.shape[0] for i in spec]
+        if not idx:
+            raise ValueError(f"channel_gate.{what} resolved to no channels")
+        return idx
+
+    sig = _resolve(signal_channels, "signal_channels")
+    gate = _resolve(gate_channel, "gate_channel")
+    if len(gate) != 1:
+        raise ValueError(f"channel_gate.gate_channel must be one channel, got {gate}")
+    return (arr[sig] * arr[gate[0] : gate[0] + 1]).astype(arr.dtype, copy=False)
+
+
+@register_decoder("naive_waterz")
+def naive_waterz(
+    pred,
+    chunk_depth=80,
+    threshold=0.4,
+    fragment_threshold=0.5,
+    dust_remove_size=600,
+    min_overlap=20,
+    iou_threshold=0.05,
+    one_sided_threshold=0.95,
+    one_sided_min_size=200,
+    affinity_threshold=0.15,
+    **kw,
+):
+    """Fixed chunk-and-stitch waterz recipe (reference
+    ``decoders/waterz.py:354``): decode depth-``chunk_depth`` z-chunks
+    independently, then union-find-merge segments across each chunk seam.
+    A face pair merges when its co-located overlap has ``min_overlap``
+    voxels, its mean seam z-affinity reaches ``affinity_threshold``, and
+    either face-IoU >= ``iou_threshold`` or one side is
+    ``one_sided_threshold``-contained in the other (both faces at least
+    ``one_sided_min_size`` voxels)."""
+    p = _chan(np.asarray(pred, dtype=np.float32))[:3]
+    nz = p.shape[1]
+    chunks: List[np.ndarray] = []
+    offsets: List[int] = []
+    cursor = 0
+    for z0 in range(0, nz, chunk_depth):
+        seg = decode_waterz(
+            p[:, z0 : min(z0 + chunk_depth, nz)],
+            threshold=threshold,
+            fragment_threshold=fragment_threshold,
+            min_size=dust_remove_size,
+        ).astype(np.uint64)
+        chunks.append(seg)
+        offsets.append(cursor)
+        cursor += int(seg.max()) if seg.size else 0
+
+    parent = np.arange(cursor + 1, dtype=np.int64)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(len(chunks) - 1):
+        src = chunks[i][-1] + np.uint64(offsets[i]) * (chunks[i][-1] > 0)
+        dst = chunks[i + 1][0] + np.uint64(offsets[i + 1]) * (chunks[i + 1][0] > 0)
+        # z-affinity at the seam: channel 2 index z connects z-1 -> z
+        # (deepem high-end convention, CLAUDE.md)
+        aff = p[2, (i + 1) * chunk_depth] if p.shape[0] > 2 else np.ones_like(src, np.float32)
+        both = (src > 0) & (dst > 0)
+        if not bool(both.any()):
+            continue
+        pair_base = np.uint64(int(dst[both].max()) + 1)
+        keys = src[both] * pair_base + dst[both]
+        uniq, inv, counts = np.unique(keys, return_inverse=True, return_counts=True)
+        aff_mean = np.bincount(inv, weights=aff[both]) / counts
+        src_ids, src_sizes = np.unique(src[src > 0], return_counts=True)
+        dst_ids, dst_sizes = np.unique(dst[dst > 0], return_counts=True)
+        size_of_src = dict(zip(src_ids.tolist(), src_sizes.tolist()))
+        size_of_dst = dict(zip(dst_ids.tolist(), dst_sizes.tolist()))
+        for k, ov, am in zip(uniq.tolist(), counts.tolist(), aff_mean.tolist()):
+            sa, sb = int(k // int(pair_base)), int(k % int(pair_base))
+            if ov < min_overlap or am < affinity_threshold:
+                continue
+            na, nb = size_of_src[sa], size_of_dst[sb]
+            iou = ov / (na + nb - ov)
+            one_sided = (
+                min(na, nb) >= one_sided_min_size
+                and ov / min(na, nb) >= one_sided_threshold
+            )
+            if iou >= iou_threshold or one_sided:
+                ra, rb = find(sa), find(sb)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+
+    roots = np.array([find(i) for i in range(cursor + 1)], dtype=np.uint64)
+    _, lut = np.unique(roots[1:], return_inverse=True)
+    mapping = np.zeros(cursor + 1, dtype=np.uint64)
+    if cursor:
+        mapping[1:] = lut.astype(np.uint64) + 1
+    out = np.empty(p.shape[1:], dtype=np.uint32)
+    for ci, seg in enumerate(chunks):
+        glob = seg + np.uint64(offsets[ci]) * (seg > 0)
+        z0 = ci * chunk_depth
+        out[z0 : z0 + len(seg)] = mapping[glob].astype(np.uint32)
+    return out
+
+
 @register_decoder("mutex_watershed")
 def decode_mutex_watershed(pred, offsets=None, min_size=0, **kw):
     """Seedless mutex watershed over short+long-range affinities

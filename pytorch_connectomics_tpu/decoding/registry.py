@@ -104,3 +104,33 @@ def _op_select(a, channels="0:1", **kw):
 @register_graph_op("mask_apply")
 def _op_mask(a, mask, **kw):
     return a * (mask > 0)
+
+
+@register_graph_op("combine_split")
+def _op_combine_split(a, b, output_dtype="uint32", **kw):
+    """Background-preserving coarsest common refinement of two labelings
+    (reference ``decoders/combine.py:27``): output is nonzero only where BOTH
+    inputs are nonzero, and every distinct (a, b) label pair becomes one
+    contiguous output id — the finest segmentation both inputs agree on."""
+    a = np.asarray(a)
+    b = np.asarray(b)
+    if a.shape != b.shape:
+        raise ValueError(f"combine_split shapes differ: {a.shape} vs {b.shape}")
+    dtype = np.dtype(output_dtype)
+    if not np.issubdtype(dtype, np.integer):
+        raise TypeError(f"combine_split output_dtype must be integer, got {dtype}")
+    out = np.zeros(a.shape, dtype)
+    fg = (a != 0) & (b != 0)
+    if not bool(fg.any()):
+        return out
+    a_fg = a[fg].astype(np.uint64, copy=False)
+    b_fg = b[fg].astype(np.uint64, copy=False)
+    base = np.uint64(int(b_fg.max()) + 1)
+    if int(a_fg.max()) * int(base) + int(b_fg.max()) >= 2**64 - 1:
+        raise OverflowError("combine_split pair key space exceeds uint64")
+    _, inv = np.unique(a_fg * base + b_fg, return_inverse=True)
+    n_labels = int(inv.max()) + 1
+    if n_labels > np.iinfo(dtype).max:
+        raise OverflowError(f"combine_split produced {n_labels} labels > {dtype} max")
+    out[fg] = inv.astype(dtype) + 1
+    return out

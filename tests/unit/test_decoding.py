@@ -348,3 +348,65 @@ def test_shape_smooth_bbox_sparse_ids_and_vanishing():
     assert out[2, 15, 15] == 777777  # keep_vanishing
     assert out[2, 13, 5] == 0  # filament opened away
     assert out[3, 5, 5] == 1000003
+
+
+def test_combine_split_coarsest_common_refinement():
+    """Reference decoders/combine.py:27 semantics: nonzero only where both
+    labelings are nonzero; each distinct (a, b) pair is one output id."""
+    from pytorch_connectomics_tpu.decoding.registry import _GRAPH_OPS
+
+    a = np.array([[0, 1, 1, 2, 2]], np.uint32)
+    b = np.array([[5, 5, 7, 7, 0]], np.uint32)
+    out = _GRAPH_OPS["combine_split"](a, b)
+    assert out.dtype == np.uint32
+    assert out[0, 0] == 0 and out[0, 4] == 0  # background where either is 0
+    # pairs (1,5), (1,7), (2,7) -> three distinct nonzero ids
+    assert len({int(v) for v in out[0, 1:4]}) == 3
+    assert (out[0, 1:4] > 0).all()
+
+
+def test_channel_gate_multiplies_signal_by_gate():
+    from pytorch_connectomics_tpu.decoding.registry import get_decoder
+
+    pred = np.stack([
+        np.full((2, 2, 2), 0.5, np.float32),
+        np.full((2, 2, 2), 0.25, np.float32),
+        np.full((2, 2, 2), 0.8, np.float32),
+    ])
+    out = get_decoder("channel_gate")(pred, signal_channels=[0, 1], gate_channel=2)
+    assert out.shape == (2, 2, 2, 2)
+    np.testing.assert_allclose(out[0], 0.4)
+    np.testing.assert_allclose(out[1], 0.2)
+    # slice-string spec resolves through parse_slice
+    out2 = get_decoder("channel_gate")(pred, signal_channels="0:2", gate_channel=2)
+    np.testing.assert_allclose(out, out2)
+    with pytest.raises(ValueError):
+        get_decoder("channel_gate")(pred, signal_channels=0, gate_channel="0:2")
+
+
+def test_naive_waterz_merges_objects_across_chunk_seam():
+    """A blob spanning the chunk seam must come out as ONE id; two separate
+    blobs must stay distinct (reference decoders/waterz.py:354 recipe)."""
+    from pytorch_connectomics_tpu.decoding.registry import get_decoder
+
+    z, y, x = 16, 24, 24
+    aff = np.zeros((3, z, y, x), np.float32)
+    # blob A spans the seam (z 2..13), blob B lives entirely below it
+    inside_a = np.zeros((z, y, x), bool)
+    inside_a[2:14, 4:10, 4:10] = True
+    inside_b = np.zeros((z, y, x), bool)
+    inside_b[2:6, 16:22, 16:22] = True
+    for inside in (inside_a, inside_b):
+        # high-end convention: edge (v - offset, v) stored at v
+        aff[0][inside & np.roll(inside, 1, 2)] = 0.9
+        aff[1][inside & np.roll(inside, 1, 1)] = 0.9
+        aff[2][inside & np.roll(inside, 1, 0)] = 0.9
+    seg = get_decoder("naive_waterz")(
+        aff, chunk_depth=8, dust_remove_size=0, one_sided_min_size=20,
+    )
+    assert seg.shape == (z, y, x)
+    ids_a_lo = set(np.unique(seg[2:8, 5:9, 5:9])) - {0}
+    ids_a_hi = set(np.unique(seg[8:13, 5:9, 5:9])) - {0}
+    assert ids_a_lo and ids_a_lo == ids_a_hi, "blob A split at the seam"
+    ids_b = set(np.unique(seg[3:5, 17:21, 17:21])) - {0}
+    assert ids_b and not (ids_b & ids_a_lo), "blobs A and B merged"
