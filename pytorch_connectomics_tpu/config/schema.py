@@ -731,11 +731,20 @@ class DecodingPostprocessConfig:
     __extra_ok__ = True
 
     min_instance_size: int = 0
+    # small-instance handling: background (drop) | background_2d |
+    # neighbor (merge into largest-contact neighbor) | neighbor_2d | none
+    # (reference decoding/utils.py:40 modes)
+    small_instance_mode: str = "background"
+    max_instance_size: Optional[int] = None
     connectivity: int = 6
     # cc3d-style relabel: split instances that are not connected under
     # ``connectivity`` into separate ids (reference postprocess cc pass)
     split_disconnected: bool = False
     transpose: Optional[List[int]] = None
+    # binary cleanup pipeline (reference BinaryPostprocessingConfig):
+    # {threshold, median_filter_size, opening_iterations, closing_iterations,
+    #  connected_components: {top_k, min_size, connectivity}}
+    binary: Optional[Dict[str, Any]] = None
 
 
 @dataclass

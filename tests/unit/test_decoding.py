@@ -410,3 +410,116 @@ def test_naive_waterz_merges_objects_across_chunk_seam():
     assert ids_a_lo and ids_a_lo == ids_a_hi, "blob A split at the seam"
     ids_b = set(np.unique(seg[3:5, 17:21, 17:21])) - {0}
     assert ids_b and not (ids_b & ids_a_lo), "blobs A and B merged"
+
+
+class TestPostprocessSurface:
+    """Reference postprocess.py / utils.py behavior coverage."""
+
+    def test_cast2dtype_picks_smallest_uint(self):
+        from pytorch_connectomics_tpu.decoding import cast2dtype
+
+        assert cast2dtype(np.array([0, 200], np.int64)).dtype == np.uint8
+        assert cast2dtype(np.array([0, 70000], np.int64)).dtype == np.uint32
+        assert cast2dtype(np.array([0, 300], np.int64)).dtype == np.uint16
+
+    def test_remove_add_merge_masks(self):
+        from pytorch_connectomics_tpu.decoding import add_masks, merge_masks, remove_masks
+
+        vol = np.array([[1, 2, 3, 0]], np.uint32)
+        assert (remove_masks(vol.copy(), [2]) == [[1, 0, 3, 0]]).all()
+        merged = merge_masks(vol.copy(), [[3, 1]])
+        assert (merged == [[3, 2, 3, 0]]).all()
+        base = np.array([[1, 0, 0, 0]], np.uint32)
+        src = np.array([[0, 7, 7, 0]], np.uint32)
+        out = add_masks(base.copy(), src, [7])
+        assert (out == [[1, 2, 2, 0]]).all()  # fresh id above base max
+
+    def test_remove_large_instances(self):
+        from pytorch_connectomics_tpu.decoding import remove_large_instances
+
+        vol = np.zeros((1, 4, 8), np.uint32)
+        vol[0, :, :6] = 1   # 24 voxels
+        vol[0, 0, 6:] = 2   # 2 voxels
+        out = remove_large_instances(vol, max_size=10)
+        assert (out[vol == 1] == 0).all() and (out[vol == 2] == 2).all()
+
+    def test_merge_small_objects_into_contact_neighbor(self):
+        from pytorch_connectomics_tpu.decoding import merge_small_objects
+
+        seg = np.zeros((1, 6, 12), np.uint32)
+        seg[0, :, :6] = 1
+        seg[0, 2, 6] = 3          # 1-voxel instance touching instance 1
+        out = merge_small_objects(seg.copy(), thres_small=4, do_3d=True)
+        assert (out == 3).sum() == 0
+        assert out[0, 2, 6] == 1
+
+    def test_binarize_and_median(self):
+        from pytorch_connectomics_tpu.decoding import binarize_and_median
+
+        pred = np.zeros((5, 5, 5), np.float32)
+        pred[2, 2, 2] = 1.0  # isolated voxel gets median-filtered away
+        out = binarize_and_median(pred, size=(3, 3, 3), thres=0.5)
+        assert out.sum() == 0 and out.dtype == np.uint8
+
+    def test_watershed_split_creates_new_ids(self):
+        from pytorch_connectomics_tpu.decoding import watershed_split
+
+        # dumbbell: two 5^3 cubes joined by a thin 1x1 bridge
+        vol = np.zeros((7, 7, 17), np.uint32)
+        vol[1:6, 1:6, 1:6] = 1
+        vol[1:6, 1:6, 11:16] = 1
+        vol[3, 3, 6:11] = 1
+        out = watershed_split(vol.copy(), 1, min_distance=2)
+        ids = set(np.unique(out)) - {0}
+        assert 1 not in ids and len(ids) >= 2  # split into fresh ids > max
+
+    def test_intersection_over_union_matrix(self):
+        from pytorch_connectomics_tpu.decoding import intersection_over_union
+
+        a = np.array([[1, 1, 2, 0]], np.uint32)
+        b = np.array([[1, 1, 1, 0]], np.uint32)
+        iou = intersection_over_union(a, b)
+        assert iou.shape == (3, 2)
+        np.testing.assert_allclose(iou[1, 1], 2 / 3)
+        np.testing.assert_allclose(iou[2, 1], 1 / 3)
+
+    def test_stitch_3d_links_and_forks_fresh_ids(self):
+        from pytorch_connectomics_tpu.decoding import stitch_3d
+
+        masks = np.zeros((3, 4, 4), np.int64)
+        masks[0, :2, :2] = 1
+        masks[1, :2, :2] = 2          # overlaps slice-0 id 1 -> adopts 1
+        masks[1, 2:, 2:] = 1          # no overlap below -> fresh id
+        masks[2, 2:, 2:] = 5          # overlaps the fresh object -> adopts it
+        out = stitch_3d(masks, stitch_threshold=0.25)
+        assert out[1, 0, 0] == out[0, 0, 0]
+        fresh = out[1, 3, 3]
+        assert fresh not in (0, out[0, 0, 0])
+        assert out[2, 3, 3] == fresh
+
+    def test_apply_binary_postprocessing_pipeline(self):
+        from pytorch_connectomics_tpu.decoding import apply_binary_postprocessing
+
+        pred = np.zeros((6, 8, 8), np.float32)
+        pred[1:5, 1:5, 1:5] = 0.9     # big blob
+        pred[5, 7, 7] = 0.9           # speck
+        out = apply_binary_postprocessing(
+            pred,
+            {"threshold": 0.5,
+             "connected_components": {"min_size": 4, "connectivity": 6, "top_k": 1}},
+        )
+        assert out[2, 2, 2] == 1 and out[5, 7, 7] == 0
+
+    def test_small_instance_neighbor_mode_via_config(self):
+        from pytorch_connectomics_tpu.config.schema import (
+            DecodingPostprocessConfig, build_dataclass,
+        )
+        from pytorch_connectomics_tpu.decoding import apply_postprocessing
+
+        seg = np.zeros((1, 6, 12), np.uint32)
+        seg[0, :, :6] = 1
+        seg[0, 2, 6] = 3
+        cfg = build_dataclass(DecodingPostprocessConfig, {
+            "min_instance_size": 4, "small_instance_mode": "neighbor"})
+        out = apply_postprocessing(seg.copy(), cfg)
+        assert out[0, 2, 6] == 1
