@@ -651,6 +651,10 @@ class TTAConfig:
     enabled: bool = False
     flip_axes: Union[str, List[List[int]], None] = None  # "all" | explicit
     rotation90: bool = False
+    # generalize rotation90 (reference tta_combinations.py:159): spatial
+    # rotation planes (pairs of axes, 0=z/1=y/2=x) and k-value subsets
+    rotation_planes: Optional[List[List[int]]] = None
+    rotation_k: Optional[List[int]] = None
     transforms: Optional[List[Dict[str, Any]]] = None
     ensemble_mode: Union[str, List[Any]] = "mean"  # mean|min|max or per-slice
     act: Optional[Union[str, List[Any]]] = None  # sigmoid/softmax/tanh per slice

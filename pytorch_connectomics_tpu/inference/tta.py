@@ -25,8 +25,15 @@ from .window import SlidingWindowEngine
 def enumerate_tta_variants(
     flip_axes: Union[str, List[List[int]], None] = "all",
     rotation90: bool = False,
+    rotation_planes: Optional[Sequence[Sequence[int]]] = None,
+    rotation_k: Optional[Sequence[int]] = None,
 ) -> List[Dict[str, Any]]:
-    """Each variant: {"flip": tuple of spatial axes (0=z,1=y,2=x), "rot": k}."""
+    """Each variant: {"flip": tuple of spatial axes (0=z,1=y,2=x), "rot": k,
+    "plane": rotation plane}. ``rotation_planes``/``rotation_k`` generalize
+    ``rotation90`` to arbitrary spatial planes and k subsets (reference
+    ``tta_combinations.py:159``); redundant flip×rot combinations (e.g. a
+    k=2 rotation equals a double flip) are deduplicated by their index
+    permutation, as the reference does via signatures."""
     if flip_axes in (None, False):
         flips: List[Tuple[int, ...]] = [()]
     elif flip_axes == "all":
@@ -37,24 +44,46 @@ def enumerate_tta_variants(
         flips = [(), (1,), (2,), (1, 2)]
     else:
         flips = [tuple(f) for f in ([()] + list(flip_axes))]
-    rots = [0, 1, 2, 3] if rotation90 else [0]
-    return [{"flip": f, "rot": k} for f in flips for k in rots]
+    if rotation_planes is not None:
+        planes = [tuple(int(a) for a in p) for p in rotation_planes]
+        for p in planes:
+            if len(p) != 2 or not all(0 <= a <= 2 for a in p) or p[0] == p[1]:
+                raise ValueError(f"rotation plane must be two distinct spatial axes, got {p}")
+        rotation90 = True
+    else:
+        planes = [(1, 2)]
+    rots = [int(k) % 4 for k in rotation_k] if rotation_k is not None else (
+        [0, 1, 2, 3] if rotation90 else [0]
+    )
+    probe = np.arange(64, dtype=np.int64).reshape(4, 4, 4)
+    out: List[Dict[str, Any]] = []
+    seen = set()
+    for f in flips:
+        for plane in planes:
+            for k in rots:
+                v = {"flip": f, "rot": k, "plane": plane}
+                sig = apply_variant(probe, v).tobytes()
+                if sig in seen:
+                    continue
+                seen.add(sig)
+                out.append(v)
+    return out
 
 
 def apply_variant(vol: np.ndarray, variant: Dict[str, Any]) -> np.ndarray:
-    """vol: (Z,Y,X[,C]) — apply flips then rot90 in (y,x)."""
+    """vol: (Z,Y,X[,C]) — apply flips then rot90 in the variant's plane."""
     out = vol
     if variant["flip"]:
         out = np.flip(out, axis=tuple(variant["flip"]))
     if variant["rot"]:
-        out = np.rot90(out, variant["rot"], axes=(1, 2))
+        out = np.rot90(out, variant["rot"], axes=tuple(variant.get("plane", (1, 2))))
     return np.ascontiguousarray(out)
 
 
 def invert_variant(pred: np.ndarray, variant: Dict[str, Any]) -> np.ndarray:
     out = pred
     if variant["rot"]:
-        out = np.rot90(out, -variant["rot"], axes=(1, 2))
+        out = np.rot90(out, -variant["rot"], axes=tuple(variant.get("plane", (1, 2))))
     if variant["flip"]:
         out = np.flip(out, axis=tuple(variant["flip"]))
     return np.ascontiguousarray(out)
@@ -258,11 +287,15 @@ def make_patch_local_apply_fn(
     import jax.numpy as jnp
 
     if any(v["rot"] for v in variants):
-        if window is not None and window[1] != window[2]:
-            raise ValueError(
-                "patch_first_local rotation90 needs a square (y, x) window, "
-                f"got {tuple(window)}"
-            )
+        for v in variants:
+            if not v["rot"]:
+                continue
+            p0, p1 = v.get("plane", (1, 2))
+            if window is not None and window[p0] != window[p1]:
+                raise ValueError(
+                    "patch_first_local rotation90 needs equal window extents "
+                    f"in its rotation plane {(p0, p1)}, got {tuple(window)}"
+                )
         if affinity_groups:
             raise ValueError(
                 "rotation90 TTA over affinity channels is not supported"
@@ -294,10 +327,12 @@ def make_patch_local_apply_fn(
             if v["flip"]:
                 vb = jnp.flip(vb, axis=tuple(a + 1 for a in v["flip"]))
             if v["rot"]:
-                vb = jnp.rot90(vb, v["rot"], axes=(2, 3))
+                pl = v.get("plane", (1, 2))
+                vb = jnp.rot90(vb, v["rot"], axes=(pl[0] + 1, pl[1] + 1))
             p = apply_fn(params, vb)
             if v["rot"]:
-                p = jnp.rot90(p, -v["rot"], axes=(2, 3))
+                pl = v.get("plane", (1, 2))
+                p = jnp.rot90(p, -v["rot"], axes=(pl[0] + 1, pl[1] + 1))
             if v["flip"]:
                 p = jnp.flip(p, axis=tuple(a + 1 for a in v["flip"]))
                 for g in affinity_groups or ():
@@ -362,7 +397,12 @@ class TTAPredictor:
         self.engine = engine
         cfg = tta_cfg or TTAConfig()
         if cfg.enabled:
-            self.variants = enumerate_tta_variants(cfg.flip_axes or "all", cfg.rotation90)
+            self.variants = enumerate_tta_variants(
+                cfg.flip_axes or "all",
+                cfg.rotation90,
+                rotation_planes=getattr(cfg, "rotation_planes", None),
+                rotation_k=getattr(cfg, "rotation_k", None),
+            )
         else:
             self.variants = [{"flip": (), "rot": 0}]
         self.ensemble_mode = cfg.ensemble_mode

@@ -83,7 +83,17 @@ def _count_tta_passes(cfg) -> int:
         return 1
     from ..inference.tta import enumerate_tta_variants
 
-    return max(1, len(enumerate_tta_variants(tta.flip_axes or "all", tta.rotation90)))
+    return max(
+        1,
+        len(
+            enumerate_tta_variants(
+                tta.flip_axes or "all",
+                tta.rotation90,
+                rotation_planes=getattr(tta, "rotation_planes", None),
+                rotation_k=getattr(tta, "rotation_k", None),
+            )
+        ),
+    )
 
 
 def plan_test_sharding(

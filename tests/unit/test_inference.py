@@ -143,6 +143,27 @@ def test_tta_invertibility():
         np.testing.assert_allclose(invert_variant(apply_variant(vol, v), v), vol)
 
 
+def test_tta_rotation_planes_and_dedup():
+    from pytorch_connectomics_tpu.inference.tta import apply_variant, invert_variant
+
+    # flips x rot90 in (y,x) generate dihedral-4 x z-flip = 16 distinct
+    # permutations; the raw 8x4=32 grid contains each twice (reference
+    # tta_combinations.py signature dedup)
+    vs = enumerate_tta_variants("all", rotation90=True)
+    assert len(vs) == 16
+    # explicit k subset, no dedup needed
+    vs_k = enumerate_tta_variants(None, rotation_planes=[[1, 2]], rotation_k=[0, 2])
+    assert len(vs_k) == 2 and {v["rot"] for v in vs_k} == {0, 2}
+    # a (z,y) plane rotates out of the default plane and stays invertible
+    vol = np.random.rand(6, 6, 8, 2).astype(np.float32)
+    vs_zy = enumerate_tta_variants(None, rotation_planes=[[0, 1]])
+    assert len(vs_zy) == 4
+    for v in vs_zy:
+        np.testing.assert_allclose(invert_variant(apply_variant(vol, v), v), vol)
+    with pytest.raises(ValueError):
+        enumerate_tta_variants(None, rotation_planes=[[1, 1]])
+
+
 def test_tta_predictor_identity_consistency():
     """TTA over an equivariant (identity) model must equal the plain pass."""
     vol = np.random.rand(8, 16, 16).astype(np.float32)
