@@ -445,6 +445,10 @@ class LabelTransformConfig:
     profile: Optional[str] = None
     targets: List[LabelTargetConfig] = field(default_factory=list)
     erosion: int = 0
+    # Kisuk-window erosion (reference processing/segment.py:25): voxels whose
+    # box window holds >1 positive id become background. Scalar = in-plane
+    # half-size; per-axis list = anisotropic N-D window.
+    erosion_window: Optional[Union[int, List[int]]] = None
     dilation: int = 0
     relabel_cc: bool = False
     normalize_labels: bool = False

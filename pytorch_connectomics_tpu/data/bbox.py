@@ -3,7 +3,7 @@
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -61,3 +61,57 @@ def crop_to_foreground(
     b = expand_bbox(tuple(zip(lo, hi)), margin, volume.shape)
     sl = bbox_slices(b)
     return volume[sl], sl
+
+
+def seg_to_iou(
+    seg0: np.ndarray,
+    seg1: np.ndarray,
+    uid0: Optional[np.ndarray] = None,
+    th_iou: float = 0.0,
+) -> np.ndarray:
+    """Best-overlap match of every segment in ``seg0`` against ``seg1``
+    (reference ``processing/iou.py:25``): rows
+    ``[id0, best_id1, count0, count1, overlap]`` (int64). ``th_iou > 0``
+    filters to matches whose IoU exceeds it."""
+    a = np.asarray(seg0).ravel().astype(np.int64)
+    b = np.asarray(seg1).ravel().astype(np.int64)
+    fg = a > 0
+    u0, c0 = np.unique(a[fg], return_counts=True)
+    u1, c1 = np.unique(b[b > 0], return_counts=True)
+    size1 = dict(zip(u1.tolist(), c1.tolist()))
+    best: Dict[int, Tuple[int, int]] = {}
+    if fg.any():
+        nb = int(b.max()) + 1
+        keys = a[fg] * nb + b[fg]
+        uk, kc = np.unique(keys, return_counts=True)
+        for k, ov in zip(uk.tolist(), kc.tolist()):
+            i0, i1 = k // nb, k % nb
+            if i1 == 0:
+                continue
+            if i0 not in best or ov > best[i0][1]:
+                best[i0] = (i1, ov)
+    want = u0 if uid0 is None else np.asarray(uid0, np.int64)
+    size0 = dict(zip(u0.tolist(), c0.tolist()))
+    rows = []
+    for i0 in want.tolist():
+        i1, ov = best.get(i0, (0, 0))
+        rows.append([i0, i1, size0.get(i0, 0), size1.get(i1, 0), ov])
+    out = np.asarray(rows, np.int64).reshape(-1, 5)
+    if th_iou > 0 and out.size:
+        iou = out[:, 4] / np.maximum(out[:, 2] + out[:, 3] - out[:, 4], 1)
+        out = out[iou > th_iou][:, :2]
+    return out
+
+
+def segs_to_iou(get_seg, index: Sequence[int], th_iou: float = 0.0) -> List[np.ndarray]:
+    """Track segments across consecutive slices: one ``seg_to_iou`` result
+    per (index[i], index[i+1]) boundary (reference ``processing/iou.py:130``)."""
+    out: List[np.ndarray] = []
+    if len(index) < 2:
+        return out
+    seg0 = get_seg(index[0])
+    for z in list(index)[1:]:
+        seg1 = get_seg(z)
+        out.append(seg_to_iou(seg0, seg1, th_iou=th_iou))
+        seg0 = seg1
+    return out

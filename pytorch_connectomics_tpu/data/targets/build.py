@@ -146,6 +146,10 @@ def build_target_fn(cfg: Optional[LabelTransformConfig]) -> Optional[Callable[[n
             s = relabel_connected_components(s)
         if cfg.erosion:
             s = erode_instances(s, cfg.erosion)
+        if getattr(cfg, "erosion_window", None) is not None:
+            from .distance import seg_erosion_instance
+
+            s = seg_erosion_instance(s, cfg.erosion_window)
         outs = [f(s, **kw) for f, kw in steps]
         return np.concatenate(outs, axis=0).astype(np.float32)
 

@@ -157,6 +157,32 @@ def instance_boundary_mask(seg: np.ndarray, thickness: int = 1, mode: str = "3d"
     return boundary
 
 
+def seg_erosion_instance(seg: np.ndarray, tsz_h=1) -> np.ndarray:
+    """Window-based instance erosion (Kisuk Lee thesis A.1.4; reference
+    ``processing/segment.py:25``): a voxel survives only when the box window
+    centered on it contains exactly ONE positive id — so instances separate
+    at touching boundaries. Scalar ``tsz_h`` erodes in-plane only (window
+    ``2h+1`` over the last two axes); a per-axis sequence gives anisotropic
+    N-D erosion. Negative ids mark ignore/unlabeled voxels and pass through
+    unchanged (zeroing them would relabel ignore as supervised background)."""
+    seg = np.asarray(seg)
+    if np.isscalar(tsz_h):
+        w = 2 * int(tsz_h) + 1
+        size = (1,) * (seg.ndim - 2) + (w, w)
+    else:
+        halves = tuple(int(h) for h in tsz_h)
+        if len(halves) != seg.ndim:
+            raise ValueError(f"tsz_h has {len(halves)} entries for a {seg.ndim}-D seg")
+        size = tuple(2 * h + 1 for h in halves)
+    # exactly-one-positive-id test via window max/min over positive ids:
+    # background (0) maps to a sentinel above every id so the min skips it
+    sentinel = seg.max() + 1
+    wmax = ndimage.maximum_filter(seg, size=size, mode="reflect")
+    wmin = ndimage.minimum_filter(np.where(seg > 0, seg, sentinel), size=size, mode="reflect")
+    keep = (wmax == wmin) | (seg < 0)
+    return seg * keep
+
+
 def erode_instances(seg: np.ndarray, iterations: int = 1, mode: str = "3d") -> np.ndarray:
     """Shrink each instance by eroding at inter-instance boundaries
     (reference ``SegErosiond``, ``processing/transforms.py:466``)."""

@@ -130,3 +130,20 @@ def energy_quantize(energy: np.ndarray, levels: int = 10) -> np.ndarray:
     (reference ``EnergyQuantized``, ``transforms.py:642``)."""
     e = np.clip(np.asarray(energy, dtype=np.float32), 0.0, 1.0)
     return np.clip((e * levels).astype(np.int32), 0, levels - 1)
+
+
+def decode_quantize(output: np.ndarray, mode: str = "max", levels: int = 0) -> np.ndarray:
+    """Decode per-level class scores (C, Z, Y, X) back to a continuous
+    energy map (reference ``processing/quantize.py:28``): ``max`` takes the
+    argmax level / levels; ``mean`` softmax-weights the level centers."""
+    if mode not in ("max", "mean"):
+        raise ValueError(f"decode_quantize mode must be max|mean, got {mode!r}")
+    out = np.asarray(output, dtype=np.float32)
+    c = out.shape[0]
+    lv = int(levels) if levels else c
+    if mode == "max":
+        return np.argmax(out, axis=0).astype(np.float32) / float(lv)
+    centers = np.linspace(-1.0 / lv, 1.0 - 1.0 / lv, c, dtype=np.float32)
+    ex = np.exp(out - out.max(axis=0, keepdims=True))
+    w = ex / ex.sum(axis=0, keepdims=True)
+    return np.tensordot(centers, w, axes=(0, 0)).astype(np.float32)

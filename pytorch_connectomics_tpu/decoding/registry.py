@@ -106,6 +106,15 @@ def _op_mask(a, mask, **kw):
     return a * (mask > 0)
 
 
+@register_graph_op("decode_quantize")
+def _op_decode_quantize(a, mode="max", levels=0, **kw):
+    """Quantized-energy class scores -> continuous energy map (reference
+    ``processing/quantize.py:28`` via the transform registry)."""
+    from ..data.targets.misc import decode_quantize
+
+    return decode_quantize(a, mode=mode, levels=levels)
+
+
 @register_graph_op("combine_split")
 def _op_combine_split(a, b, output_dtype="uint32", **kw):
     """Background-preserving coarsest common refinement of two labelings

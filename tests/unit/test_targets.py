@@ -272,3 +272,59 @@ def test_target_context_crops_back(tmp_path):
     # cropped back to the configured patch despite the context read
     assert batch["image"].shape == (2, 8, 16, 16, 1)
     assert batch["label"].shape == (2, 8, 16, 16, 4)
+
+
+def test_seg_erosion_instance_window_semantics():
+    """Kisuk-window erosion (reference processing/segment.py:25): voxels whose
+    window sees two positive ids become background; interior voxels survive;
+    negative (ignore) voxels pass through unchanged."""
+    from pytorch_connectomics_tpu.data.targets.distance import seg_erosion_instance
+
+    seg = np.zeros((1, 8, 8), np.int32)
+    seg[0, :, :4] = 1
+    seg[0, :, 4:] = 2          # instances touch at x=3|4
+    seg[0, 0, 0] = -1          # ignore voxel
+    out = seg_erosion_instance(seg, tsz_h=1)
+    assert out[0, 4, 3] == 0 and out[0, 4, 4] == 0  # boundary eroded
+    assert out[0, 4, 1] == 1 and out[0, 4, 6] == 2  # interiors survive
+    assert out[0, 0, 0] == -1                        # ignore preserved
+    # anisotropic: no erosion along axis 0 when its half-size is 0
+    out2 = seg_erosion_instance(seg, tsz_h=(0, 0, 1))
+    np.testing.assert_array_equal(out2, out)  # same window as scalar h=1 here
+    with pytest.raises(ValueError):
+        seg_erosion_instance(seg, tsz_h=(1, 1))
+
+
+def test_decode_quantize_roundtrip():
+    from pytorch_connectomics_tpu.data.targets.misc import decode_quantize
+
+    levels = 8
+    # one-hot class scores at level k decode (max mode) to k/levels
+    scores = np.zeros((levels, 2, 2, 2), np.float32)
+    scores[5] = 10.0
+    out = decode_quantize(scores, mode="max")
+    np.testing.assert_allclose(out, 5 / 8)
+    # mean mode: hard one-hot softmax ~= that level's center
+    out_mean = decode_quantize(scores * 10, mode="mean")
+    centers = np.linspace(-1 / 8, 1 - 1 / 8, 8)
+    np.testing.assert_allclose(out_mean, centers[5], atol=1e-5)
+    with pytest.raises(ValueError):
+        decode_quantize(scores, mode="median")
+
+
+def test_seg_to_iou_best_match_rows():
+    from pytorch_connectomics_tpu.data.bbox import seg_to_iou, segs_to_iou
+
+    s0 = np.array([[1, 1, 1, 2, 2, 0]], np.int32)
+    s1 = np.array([[5, 5, 9, 9, 9, 9]], np.int32)
+    rows = seg_to_iou(s0, s1)
+    by_id = {int(r[0]): r for r in rows}
+    assert tuple(by_id[1]) == (1, 5, 3, 2, 2)   # id1 best-matches 5 (ov 2)
+    assert tuple(by_id[2]) == (2, 9, 2, 4, 2)   # id2 best-matches 9
+    # thresholded mode returns matched (id0, id1) pairs only
+    pairs = seg_to_iou(s0, s1, th_iou=0.45)
+    assert pairs.shape[1] == 2 and (pairs == [[1, 5], [2, 9]]).all()
+    # tracker form: one result per consecutive boundary
+    stack = [s0, s1, s1]
+    res = segs_to_iou(lambda i: stack[i], [0, 1, 2])
+    assert len(res) == 2 and tuple(res[1][1]) == (9, 9, 4, 4, 4)
