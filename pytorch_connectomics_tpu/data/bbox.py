@@ -72,7 +72,7 @@ def seg_to_iou(
     """Best-overlap match of every segment in ``seg0`` against ``seg1``
     (reference ``processing/iou.py:25``): rows
     ``[id0, best_id1, count0, count1, overlap]`` (int64). ``th_iou > 0``
-    filters to matches whose IoU exceeds it."""
+    filters to rows whose IoU exceeds it (same 5-column schema)."""
     a = np.asarray(seg0).ravel().astype(np.int64)
     b = np.asarray(seg1).ravel().astype(np.int64)
     fg = a > 0
@@ -99,7 +99,7 @@ def seg_to_iou(
     out = np.asarray(rows, np.int64).reshape(-1, 5)
     if th_iou > 0 and out.size:
         iou = out[:, 4] / np.maximum(out[:, 2] + out[:, 3] - out[:, 4], 1)
-        out = out[iou > th_iou][:, :2]
+        out = out[iou > th_iou]  # reference keeps all 5 columns (iou.py:120)
     return out
 
 

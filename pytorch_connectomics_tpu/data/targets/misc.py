@@ -126,10 +126,15 @@ def normalize_labels(seg: np.ndarray) -> np.ndarray:
 
 
 def energy_quantize(energy: np.ndarray, levels: int = 10) -> np.ndarray:
-    """Quantize a [0,1] energy map into discrete level masks
-    (reference ``EnergyQuantized``, ``transforms.py:642``)."""
-    e = np.clip(np.asarray(energy, dtype=np.float32), 0.0, 1.0)
-    return np.clip((e * levels).astype(np.int32), 0, levels - 1)
+    """Quantize a continuous energy map (typically in [-1, 1] or [0, 1])
+    into discrete classes (reference ``EnergyQuantized`` / ``processing/
+    quantize.py:12``): class 0 = negative energy, classes 1..levels = the
+    [0, 1] range split into ``levels`` bins (1.0 lands in the top bin).
+    ``decode_quantize``'s mean-mode centers ``linspace(-1/lv, 1-1/lv, C)``
+    assume exactly this class layout (C = levels + 1)."""
+    bins = np.concatenate([[-1.0], np.linspace(0.0, 1.0, levels + 1)])
+    bins[-1] = 1.1  # values at exactly 1.0 fall in the top bin
+    return (np.digitize(np.asarray(energy, dtype=np.float32), bins) - 1).astype(np.int64)
 
 
 def decode_quantize(output: np.ndarray, mode: str = "max", levels: int = 0) -> np.ndarray:

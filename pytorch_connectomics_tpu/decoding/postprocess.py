@@ -61,29 +61,48 @@ def merge_small_objects(
     """Merge each sub-threshold instance into the neighboring id with the
     greatest boundary contact (reference ``decoding/utils.py:78``)."""
     struct = np.ones((1, 3, 3), bool) if (do_3d and segm.ndim == 3) else None
-    ids, counts = np.unique(segm, return_counts=True)
-    for idx, cnt in zip(ids.tolist(), counts.tolist()):
+    # one compact-relabel pass + one find_objects call gives every bbox up
+    # front; the per-instance work below then touches only its own crop
+    # (the naive per-id full-volume scan is O(n_small x volume))
+    ids, inv, counts = np.unique(segm, return_inverse=True, return_counts=True)
+    comp = (inv + 1).reshape(segm.shape).astype(np.int32)
+    bboxes = list(ndimage.find_objects(comp))  # ids[k] -> bboxes[k]
+    id2k = {int(i): k for k, i in enumerate(ids.tolist())}
+    for k, (idx, cnt) in enumerate(zip(ids.tolist(), counts.tolist())):
         if idx == 0 or cnt >= thres_small:
             continue
-        mask = segm == idx
+        sl = bboxes[k]
+        if sl is None:
+            continue
         # bbox crop (+2 relax) keeps the dilation local
-        slices = ndimage.find_objects(mask.astype(np.uint8))[0]
         slices = tuple(
             slice(max(0, s.start - 2), min(dim, s.stop + 2))
-            for s, dim in zip(slices, segm.shape)
+            for s, dim in zip(sl, segm.shape)
         )
-        crop_mask = mask[slices]
+        region = segm[slices]
+        crop_mask = region == idx
         if struct is not None:
             ring = ndimage.binary_dilation(crop_mask, struct) & ~crop_mask
         else:
             ring = ndimage.binary_dilation(crop_mask) & ~crop_mask
-        neighbors = segm[slices][ring]
+        neighbors = region[ring]
         neighbors = neighbors[neighbors != idx]
         nz = neighbors[neighbors != 0]
         pool = nz if nz.size else neighbors
         if pool.size:
+            # NB: an instance whose ring is all background merges into 0
+            # (erased) — reference decoding/utils.py:78 behaves identically
             u, ct = np.unique(pool, return_counts=True)
-            segm[mask] = u[np.argmax(ct)]
+            target = int(u[np.argmax(ct)])
+            region[crop_mask] = target
+            # a later-processed small target must see its grown extent:
+            # widen its precomputed bbox to cover the absorbed instance
+            tk = id2k.get(target)
+            if tk is not None and tk > k and bboxes[tk] is not None:
+                bboxes[tk] = tuple(
+                    slice(min(a.start, b.start), max(a.stop, b.stop))
+                    for a, b in zip(bboxes[tk], sl)
+                )
     return segm
 
 
@@ -202,7 +221,9 @@ def stitch_3d(masks: np.ndarray, stitch_threshold: float = 0.25) -> np.ndarray:
     each slice's labels adopt the best-IoU label from the slice below when
     IoU >= ``stitch_threshold``, else get fresh ids (reference
     ``postprocess.py:169``, cellpose-style)."""
-    masks = np.asarray(masks).copy()
+    # fresh ids grow past the per-slice max; a small input dtype (uint8/16
+    # 2-D CC output) would silently wrap and alias unrelated instances
+    masks = np.asarray(masks).astype(np.int64, copy=True)
     mmax = int(masks[0].max())
     seen_any = False
     for i in range(len(masks) - 1):
@@ -244,7 +265,8 @@ def apply_binary_postprocessing(pred: np.ndarray, config: Dict[str, Any]) -> np.
     mask = (arr > thres).astype(np.uint8) if arr.dtype.kind == "f" else (arr > 0).astype(np.uint8)
     size = config.get("median_filter_size")
     if size:
-        mask = ndimage.median_filter(mask, size=tuple(size))
+        size = tuple(size) if isinstance(size, (list, tuple)) else int(size)
+        mask = ndimage.median_filter(mask, size=size)
     n_open = int(config.get("opening_iterations", 0))
     if n_open:
         mask = ndimage.binary_opening(mask, iterations=n_open).astype(np.uint8)

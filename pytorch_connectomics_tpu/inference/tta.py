@@ -452,6 +452,20 @@ class TTAPredictor:
     def num_variants(self) -> int:
         return len(self.variants)
 
+    def _variants_preserve_shape(self, shape_zyx: Sequence[int]) -> bool:
+        """True when every variant maps a volume of this shape onto the SAME
+        shape — required by the variant-sharded path, which stacks all variant
+        volumes on one axis and crops all outputs with the identity slice. An
+        odd rot90 in a plane with unequal extents transposes those extents
+        (mainstream for anisotropic EM volumes via ``rotation_planes``), so
+        such configs fall back to the serial per-variant loop."""
+        for v in self.variants:
+            if v["rot"] % 2:
+                p0, p1 = v.get("plane", (1, 2))
+                if shape_zyx[p0] != shape_zyx[p1]:
+                    return False
+        return True
+
     def _run_engine(self, params, vol, out_channels=None):
         if self.mesh is not None and self.mesh.devices.size > 1:
             return self.engine.predict_sharded(params, vol, self.mesh, out_channels)
@@ -477,6 +491,7 @@ class TTAPredictor:
             self.mesh is not None
             and self.mesh.devices.size > 1
             and len(self.variants) >= self.mesh.devices.size
+            and self._variants_preserve_shape(volume.shape[:3])
         ):
             preds = self._predict_variants_sharded(params, volume, out_channels)
         else:

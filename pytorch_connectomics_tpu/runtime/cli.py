@@ -71,10 +71,20 @@ def setup_config(args: argparse.Namespace) -> Config:
     if getattr(args, "demo", False) and not args.config:
         from pathlib import Path
 
-        args.config = str(
-            Path(__file__).resolve().parents[2] / "tutorials" / "minimal.yaml"
-        )
-        args.mode = "train"
+        # repo checkout: <root>/pytorch_connectomics_tpu/runtime/cli.py;
+        # pip install: tutorials/ is not under site-packages, try the cwd
+        candidates = [
+            Path(__file__).resolve().parents[2] / "tutorials" / "minimal.yaml",
+            Path.cwd() / "tutorials" / "minimal.yaml",
+        ]
+        found = next((c for c in candidates if c.is_file()), None)
+        if found is None:
+            raise FileNotFoundError(
+                "--demo could not locate tutorials/minimal.yaml (looked in "
+                + ", ".join(str(c) for c in candidates)
+                + "); run from a repo checkout or pass --config explicitly"
+            )
+        args.config = str(found)
         args.fast_dev_run = True
     cfg = load_config(args.config, overrides=args.overrides, mode=args.mode)
     if args.shard_id is not None:

@@ -453,6 +453,23 @@ class TestPostprocessSurface:
         assert (out == 3).sum() == 0
         assert out[0, 2, 6] == 1
 
+    def test_merge_small_objects_chained_and_isolated(self):
+        from pytorch_connectomics_tpu.decoding import merge_small_objects
+
+        # chained merge: 2 (small) absorbs into 3 (small, processed later);
+        # 3's grown extent must then merge as one into 4 (large)
+        seg = np.zeros((1, 4, 16), np.uint32)
+        seg[0, 1, 2] = 2           # 1 voxel, in-plane neighbor of 3 only
+        seg[0, 1, 3:6] = 3         # 3 voxels, touches 2 and 4
+        seg[0, :, 6:12] = 4        # 24 voxels, above threshold
+        seg[0, 3, 14] = 7          # isolated small: ring all background
+        out = merge_small_objects(seg.copy(), thres_small=4, do_3d=True)
+        assert (out == 2).sum() == 0 and (out == 3).sum() == 0
+        assert out[0, 1, 4] == 4 and out[0, 1, 2] in (0, 4)
+        # isolated instance merges into background — reference
+        # decoding/utils.py:78 parity
+        assert (out == 7).sum() == 0 and out[0, 3, 14] == 0
+
     def test_binarize_and_median(self):
         from pytorch_connectomics_tpu.decoding import binarize_and_median
 
@@ -496,6 +513,35 @@ class TestPostprocessSurface:
         fresh = out[1, 3, 3]
         assert fresh not in (0, out[0, 0, 0])
         assert out[2, 3, 3] == fresh
+
+    def test_stitch_3d_promotes_small_dtypes(self):
+        """Fresh ids past the input dtype max must not wrap (a uint8 2-D CC
+        stack with many unmatched objects would alias unrelated instances)."""
+        from pytorch_connectomics_tpu.decoding import stitch_3d
+
+        masks = np.zeros((3, 2, 600), np.uint8)
+        # slice 0: 200 distinct single-voxel objects (ids 1..200)
+        masks[0, 0, :400:2] = np.arange(1, 201, dtype=np.uint8)
+        # slices 1-2: objects at non-overlapping positions -> all fresh ids
+        masks[1, 1, 1:399:2] = np.arange(1, 200, dtype=np.uint8)
+        masks[2, 0, 401:599:2] = np.arange(1, 100, dtype=np.uint8)
+        out = stitch_3d(masks, stitch_threshold=0.25)
+        assert out.dtype == np.int64
+        fg = [out[z][masks[z] > 0] for z in range(3)]
+        all_ids = np.concatenate(fg)
+        # every object keeps a distinct positive id — nothing wrapped to 0
+        # or collided across slices
+        assert (all_ids > 0).all()
+        assert len(np.unique(all_ids)) == sum(len(np.unique(f)) for f in fg)
+        assert out.max() > 255  # fresh ids really exceeded the input dtype
+
+    def test_binary_postprocessing_scalar_median_size(self):
+        from pytorch_connectomics_tpu.decoding import apply_binary_postprocessing
+
+        pred = np.zeros((5, 5, 5), np.float32)
+        pred[2, 2, 2] = 1.0
+        out = apply_binary_postprocessing(pred, {"median_filter_size": 3})
+        assert out.sum() == 0  # isolated voxel filtered; scalar size accepted
 
     def test_apply_binary_postprocessing_pipeline(self):
         from pytorch_connectomics_tpu.decoding import apply_binary_postprocessing

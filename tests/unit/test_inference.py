@@ -315,6 +315,31 @@ def test_tta_variant_sharding_matches_sequential():
     np.testing.assert_allclose(par, seq, atol=1e-4)
 
 
+def test_tta_anisotropic_rotation_plane_falls_back_to_serial():
+    """An odd rot90 in a plane with unequal volume extents changes the volume
+    shape, which the variant-sharded path cannot stack — the predictor must
+    fall back to the serial loop (it used to crash in np.stack) and still
+    match the single-device result."""
+    from pytorch_connectomics_tpu.parallel import make_mesh
+
+    vol = np.random.rand(8, 16, 16).astype(np.float32)  # Z != Y
+    eng = SlidingWindowEngine(smooth_apply, (8, 16, 16), overlap=0.5, sw_batch_size=1)
+    tta_cfg = build_dataclass(
+        TTAConfig,
+        {"enabled": True, "flip_axes": None, "rotation_planes": [[0, 1]],
+         "ensemble_mode": "mean"},
+    )
+    seq = TTAPredictor(eng, tta_cfg).predict(None, vol)
+    mesh = make_mesh({"data": 4})
+    pred = TTAPredictor(eng, tta_cfg, mesh=mesh)
+    assert pred.num_variants >= mesh.devices.size  # sharded path would engage
+    assert not pred._variants_preserve_shape(vol.shape[:3])
+    par = pred.predict(None, vol)
+    np.testing.assert_allclose(par, seq, atol=1e-4)
+    # square in the rotation plane -> sharded path stays available
+    assert pred._variants_preserve_shape((16, 16, 8))
+
+
 @pytest.mark.parametrize("blend", ["constant", "bump", "gaussian", "distance"])
 def test_all_blend_modes_reconstruct_identity(blend):
     """With an identity model every blend mode must reconstruct the volume

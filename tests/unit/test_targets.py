@@ -312,6 +312,27 @@ def test_decode_quantize_roundtrip():
         decode_quantize(scores, mode="median")
 
 
+def test_energy_quantize_reference_bins():
+    """Reference quantize.py:12 layout: class 0 = negative energy, classes
+    1..levels over [0,1], 1.0 in the top bin; decode_quantize mean centers
+    (-1/lv ... 1-1/lv over levels+1 classes) line up with this layout."""
+    from pytorch_connectomics_tpu.data.targets.misc import (
+        decode_quantize,
+        energy_quantize,
+    )
+
+    e = np.array([-1.0, -0.2, 0.0, 0.05, 0.55, 0.95, 1.0], np.float32)
+    q = energy_quantize(e, levels=10)
+    assert q.dtype == np.int64
+    np.testing.assert_array_equal(q, [0, 0, 1, 1, 6, 10, 10])
+    # hard one-hot decode at the negative class gives the negative center
+    scores = np.zeros((11, 1), np.float32)
+    scores[0] = 100.0
+    np.testing.assert_allclose(
+        decode_quantize(scores, mode="mean", levels=10), -1.0 / 10, atol=1e-6
+    )
+
+
 def test_seg_to_iou_best_match_rows():
     from pytorch_connectomics_tpu.data.bbox import seg_to_iou, segs_to_iou
 
@@ -321,9 +342,11 @@ def test_seg_to_iou_best_match_rows():
     by_id = {int(r[0]): r for r in rows}
     assert tuple(by_id[1]) == (1, 5, 3, 2, 2)   # id1 best-matches 5 (ov 2)
     assert tuple(by_id[2]) == (2, 9, 2, 4, 2)   # id2 best-matches 9
-    # thresholded mode returns matched (id0, id1) pairs only
+    # thresholded mode filters rows, keeping the 5-column schema
+    # (reference iou.py:120); IoUs here: 2/3 and 2/4
     pairs = seg_to_iou(s0, s1, th_iou=0.45)
-    assert pairs.shape[1] == 2 and (pairs == [[1, 5], [2, 9]]).all()
+    assert (pairs == [[1, 5, 3, 2, 2], [2, 9, 2, 4, 2]]).all()
+    assert seg_to_iou(s0, s1, th_iou=0.6).tolist() == [[1, 5, 3, 2, 2]]
     # tracker form: one result per consecutive boundary
     stack = [s0, s1, s1]
     res = segs_to_iou(lambda i: stack[i], [0, 1, 2])
