@@ -253,9 +253,10 @@ def resolve_system_sentinels(cfg: Config) -> None:
             cfg.system.num_devices = 1
     malis_threads = resolve_malis_worker_budget(cfg)
     if cfg.system.num_workers in (-1, None):
-        # leave one CPU for the main loop and reserve the MALIS thread pool
-        n = available_cpus()
-        cfg.system.num_workers = max(1, min(8, n - 1 - malis_threads))
+        # leave one CPU for the main loop and reserve the MALIS thread pool;
+        # system.num_cpus overrides the detected budget (reference num_cpus)
+        n = cfg.system.num_cpus or available_cpus()
+        cfg.system.num_workers = max(1, min(8, int(n) - 1 - malis_threads))
     mesh = dict(cfg.system.mesh or {"data": -1})
     unknown = [k for k, v in mesh.items() if v in (-1, None)]
     known = 1

@@ -148,7 +148,7 @@ class SystemConfig:
     num_workers: int = -1
     num_cpus: Optional[int] = None
     seed: int = 42
-    deterministic: bool = False
+    deterministic: bool = False  # compat no-op: JAX/XLA runs are deterministic by default
     # jax mesh axis sizes; -1 entries resolved from num_devices
     mesh: Dict[str, int] = field(default_factory=lambda: {"data": -1})
     distributed_backend: str = "jax"  # jax | none
@@ -222,7 +222,7 @@ class MedNeXtConfig:
     # trained small-kernel checkpoint via trilinear kernel inflation
     # (reference mednext_models.py:487).
     upkern_from: Optional[str] = None
-    upkern_source_kernel: int = 3
+    upkern_source_kernel: int = 3  # informational: source kernel size (shapes are read from the checkpoint)
     # TPU throughput variant: stem = 2x2x2 stride-2 patch embed (an exact
     # space-to-depth + dense 8->C matmul), every stage runs one resolution
     # level down, and a learned 2x transposed-conv head restores full
@@ -379,6 +379,8 @@ class DataloaderConfig:
     use_preloaded_cache_train: bool = True
     use_preloaded_cache_val: bool = True
     use_lazy_zarr: bool = False
+    # torch-DataLoader compat no-op (the threaded pipeline has no worker
+    # processes); accepted so reference configs load unchanged
     persistent_workers: bool = True
     prefetch: int = 2
     # read patch + context voxels per axis so long-range affinity targets
@@ -387,6 +389,8 @@ class DataloaderConfig:
     target_context: Optional[List[int]] = None
     # foreground rejection sampling (reference dataset_volume_cached.py:75)
     reject_sampling: Optional[Dict[str, Any]] = None
+    # torch-DataLoader compat no-ops (device_put handles transfer; batches
+    # are always full by construction); accepted for reference-config compat
     pin_memory: bool = True
     drop_last: bool = True
 
@@ -464,6 +468,23 @@ class PreprocessConfig:
 
 
 @dataclass
+class DataTransformConfig:
+    """Paired transforms applied to image/label/mask/label_aux at volume load
+    so they stay spatially aligned (reference ``DataTransformConfig``,
+    ``config/schema/data.py:90``). Image resize is linear; label/mask resize
+    is nearest-neighbor."""
+
+    __extra_ok__ = True
+
+    resize: Optional[List[int]] = None  # target spatial size [Z, Y, X]; None = off
+    align_to_image: bool = False  # eval: center pad/crop GT/mask to prediction size
+    binarize: bool = False  # label -> {0,1} via value > threshold
+    threshold: float = 0.0
+    pad_size: List[int] = field(default_factory=lambda: [0, 0, 0])  # extra border pad
+    pad_mode: str = "reflect"  # reflect | replicate | constant
+
+
+@dataclass
 class NNUNetPreprocessingConfig:
     """nnU-Net-style preprocessing: foreground crop, spacing-aware
     resampling, normalization, and prediction restore
@@ -492,6 +513,7 @@ class DataConfig:
     augmentation: AugmentationConfig = field(default_factory=AugmentationConfig)
     label_transform: LabelTransformConfig = field(default_factory=LabelTransformConfig)
     preprocessing: PreprocessConfig = field(default_factory=PreprocessConfig)
+    data_transform: DataTransformConfig = field(default_factory=DataTransformConfig)
     nnunet_preprocessing: NNUNetPreprocessingConfig = field(
         default_factory=NNUNetPreprocessingConfig
     )
@@ -523,7 +545,7 @@ class SchedulerConfig:
 
     name: Optional[str] = None
     interval: str = "epoch"
-    frequency: int = 1
+    frequency: int = 1  # Lightning compat no-op (optax schedules are per-step closures)
     warmup_epochs: int = 0
     warmup_steps: Optional[int] = None
     warmup_start_lr: float = 1e-6
@@ -554,7 +576,7 @@ class OptimizationConfig:
     precision: str = "bf16-mixed"  # "32" | "bf16-mixed" | "16-mixed" (alias)
     gradient_clip_val: Optional[float] = None
     accumulate_grad_batches: int = 1
-    num_sanity_val_steps: int = 0
+    num_sanity_val_steps: int = 0  # Lightning compat no-op (val is jitted; no sanity pass needed)
     val_check_interval: Optional[Union[int, float]] = None
     check_val_every_n_epoch: int = 1
     limit_val_batches: Optional[Union[int, float]] = None

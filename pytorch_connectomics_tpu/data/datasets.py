@@ -23,7 +23,12 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 import numpy as np
 
 from .io import open_zarr, probe_volume, read_volume, split_internal_path
-from .preprocess import normalize_volume, pad_to_min_shape
+from .preprocess import (
+    apply_data_transform,
+    downscale_volume,
+    normalize_volume,
+    pad_to_min_shape,
+)
 
 
 def _as_list(x) -> List[str]:
@@ -85,10 +90,20 @@ class VolumeDataset:
         label_dtype=np.float32,
         label_aux: Union[str, List[str], None] = None,
         volume_preprocess=None,
+        data_transform=None,
+        clip_percentiles=None,
+        read_downscale=None,
     ):
         """``volume_preprocess``: optional ``(img, lbl) -> (img, lbl, rec)``
         hook applied after transpose, before normalization (nnU-Net-style
-        crop/resample, reference ``data_factory.py`` transform wiring)."""
+        crop/resample, reference ``data_factory.py`` transform wiring).
+        ``data_transform``: optional ``DataTransformConfig`` — paired resize/
+        binarize/pad applied to every volume right after transpose (reference
+        ``data.data_transform``, ``augmentation/build.py:246-267``).
+        ``clip_percentiles``: (low, high) intensity clip before normalization
+        (reference ``ImageTransformConfig.clip_percentile_*``).
+        ``read_downscale``: integer per-axis stride applied to every volume at
+        load (reference ``read_downscale`` guard, ``data_factory.py:84``)."""
         self.patch_size = tuple(int(p) for p in patch_size)
         self.reject = reject or RejectConfig()
         self.label_dtype = label_dtype
@@ -104,16 +119,22 @@ class VolumeDataset:
             img = read_volume(ip)
             if transpose:
                 img = np.transpose(img, transpose)
+            if read_downscale:
+                img = downscale_volume(img, read_downscale)
+            img = apply_data_transform(img, data_transform, is_label=False)
             lbl = None
             if i < len(lbl_paths):
                 lbl = read_volume(lbl_paths[i])
                 if transpose:
                     lbl = np.transpose(lbl, transpose)
+                if read_downscale:
+                    lbl = downscale_volume(lbl, read_downscale)
+                lbl = apply_data_transform(lbl, data_transform, is_label=True)
             if volume_preprocess is not None:
                 # hook owns normalization (nnU-Net zscore etc.)
                 img, lbl, _ = volume_preprocess(img, lbl)
             else:
-                img = normalize_volume(img, normalize)
+                img = normalize_volume(img, normalize, clip_percentiles=clip_percentiles)
             img, _ = pad_to_min_shape(img, self.patch_size, pad_mode)
             self.images.append(np.ascontiguousarray(img, dtype=np.float32))
             if lbl is not None:
@@ -125,6 +146,9 @@ class VolumeDataset:
                 msk = read_volume(msk_paths[i])
                 if transpose:
                     msk = np.transpose(msk, transpose)
+                if read_downscale:
+                    msk = downscale_volume(msk, read_downscale)
+                msk = apply_data_transform(msk, data_transform, is_label=True)
                 msk, _ = pad_to_min_shape(msk, self.patch_size, "constant")
                 self.masks.append(np.ascontiguousarray(msk))
             else:
@@ -133,6 +157,11 @@ class VolumeDataset:
                 aux = read_volume(aux_paths[i]).astype(np.float32)
                 if transpose:
                     aux = np.transpose(aux, transpose if aux.ndim == 3 else [0] + [t + 1 for t in transpose])
+                # continuous precomputed targets: nearest resize (stays aligned with
+                # the label, reference build.py:262) but never binarized
+                if read_downscale:
+                    aux = downscale_volume(aux, read_downscale)
+                aux = apply_data_transform(aux, data_transform, is_label=True, allow_binarize=False)
                 aux, _ = pad_to_min_shape(aux, self.patch_size, "constant")
                 self.label_aux.append(np.ascontiguousarray(aux))
             else:

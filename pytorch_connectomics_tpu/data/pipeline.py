@@ -38,8 +38,21 @@ def _reject_from_cfg(block) -> Optional[RejectConfig]:
     )
 
 
+def _with_internal_path(paths, internal: Optional[str]):
+    """Append an ``::dataset`` internal path (reference
+    ``image_internal_path``/``label_internal_path``) to h5/zarr paths that
+    don't already carry one."""
+    if not paths or not internal:
+        return paths
+    def one(p: str) -> str:
+        return p if "::" in p or "://" in p else f"{p}::{internal}"
+    return one(paths) if isinstance(paths, str) else [one(p) for p in paths]
+
+
 def build_dataset(cfg: Config, split_cfg: DatasetSplitConfig, train: bool = True):
     dl = cfg.data.dataloader
+    images = _with_internal_path(split_cfg.image, split_cfg.image_internal_path)
+    labels = _with_internal_path(split_cfg.label, split_cfg.label_internal_path)
     patch = tuple(dl.patch_size)
     if dl.target_context:
         # read patch + context so long-range affinity edges at patch borders
@@ -62,7 +75,7 @@ def build_dataset(cfg: Config, split_cfg: DatasetSplitConfig, train: bool = True
                 "disable use_lazy_zarr / enable the preloaded cache"
             )
         return LazyVolumeDataset(
-            split_cfg.image, split_cfg.label, patch,
+            images, labels, patch,
             normalize=cfg.data.preprocessing.normalize, reject=reject,
         )
     if nn_pre is not None and (split_cfg.mask or split_cfg.label_aux):
@@ -71,8 +84,8 @@ def build_dataset(cfg: Config, split_cfg: DatasetSplitConfig, train: bool = True
             "(crop/resample would misalign them)"
         )
     return VolumeDataset(
-        split_cfg.image,
-        split_cfg.label,
+        images,
+        labels,
         split_cfg.mask,
         patch_size=patch,
         normalize=cfg.data.preprocessing.normalize,
@@ -80,6 +93,9 @@ def build_dataset(cfg: Config, split_cfg: DatasetSplitConfig, train: bool = True
         transpose=split_cfg.transpose,
         label_aux=split_cfg.label_aux,
         volume_preprocess=nn_pre,
+        data_transform=cfg.data.data_transform,
+        clip_percentiles=cfg.data.preprocessing.clip_percentiles,
+        read_downscale=cfg.data.preprocessing.read_downscale,
     )
 
 

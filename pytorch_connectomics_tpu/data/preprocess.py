@@ -64,6 +64,79 @@ def downscale_volume(vol: np.ndarray, factors: Sequence[int]) -> np.ndarray:
     return vol[sl]
 
 
+def resize_volume(vol: np.ndarray, target: Sequence[int], order: int = 1) -> np.ndarray:
+    """Resize the trailing spatial axes to exactly ``target`` — linear
+    (order=1) for images, nearest (order=0) for labels/masks (reference
+    ``ResizeByFactord`` / ``data.data_transform.resize``,
+    ``augmentation/build.py:246-267``). ``ndimage.zoom`` can land one voxel
+    off the requested size; the result is center-aligned to the exact target."""
+    from scipy import ndimage
+
+    target = tuple(int(t) for t in target)
+    lead = vol.ndim - len(target)
+    if lead < 0:
+        raise ValueError(f"resize target {target} has more axes than volume {vol.shape}")
+    spatial = vol.shape[lead:]
+    if tuple(spatial) == target:
+        return vol
+    zoom = [1.0] * lead + [t / s for t, s in zip(target, spatial)]
+    out = ndimage.zoom(
+        vol.astype(np.float32) if order else vol, zoom, order=order,
+        mode="nearest", grid_mode=True,
+    )
+    full_target = vol.shape[:lead] + target
+    if out.shape != full_target:
+        out = center_align(out, full_target)
+    return out
+
+
+def center_align(vol: np.ndarray, target_shape: Sequence[int], pad_value=0) -> np.ndarray:
+    """Center crop/pad to ``target_shape`` (reference ``align_to_image``:
+    minor shape mismatches between mask/label and image/prediction are
+    reconciled symmetrically)."""
+    target_shape = tuple(int(t) for t in target_shape)
+    if len(target_shape) != vol.ndim:
+        raise ValueError(f"center_align target {target_shape} vs volume {vol.shape}")
+    slices, pads = [], []
+    for s, t in zip(vol.shape, target_shape):
+        if s >= t:
+            lo = (s - t) // 2
+            slices.append(slice(lo, lo + t))
+            pads.append((0, 0))
+        else:
+            slices.append(slice(None))
+            need = t - s
+            pads.append((need // 2, need - need // 2))
+    out = vol[tuple(slices)]
+    if any(p != (0, 0) for p in pads):
+        out = np.pad(out, pads, mode="constant", constant_values=pad_value)
+    return out
+
+
+def apply_data_transform(
+    vol: np.ndarray, dt_cfg, is_label: bool, allow_binarize: bool = True
+) -> np.ndarray:
+    """Paired data transform (reference ``DataTransformConfig``,
+    ``config/schema/data.py:90``): resize to a target size (images linear,
+    labels/masks nearest), optional label binarization (``value >
+    threshold``), optional extra border padding. Applied identically to
+    image/label/mask/label_aux volumes so they stay spatially aligned."""
+    if dt_cfg is None:
+        return vol
+    if getattr(dt_cfg, "resize", None):
+        vol = resize_volume(vol, dt_cfg.resize, order=0 if is_label else 1)
+    if is_label and allow_binarize and getattr(dt_cfg, "binarize", False):
+        vol = (vol > float(getattr(dt_cfg, "threshold", 0.0))).astype(np.float32)
+    pad = list(getattr(dt_cfg, "pad_size", None) or ())
+    if any(pad):
+        lead = vol.ndim - len(pad)
+        pads = [(0, 0)] * lead + [(int(p), int(p)) for p in pad]
+        mode = {"reflect": "reflect", "replicate": "edge", "edge": "edge",
+                "constant": "constant"}[getattr(dt_cfg, "pad_mode", "reflect")]
+        vol = np.pad(vol, pads, mode="constant" if is_label else mode)
+    return vol
+
+
 def pad_to_min_shape(
     vol: np.ndarray, min_shape: Sequence[int], mode: str = "reflect"
 ) -> Tuple[np.ndarray, Tuple[Tuple[int, int], ...]]:

@@ -64,7 +64,27 @@ def run_chunked_inference(
     chunk_size = tuple(chunk_cfg.chunk_size or [max(w * 2, 64) for w in window])
     halo = resolve_halo(chunk_cfg.halo, window, predictor.engine.overlap)
     chunks = build_chunk_grid(vol_shape, chunk_size, halo)
+    if chunk_cfg.roi_filter and any(getattr(accessor, "pad", (0, 0, 0))):
+        # skip chunks whose core lies entirely in the virtual pad margin —
+        # they contain no real data (reference ROI filtering of pure-padding
+        # chunks, inference/chunked.py:217-258)
+        lo = accessor.pad
+        hi = [p + b for p, b in zip(accessor.pad, accessor.base_shape)]
+        kept = [
+            c for c in chunks
+            if all(c.start[i] < hi[i] and c.stop[i] > lo[i] for i in range(3))
+        ]
+        if len(kept) != len(chunks):
+            logger.info(
+                "roi_filter: %d/%d chunks are pure padding, skipped",
+                len(chunks) - len(kept), len(chunks),
+            )
+        chunks = kept
     chunks = select_chunks_for_shard(chunks, shard_id, num_shards)
+    if chunk_cfg.num_chunks_per_rank:
+        # cap work per shard/rank (reference num_chunks_per_rank): remaining
+        # chunks are left for a later resumed run (manifest-tracked)
+        chunks = chunks[: int(chunk_cfg.num_chunks_per_rank)]
 
     if out_channels is None:
         out_channels = predictor.engine.probe_out_channels(params, 1)

@@ -60,6 +60,17 @@ class InferenceManager:
             affinity_groups=aff_groups,
         )
         self.mesh = mesh
+        # channel spans per head in the merged prediction (sorted-name order,
+        # matching apply_fn's concat) — lets the test pipeline split and save
+        # per-head artifacts (inference.output.save_all_heads)
+        self.head_spans: Optional[list] = None
+        heads = getattr(getattr(cfg.model, "mednext", None), "heads", None)
+        if not head and heads:
+            spans, start = [], 0
+            for h in sorted(heads, key=lambda h: h.name):
+                spans.append((h.name, start, start + int(h.out_channels)))
+                start += int(h.out_channels)
+            self.head_spans = spans
 
     def predict(self, params, volume: np.ndarray) -> np.ndarray:
         """Full-volume prediction with TTA -> (Z,Y,X,C) float32."""

@@ -27,13 +27,38 @@ def enumerate_tta_variants(
     rotation90: bool = False,
     rotation_planes: Optional[Sequence[Sequence[int]]] = None,
     rotation_k: Optional[Sequence[int]] = None,
+    transforms: Optional[Sequence[Dict[str, Any]]] = None,
 ) -> List[Dict[str, Any]]:
     """Each variant: {"flip": tuple of spatial axes (0=z,1=y,2=x), "rot": k,
     "plane": rotation plane}. ``rotation_planes``/``rotation_k`` generalize
     ``rotation90`` to arbitrary spatial planes and k subsets (reference
     ``tta_combinations.py:159``); redundant flip×rot combinations (e.g. a
     k=2 rotation equals a double flip) are deduplicated by their index
-    permutation, as the reference does via signatures."""
+    permutation, as the reference does via signatures.
+
+    ``transforms``: explicit variant dicts ({"flip": [axes], "rot"/
+    "rotation90_k": k, "plane": [a, b]}; reference ``schema/inference.py:165``)
+    — when given they REPLACE the enumeration; the identity variant is
+    prepended if absent so ensembles always include the raw prediction."""
+    if transforms is not None:
+        out = [{"flip": (), "rot": 0, "plane": (1, 2)}]
+        seen = {_variant_signature(out[0])}
+        for t in transforms:
+            extra = set(t) - {"flip", "rot", "rotation90_k", "plane"}
+            if extra:
+                raise ValueError(f"unknown TTA transform keys {sorted(extra)}")
+            v = {
+                "flip": tuple(int(a) for a in (t.get("flip") or ())),
+                "rot": int(t.get("rot", t.get("rotation90_k", 0))) % 4,
+                "plane": tuple(int(a) for a in (t.get("plane") or (1, 2))),
+            }
+            if any(a not in (0, 1, 2) for a in v["flip"]) or len(v["plane"]) != 2:
+                raise ValueError(f"bad TTA transform {t}")
+            sig = _variant_signature(v)
+            if sig not in seen:
+                seen.add(sig)
+                out.append(v)
+        return out
     if flip_axes in (None, False):
         flips: List[Tuple[int, ...]] = [()]
     elif flip_axes == "all":
@@ -55,19 +80,25 @@ def enumerate_tta_variants(
     rots = [int(k) % 4 for k in rotation_k] if rotation_k is not None else (
         [0, 1, 2, 3] if rotation90 else [0]
     )
-    probe = np.arange(64, dtype=np.int64).reshape(4, 4, 4)
     out: List[Dict[str, Any]] = []
     seen = set()
     for f in flips:
         for plane in planes:
             for k in rots:
                 v = {"flip": f, "rot": k, "plane": plane}
-                sig = apply_variant(probe, v).tobytes()
+                sig = _variant_signature(v)
                 if sig in seen:
                     continue
                 seen.add(sig)
                 out.append(v)
     return out
+
+
+def _variant_signature(v: Dict[str, Any]) -> bytes:
+    """A flip/rot90 composition is uniquely determined by its action on a
+    small index probe — used to dedup equivalent variants."""
+    probe = np.arange(64, dtype=np.int64).reshape(4, 4, 4)
+    return apply_variant(probe, v).tobytes()
 
 
 def apply_variant(vol: np.ndarray, variant: Dict[str, Any]) -> np.ndarray:
@@ -402,6 +433,7 @@ class TTAPredictor:
                 cfg.rotation90,
                 rotation_planes=getattr(cfg, "rotation_planes", None),
                 rotation_k=getattr(cfg, "rotation_k", None),
+                transforms=getattr(cfg, "transforms", None),
             )
         else:
             self.variants = [{"flip": (), "rot": 0}]

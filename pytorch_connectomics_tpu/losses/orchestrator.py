@@ -38,6 +38,10 @@ class CompiledTerm:
     auto_pos: bool
     use_valid_mask: bool
     kwargs: Dict[str, Any]
+    # how the batch's spatial-weight tensor reaches this term (reference
+    # spatial_weight_arg, losses/plan.py:37): "weight" (default), "mask"
+    # (folded into the loss mask), or "none" (term ignores it)
+    spatial_weight: Optional[str] = None
 
 
 def _offset_valid_mask(spatial: Tuple[int, int, int], offset) -> jnp.ndarray:
@@ -74,6 +78,12 @@ class LossOrchestrator:
             kwargs = dict(t.kwargs or {})
             extra = getattr(t, "extra", None) or {}
             kwargs.update({k: v for k, v in extra.items()})
+            sw = getattr(t, "spatial_weight", None)
+            if sw not in (None, "weight", "mask", "none"):
+                raise ValueError(
+                    f"loss term {t.function}: spatial_weight must be "
+                    f"weight|mask|none, got {sw!r}"
+                )
             auto_pos = t.pos_weight == "auto"
             if t.pos_weight is not None and not auto_pos:
                 kwargs["pos_weight"] = float(t.pos_weight)
@@ -90,6 +100,7 @@ class LossOrchestrator:
                     auto_pos=auto_pos,
                     use_valid_mask=t.use_valid_mask,
                     kwargs=kwargs,
+                    spatial_weight=getattr(t, "spatial_weight", None),
                 )
             )
         self.ds_weights = loss_cfg.ds_weights
@@ -135,8 +146,13 @@ class LossOrchestrator:
         if mv is not None:
             m = mv if m is None else m * mv
         w = None
-        if weight is not None:
+        if weight is not None and term.spatial_weight != "none":
             w = weight if weight.shape[-1] == 1 else slice_channels(weight, term.pred_slice)
+            if term.spatial_weight == "mask":
+                # reference spatial_weight_arg="mask" (orchestrator.py:199):
+                # the weight map gates the loss region instead of scaling it
+                m = w if m is None else m * w
+                w = None
         kwargs = dict(term.kwargs)
         if term.auto_pos:
             kwargs["pos_weight"] = auto_pos_weight(t, m)

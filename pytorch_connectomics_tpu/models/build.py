@@ -25,11 +25,20 @@ def build_model(model_cfg: ModelConfig):
 
 
 def init_model(model, model_cfg: ModelConfig, rng: jax.Array, batch: int = 1):
-    """Initialize params with a dummy NDHWC input patch."""
+    """Initialize params with a dummy NDHWC input patch. Parameters are
+    stored in ``model.param_dtype`` (default float32 — master weights stay
+    full precision while ``compute_dtype`` rides the MXU in bfloat16)."""
     z, y, x = model_cfg.input_size
     dummy = jnp.zeros((batch, z, y, x, model_cfg.in_channels), jnp.float32)
     # jit the whole init: one XLA program instead of per-op eager compiles
-    return jax.jit(model.init)(rng, dummy)
+    params = jax.jit(model.init)(rng, dummy)
+    pd = jnp.dtype(getattr(model_cfg, "param_dtype", "float32"))
+    if pd != jnp.float32:
+        params = jax.tree.map(
+            lambda p: p.astype(pd) if jnp.issubdtype(p.dtype, jnp.floating) else p,
+            params,
+        )
+    return params
 
 
 def param_count(params) -> int:

@@ -88,15 +88,19 @@ class ResBlock(nn.Module):
     norm: str = "group"
     act: str = "relu"
     dtype: Dtype = jnp.bfloat16
+    groups: int = 8
 
     @nn.compact
     def __call__(self, x):
         skip = x
         if skip.shape[-1] != self.features:
             skip = nn.Conv(self.features, (1, 1, 1), dtype=self.dtype)(skip)
-        y = ConvNormAct(self.features, self.kernel, norm=self.norm, act=self.act, dtype=self.dtype)(x)
+        y = ConvNormAct(
+            self.features, self.kernel, norm=self.norm, act=self.act,
+            dtype=self.dtype, groups=self.groups,
+        )(x)
         y = nn.Conv(self.features, tuple(self.kernel), padding="SAME", dtype=self.dtype)(y)
-        y = Norm(self.norm, dtype=self.dtype)(y)
+        y = Norm(self.norm, self.groups, dtype=self.dtype)(y)
         return get_act(self.act)(y + skip)
 
 
@@ -124,17 +128,22 @@ def upsample_trilinear(x, factors: Sequence[int]):
 
 
 class UpConv(nn.Module):
-    """Transposed-conv upsampling by per-axis factors."""
+    """Transposed-conv upsampling by per-axis factors. ``kernel`` widens the
+    transposed-conv taps beyond the stride (MONAI ``up_kernel_size``);
+    default = stride (non-overlapping)."""
 
     features: int
     factors: Sequence[int] = (2, 2, 2)
     dtype: Dtype = jnp.bfloat16
+    kernel: Optional[Sequence[int]] = None
 
     @nn.compact
     def __call__(self, x):
         f = tuple(self.factors)
+        k = tuple(self.kernel) if self.kernel is not None else f
+        k = tuple(max(ki, fi) for ki, fi in zip(k, f))
         return nn.ConvTranspose(
-            self.features, kernel_size=f, strides=f, dtype=self.dtype
+            self.features, kernel_size=k, strides=f, padding="SAME", dtype=self.dtype
         )(x)
 
 

@@ -32,6 +32,7 @@ class RSUNet(nn.Module):
     kernel_2d: Sequence[int] = (1, 3, 3)
     norm: str = "group"
     act: str = "elu"
+    groups: int = 8
     iso: bool = False
     dtype: Any = jnp.bfloat16
     deep_supervision: bool = False
@@ -55,22 +56,22 @@ class RSUNet(nn.Module):
         factors = self._factors()
         # stem
         x = ConvNormAct(
-            self.width[0], self._kernel(0), norm=self.norm, act=self.act, dtype=self.dtype
+            self.width[0], self._kernel(0), norm=self.norm, act=self.act, dtype=self.dtype, groups=self.groups
         )(x)
         skips = []
         for i, w in enumerate(self.width[:-1]):
-            x = ResBlock(w, self._kernel(i), norm=self.norm, act=self.act, dtype=self.dtype)(x)
+            x = ResBlock(w, self._kernel(i), norm=self.norm, act=self.act, dtype=self.dtype, groups=self.groups)(x)
             skips.append(x)
             x = downsample(x, factors[i])
         x = ResBlock(
-            self.width[-1], (3, 3, 3), norm=self.norm, act=self.act, dtype=self.dtype
+            self.width[-1], (3, 3, 3), norm=self.norm, act=self.act, dtype=self.dtype, groups=self.groups
         )(x)
         ds_outputs = []
         for i in reversed(range(len(self.width) - 1)):
             x = upsample_trilinear(x, factors[i])
             x = nn.Conv(self.width[i], (1, 1, 1), dtype=self.dtype)(x)
             x = x + skips[i]
-            x = ResBlock(self.width[i], self._kernel(i), norm=self.norm, act=self.act, dtype=self.dtype)(x)
+            x = ResBlock(self.width[i], self._kernel(i), norm=self.norm, act=self.act, dtype=self.dtype, groups=self.groups)(x)
             if self.deep_supervision and i > 0:
                 ds_outputs.append(
                     nn.Conv(self.out_channels, (1, 1, 1), dtype=jnp.float32, name=f"ds_head_{i}")(x)
@@ -96,6 +97,7 @@ def build_rsunet(model_cfg):
         kernel_2d=tuple(r.kernel_2d),
         norm=r.norm,
         act=r.act,
+        groups=r.group_norm_groups,
         iso=r.iso,
         dtype=jnp.dtype(model_cfg.compute_dtype),
         deep_supervision=model_cfg.loss.deep_supervision,

@@ -27,6 +27,7 @@ class BasicUNet3D(nn.Module):
     features: Sequence[int] = (32, 32, 64, 128, 256, 32)
     norm: str = "instance"
     act: str = "leaky_relu"
+    dropout: float = 0.0
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -35,7 +36,10 @@ class BasicUNet3D(nn.Module):
 
         def block(x, w):
             x = ConvNormAct(w, norm=self.norm, act=self.act, dtype=self.dtype)(x)
-            return ConvNormAct(w, norm=self.norm, act=self.act, dtype=self.dtype)(x)
+            x = ConvNormAct(w, norm=self.norm, act=self.act, dtype=self.dtype)(x)
+            if self.dropout:
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            return x
 
         x0 = block(x, f[0])
         x1 = block(downsample(x0, (2, 2, 2)), f[1])
@@ -65,8 +69,10 @@ class UNet3D(nn.Module):
     strides: Optional[Sequence[Sequence[int]]] = None
     num_res_units: int = 1
     kernel_size: int = 3
+    up_kernel_size: int = 3
     norm: str = "instance"
     act: str = "prelu"
+    dropout: float = 0.0
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -79,6 +85,8 @@ class UNet3D(nn.Module):
         def res_units(x, w):
             for _ in range(max(1, self.num_res_units)):
                 x = ResBlock(w, k, norm=self.norm, act=self.act, dtype=self.dtype)(x)
+            if self.dropout:
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
             return x
 
         skips = []
@@ -88,7 +96,10 @@ class UNet3D(nn.Module):
             x = ConvNormAct(ch[i + 1], k, strides=strides[i], norm=self.norm, act=self.act, dtype=self.dtype)(x)
             x = res_units(x, ch[i + 1])
         for i in reversed(range(n_down)):
-            x = UpConv(ch[i], strides[i], dtype=self.dtype)(x)
+            x = UpConv(
+                ch[i], strides[i], dtype=self.dtype,
+                kernel=(self.up_kernel_size,) * 3,
+            )(x)
             x = jnp.concatenate([x, skips[i]], axis=-1)
             x = res_units(x, ch[i])
         return nn.Conv(self.out_channels, (1, 1, 1), dtype=jnp.float32, name="head")(x)
@@ -108,6 +119,7 @@ class UNETR(nn.Module):
     num_layers: int = 8
     feature_size: int = 16
     norm: str = "instance"
+    dropout: float = 0.0
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -120,6 +132,8 @@ class UNETR(nn.Module):
         t = t.reshape(t.shape[0], n_tokens, self.hidden_size)
         pos = self.param("pos_embed", nn.initializers.normal(0.02), (1, n_tokens, self.hidden_size))
         t = t + pos.astype(t.dtype)
+        if self.dropout:
+            t = nn.Dropout(self.dropout, deterministic=not train)(t)
         taps = []
         tap_every = max(1, self.num_layers // 4)
         for li in range(self.num_layers):
@@ -132,6 +146,8 @@ class UNETR(nn.Module):
             h = nn.Dense(self.mlp_dim, dtype=self.dtype)(h)
             h = nn.gelu(h)
             h = nn.Dense(self.hidden_size, dtype=self.dtype)(h)
+            if self.dropout:
+                h = nn.Dropout(self.dropout, deterministic=not train)(h)
             t = t + h
             if (li + 1) % tap_every == 0:
                 taps.append(t)
@@ -172,6 +188,7 @@ def build_basic_unet(model_cfg):
         out_channels=model_cfg.out_channels,
         features=tuple(feats),
         norm=m.norm,
+        dropout=m.dropout,
         dtype=jnp.dtype(model_cfg.compute_dtype),
     )
 
@@ -186,8 +203,10 @@ def build_unet(model_cfg):
         strides=m.strides,
         num_res_units=m.num_res_units,
         kernel_size=m.kernel_size,
+        up_kernel_size=m.up_kernel_size,
         norm=m.norm,
         act=m.act,
+        dropout=m.dropout,
         dtype=jnp.dtype(model_cfg.compute_dtype),
     )
 
@@ -205,5 +224,6 @@ def build_unetr(model_cfg):
         num_heads=m.num_heads,
         num_layers=m.num_layers,
         feature_size=m.feature_size,
+        dropout=m.dropout,
         dtype=jnp.dtype(model_cfg.compute_dtype),
     )

@@ -45,6 +45,25 @@ def setup_runtime_directories(cfg: Config, mode: str, args=None) -> Path:
 def _load_params_for_inference(
     cfg: Config, trainer, checkpoint: Optional[str], external_prefix: Optional[str] = None
 ):
+    if not checkpoint and cfg.model.arch.type == "nnunet" and cfg.model.nnunet.checkpoint_path:
+        # plans-defined nnU-Net: model.nnunet.checkpoint_path points at the
+        # trained torch checkpoint (a fold dir resolves via model.nnunet.fold,
+        # the nnU-Net results layout: fold_<k>/checkpoint_final.pth)
+        n = cfg.model.nnunet
+        cp = Path(n.checkpoint_path)
+        if cp.is_dir():
+            for cand in (
+                cp / f"fold_{n.fold}" / "checkpoint_final.pth",
+                cp / f"fold_{n.fold}" / "checkpoint_best.pth",
+            ):
+                if cand.exists():
+                    cp = cand
+                    break
+        from ..models.nnunet import load_nnunet_checkpoint
+
+        params, stats = load_nnunet_checkpoint(trainer.state.params["model"], str(cp))
+        logger.info("nnU-Net checkpoint %s: %s", cp, stats)
+        return params
     if checkpoint and str(checkpoint).endswith((".pt", ".pth", ".ckpt", ".pytorch")):
         # foreign torch checkpoint (BANIS / nnU-Net / reference runs)
         from ..training.model_weights import load_external_weights

@@ -187,6 +187,24 @@ def run_test_pipeline(
                 save_prediction(
                     pred_path, stored, cfg_hash, checkpoint or "", tag
                 )
+            if cfg.inference.output.save_all_heads and getattr(manager, "head_spans", None):
+                # per-head artifacts alongside the merged prediction
+                # (reference save-all-heads, test_pipeline.py:993-1039)
+                from .output_naming import head_filenames
+
+                names = head_filenames(
+                    vol_name, tag, [h for h, _, _ in manager.head_spans]
+                )
+                for hname, c0, c1 in manager.head_spans:
+                    hstored = np.moveaxis(
+                        apply_prediction_transform(
+                            prediction[..., c0:c1], cfg.inference.output
+                        ), -1, 0,
+                    )
+                    save_prediction(
+                        out_dir / names[hname], hstored, cfg_hash,
+                        checkpoint or "", f"{tag}_head_{hname}",
+                    )
         infer_s = time.time() - t0
         voxels = int(np.prod(prediction.shape[:3]))
         logger.info(
@@ -240,6 +258,18 @@ def run_test_pipeline(
             gt = read_volume(labels[vi])
             if cfg.data.test.transpose:
                 gt = np.transpose(gt, cfg.data.test.transpose)
+            if getattr(cfg.data.data_transform, "align_to_image", False):
+                # minor GT/prediction size mismatches reconciled by center
+                # pad/crop (reference align_to_image, test_pipeline.py:282)
+                from ..data.preprocess import center_align
+
+                ref_shape = (
+                    prediction.shape[:3] if prediction is not None
+                    else np.asarray(decoded).shape if decoded is not None else None
+                )
+                if ref_shape is not None and tuple(gt.shape[-3:]) != tuple(ref_shape):
+                    lead = gt.ndim - 3
+                    gt = center_align(gt, gt.shape[:lead] + tuple(ref_shape))
             metrics = run_evaluation_stage(
                 prediction, decoded, gt, cfg.evaluation, out_dir, vol_name
             )

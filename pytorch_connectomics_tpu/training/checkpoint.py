@@ -30,6 +30,7 @@ class CheckpointManager:
         monitor: str = "train_loss_total_epoch",
         mode: str = "min",
         save_last: bool = True,
+        filename_prefix: Optional[str] = None,
     ):
         self.dir = Path(directory)
         self.dir.mkdir(parents=True, exist_ok=True)
@@ -37,6 +38,8 @@ class CheckpointManager:
         self.monitor = monitor
         self.mode = mode
         self.save_last = save_last
+        # custom stem for top-k checkpoint dirs (reference checkpoint_filename)
+        self.filename_prefix = f"{filename_prefix}-" if filename_prefix else ""
         self._ckptr = ocp.StandardCheckpointer()
         self._index_path = self.dir / "index.json"
         self._index: List[Dict[str, Any]] = []
@@ -64,7 +67,7 @@ class CheckpointManager:
         score = metrics.get(self.monitor)
         saved = None
         if score is not None and self.save_top_k != 0:
-            name = f"epoch={epoch:03d}-{self.monitor}={score:.4f}"
+            name = f"{self.filename_prefix}epoch={epoch:03d}-{self.monitor}={score:.4f}"
             path = self.dir / name
             better = self._is_topk(score)
             if better:

@@ -70,7 +70,14 @@ class Trainer:
             cfg.model.loss,
             affinity_groups=affinity_target_groups(cfg.data.label_transform),
         )
-        self.steps_per_epoch = cfg.optimization.n_steps_per_epoch or 100
+        # steps/epoch: explicit n_steps_per_epoch > dataloader.num_samples
+        # (reference sample-count math, data/datasets/sampling.py) > default
+        n_samples = cfg.data.dataloader.num_samples
+        from_samples = (
+            max(1, int(n_samples) // max(1, cfg.data.dataloader.batch_size))
+            if n_samples else None
+        )
+        self.steps_per_epoch = cfg.optimization.n_steps_per_epoch or from_samples or 100
         self.tx, self.schedule = build_optimizer(cfg.optimization, self.steps_per_epoch)
         self.cfg_hash = config_hash(cfg)
 
@@ -130,7 +137,12 @@ class Trainer:
             monitor=cfg.monitor.checkpoint.monitor,
             mode=cfg.monitor.checkpoint.mode,
             save_last=cfg.monitor.checkpoint.save_last,
+            filename_prefix=cfg.monitor.checkpoint.checkpoint_filename,
         )
+        if cfg.monitor.detect_anomaly:
+            # reference Trainer(detect_anomaly=...): trap the first NaN at its
+            # producing op instead of at the loss (slower; debug only)
+            jax.config.update("jax_debug_nans", True)
         self.metrics_logger = MetricsLogger(
             self.run_dir,
             cfg.monitor.logging.backend,
@@ -191,6 +203,23 @@ class Trainer:
                     prof_active = False
                     prof = None
                     logger.info("profiler trace written to %s", self.run_dir / "profile")
+                vci = cfg.optimization.val_check_interval
+                if vci and val_pipe is not None:
+                    # mid-epoch validation (reference val_check_interval):
+                    # int = every N steps, float = fraction of an epoch
+                    ivl = int(vci) if vci >= 1 else max(1, round(float(vci) * self.steps_per_epoch))
+                    if step % ivl == 0:
+                        mid_logs = self.validate(val_pipe)
+                        self._plateau_update(mid_logs.get("val_loss", float("nan")))
+                ckpt_every = self.cfg.monitor.checkpoint.every_n_steps
+                if ckpt_every and step % int(ckpt_every) == 0:
+                    # step-interval checkpoint (reference ModelCheckpoint
+                    # every_n_train_steps, trainer.py:97): refreshes "last"
+                    # mid-epoch so long epochs are resumable
+                    self.ckpt.save(
+                        self.state, epoch, {},
+                        metadata={"config_hash": self.cfg_hash, "step": step},
+                    )
                 if step % scalar_every == 0 or step == 1:
                     host_logs = {k: float(v) for k, v in logs.items()}
                     self._check_finite(host_logs, step)

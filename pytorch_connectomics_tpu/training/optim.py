@@ -26,10 +26,14 @@ def build_schedule(
     total_epochs = opt_cfg.max_epochs
     total_steps = opt_cfg.max_steps or max(1, total_epochs * steps_per_epoch)
     params = s.params or {}
+    # scheduler.interval (reference Lightning contract): "epoch" (default)
+    # interprets warmup_epochs/t_max/t_0/step_size/milestones in epochs;
+    # "step" interprets them as raw optimizer steps
+    unit = 1 if s.interval == "step" else steps_per_epoch
 
     warmup_steps = s.warmup_steps
     if warmup_steps is None:
-        warmup_steps = int(params.get("warmup_epochs", s.warmup_epochs) * steps_per_epoch)
+        warmup_steps = int(params.get("warmup_epochs", s.warmup_epochs) * unit)
 
     if name in ("", "none", "constant"):
         return optax.constant_schedule(base_lr)
@@ -44,10 +48,10 @@ def build_schedule(
             end_value=min_lr,
         )
     if name == "cosineannealinglr":
-        t_max = int(params.get("t_max", s.t_max or total_epochs)) * steps_per_epoch
+        t_max = int(params.get("t_max", s.t_max or total_epochs)) * unit
         return optax.cosine_decay_schedule(base_lr, max(1, t_max), alpha=s.min_lr / base_lr if base_lr else 0.0)
     if name == "cosineannealingwarmrestarts":
-        t0 = int(params.get("t_0", s.t_0 or 10)) * steps_per_epoch
+        t0 = int(params.get("t_0", s.t_0 or 10)) * unit
         schedules = []
         boundaries = []
         t = t0
@@ -59,10 +63,10 @@ def build_schedule(
             t *= max(1, s.t_mult)
         return optax.join_schedules(schedules, boundaries[:-1])
     if name == "steplr":
-        step_size = int(params.get("step_size", s.step_size)) * steps_per_epoch
+        step_size = int(params.get("step_size", s.step_size)) * unit
         return lambda count: base_lr * (s.gamma ** (count // max(1, step_size)))
     if name == "multisteplr":
-        milestones = [int(m) * steps_per_epoch for m in (s.milestones or params.get("milestones", []))]
+        milestones = [int(m) * unit for m in (s.milestones or params.get("milestones", []))]
 
         def multi(count):
             k = sum(jnp.asarray(count) >= m for m in milestones)
@@ -70,7 +74,7 @@ def build_schedule(
 
         return multi
     if name == "warmupmultisteplr":
-        milestones = [int(m) * steps_per_epoch for m in (s.milestones or params.get("milestones", []))]
+        milestones = [int(m) * unit for m in (s.milestones or params.get("milestones", []))]
         start = float(params.get("warmup_start_lr", s.warmup_start_lr))
 
         def wmulti(count):

@@ -77,8 +77,14 @@ def make_train_step(
     """
     gradnorm = balancing == "gradnorm"
 
-    def loss_fn(params, batch, term_weights):
-        out = apply_fn({"params": params["model"]}, batch["image"], train=True)
+    def loss_fn(params, batch, term_weights, step):
+        # dropout rng keyed by the step counter: deterministic, resumable,
+        # and distinct from the augmentation stream (fold_in(seed+1, step))
+        drop_key = jax.random.fold_in(jax.random.PRNGKey(seed + 1), step)
+        out = apply_fn(
+            {"params": params["model"]}, batch["image"], train=True,
+            rngs={"dropout": drop_key},
+        )
         total, logs = orchestrator(
             out,
             batch.get("label"),
@@ -95,7 +101,7 @@ def make_train_step(
             batch = augment_fn(batch, key)
         term_w = state.balancer[0] if (gradnorm and state.balancer is not None) else None
         (_, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, term_w
+            state.params, batch, term_w, state.step
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         # host-controlled plateau factor multiplies the whole update

@@ -92,6 +92,49 @@ def test_volume_dataset_pads_small_volume():
     assert item["image"].shape == (1, 16, 32, 32)
 
 
+def test_data_transform_resize_binarize_and_pad():
+    """data.data_transform: paired resize (image linear, label nearest) +
+    label binarization + border pad at volume load (reference
+    DataTransformConfig, config/schema/data.py:90)."""
+    from pytorch_connectomics_tpu.config.schema import (
+        DataTransformConfig, build_dataclass,
+    )
+    from pytorch_connectomics_tpu.data.preprocess import (
+        apply_data_transform, center_align, resize_volume,
+    )
+
+    dt = build_dataclass(
+        DataTransformConfig,
+        {"resize": [8, 16, 16], "binarize": True, "threshold": 0.5,
+         "pad_size": [2, 0, 0], "pad_mode": "reflect"},
+    )
+    img = np.random.rand(4, 8, 8).astype(np.float32)
+    lbl = (np.random.rand(4, 8, 8) > 0.4).astype(np.float32) * 3.0
+    out_img = apply_data_transform(img, dt, is_label=False)
+    out_lbl = apply_data_transform(lbl, dt, is_label=True)
+    assert out_img.shape == (12, 16, 16)  # resized then z-padded by 2+2
+    assert out_lbl.shape == (12, 16, 16)
+    assert set(np.unique(out_lbl)) <= {0.0, 1.0}  # binarized (3.0 > 0.5)
+    # nearest resize preserves the label value set exactly
+    lbl2 = np.zeros((4, 8, 8), np.float32)
+    lbl2[:, :4] = 7.0
+    up = resize_volume(lbl2, (8, 16, 16), order=0)
+    assert set(np.unique(up)) == {0.0, 7.0}
+    # wired through the dataset: both volumes land at the target size
+    ds = VolumeDataset(
+        "random://dt/im?shape=4x8x8", "random://dt/label?shape=4x8x8",
+        patch_size=(8, 16, 16),
+        data_transform=build_dataclass(DataTransformConfig, {"resize": [8, 16, 16]}),
+    )
+    item = ds.center()
+    assert item["image"].shape == (1, 8, 16, 16)
+    assert item["label"].shape == (1, 8, 16, 16)
+    # center_align reconciles minor shape mismatches symmetrically
+    a = np.arange(27, dtype=np.float32).reshape(3, 3, 3)
+    al = center_align(a, (5, 3, 1))
+    assert al.shape == (5, 3, 1) and al[2, 1, 0] == a[1, 1, 1]
+
+
 def test_rejection_sampling_prefers_foreground():
     ds = VolumeDataset(
         "random://rej/im?shape=32x64x64",

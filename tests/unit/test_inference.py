@@ -315,6 +315,37 @@ def test_tta_variant_sharding_matches_sequential():
     np.testing.assert_allclose(par, seq, atol=1e-4)
 
 
+def test_tta_explicit_transforms_list():
+    """tta.transforms gives explicit variant dicts (reference
+    schema/inference.py:165); identity is prepended, dupes dropped,
+    unknown keys rejected."""
+    from pytorch_connectomics_tpu.inference.tta import enumerate_tta_variants
+
+    vs = enumerate_tta_variants(transforms=[
+        {"flip": [2]},
+        {"rot": 1, "plane": [1, 2]},
+        {"flip": [2]},                       # duplicate -> dropped
+        {"flip": [0], "rotation90_k": 2},    # rot alias
+        {"flip": [1], "rot": 2},             # == flip x -> deduped
+    ])
+    assert vs[0] == {"flip": (), "rot": 0, "plane": (1, 2)}
+    assert len(vs) == 4
+    assert {"flip": (2,), "rot": 0, "plane": (1, 2)} in vs
+    assert {"flip": (0,), "rot": 2, "plane": (1, 2)} in vs
+    with pytest.raises(ValueError):
+        enumerate_tta_variants(transforms=[{"flips": [2]}])
+    # end-to-end: explicit flip-x list matches the enumerated xy-flip subset
+    vol = np.random.rand(8, 16, 16).astype(np.float32)
+    eng = SlidingWindowEngine(smooth_apply, (8, 16, 16), overlap=0.5, sw_batch_size=1)
+    via_list = TTAPredictor(eng, build_dataclass(TTAConfig, {
+        "enabled": True, "transforms": [{"flip": [1]}, {"flip": [2]}, {"flip": [1, 2]}],
+    })).predict(None, vol)
+    via_enum = TTAPredictor(eng, build_dataclass(TTAConfig, {
+        "enabled": True, "flip_axes": "xy",
+    })).predict(None, vol)
+    np.testing.assert_allclose(via_list, via_enum, atol=1e-5)
+
+
 def test_tta_anisotropic_rotation_plane_falls_back_to_serial():
     """An odd rot90 in a plane with unequal volume extents changes the volume
     shape, which the variant-sharded path cannot stack — the predictor must

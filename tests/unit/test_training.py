@@ -122,6 +122,25 @@ def test_checkpoint_restore_roundtrip(mini_cfg, tmp_path):
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
 
 
+def test_step_interval_checkpointing(mini_cfg, tmp_path):
+    """monitor.checkpoint.every_n_steps refreshes the 'last' checkpoint
+    mid-epoch (reference every_n_train_steps, trainer.py:97)."""
+    import copy
+
+    cfg = copy.deepcopy(mini_cfg)
+    cfg.monitor.checkpoint.every_n_steps = 2
+    t = Trainer(cfg, run_dir=tmp_path / "stepck")
+    t.fit(max_epochs=1)
+    last = t.ckpt.last_path()
+    assert last is not None
+    meta = t.ckpt.read_metadata(last)
+    assert int(meta["step"]) == 4  # final save at epoch end (step 4)
+    # restore from the mid-epoch-refreshed last works
+    t2 = Trainer(cfg, run_dir=tmp_path / "stepck2")
+    t2.restore(last)
+    assert int(t2.state.step) == 4
+
+
 def test_checkpoint_reset_optimizer(mini_cfg, tmp_path):
     t1 = Trainer(mini_cfg, run_dir=tmp_path / "c")
     t1.fit(max_epochs=1)
