@@ -35,6 +35,32 @@ def setup_runtime_directories(cfg: Config, mode: str, args=None) -> Path:
     if mode == "train":
         base = Path(cfg.save_path or f"outputs/{cfg.experiment_name}")
         ts = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+        # multi-host: every process must agree on the run dir; process 0
+        # publishes its timestamp through the shared FS, others adopt it
+        # (reference DDP-subprocess coordination via .latest_timestamp,
+        # training/lightning/runtime.py:71-116)
+        try:
+            import jax
+
+            if jax.process_count() > 1:
+                import time
+
+                ts_file = base / ".latest_timestamp"
+                if jax.process_index() == 0:
+                    base.mkdir(parents=True, exist_ok=True)
+                    ts_file.write_text(ts)
+                else:
+                    deadline = time.time() + 30.0
+                    while not ts_file.exists() and time.time() < deadline:
+                        time.sleep(0.1)
+                    if not ts_file.exists():
+                        raise RuntimeError(
+                            f"process {jax.process_index()} timed out waiting "
+                            f"for {ts_file} (run-dir coordination)"
+                        )
+                    ts = ts_file.read_text().strip()
+        except ImportError:  # pragma: no cover
+            pass
         return base / ts
     ckpt = getattr(args, "checkpoint", None) if args else None
     if ckpt:
@@ -120,6 +146,17 @@ def dispatch_runtime(args=None) -> Dict[str, Any]:
         maybe_autodownload_train_data(cfg)
     run_dir = setup_runtime_directories(cfg, mode, args)
     logger.info("mode=%s run_dir=%s devices=%d", mode, run_dir, jax.device_count())
+    if rank == 0:
+        # resolved-config provenance in the run dir (reference
+        # setup_run_directory saves config.yaml, runtime.py:92-95)
+        import yaml
+
+        from ..config.schema import to_dict
+
+        run_dir.mkdir(parents=True, exist_ok=True)
+        (run_dir / "config.yaml").write_text(
+            yaml.safe_dump(to_dict(cfg), sort_keys=False, default_flow_style=None)
+        )
 
     from ..training.loop import Trainer
 

@@ -240,3 +240,33 @@ def test_cli_demo_flag_and_config_requirement():
 
     with pytest.raises(SystemExit):
         parse_args([])
+
+
+def test_run_dir_timestamp_coordination(tmp_path, monkeypatch):
+    """Multi-host run-dir agreement: process 0 publishes the timestamp via
+    <base>/.latest_timestamp; other processes adopt it (reference
+    training/lightning/runtime.py:71-116)."""
+    import jax
+
+    from pytorch_connectomics_tpu.config.loader import load_config
+    from pytorch_connectomics_tpu.runtime.dispatch import setup_runtime_directories
+
+    cfg_file = tmp_path / "c.yaml"
+    cfg_file.write_text(
+        "experiment_name: coord\n"
+        "model: {arch: {type: monai_unet}, in_channels: 1, out_channels: 1,\n"
+        "  input_size: [8, 16, 16], monai: {filters: [4, 8]},\n"
+        "  loss: {losses: [{function: DiceLoss}]}}\n"
+        "data:\n"
+        "  train: {image: 'random://ts/im?shape=8x16x16', label: 'random://ts/label?shape=8x16x16'}\n"
+        "  dataloader: {patch_size: [8, 16, 16]}\n"
+        f"save_path: {tmp_path / 'runs'}\n"
+    )
+    cfg = load_config(cfg_file, mode="train")
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    d0 = setup_runtime_directories(cfg, "train")
+    assert (tmp_path / "runs" / ".latest_timestamp").read_text() == d0.name
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    d1 = setup_runtime_directories(cfg, "train")
+    assert d1 == d0  # non-zero rank adopted process 0's timestamp
