@@ -40,6 +40,71 @@ def test_nnunet_plans_build_and_forward(tmp_path):
     assert out.shape == (1, 16, 32, 32, 2)
 
 
+def test_nnunet_resenc_and_2d_plans(tmp_path):
+    """ResEnc presets route to ResidualEncoderUNet; 2-D plans expand to
+    singleton-z ops; unknown network classes fail loudly; norm/nonlin from
+    arch_kwargs are honored (nnunetv2 plans surface)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_connectomics_tpu.config.schema import ModelConfig, build_dataclass
+    from pytorch_connectomics_tpu.models import build_model, init_model
+    from pytorch_connectomics_tpu.models.nnunet import (
+        ResidualEncoderUNet, parse_nnunet_plans,
+    )
+
+    def mk(arch_extra, config="3d_fullres", strides=None, kernels=None):
+        plans = {"configurations": {config: {
+            "patch_size": [16, 32, 32],
+            "architecture": {
+                "network_class_name": arch_extra,
+                "arch_kwargs": {
+                    "features_per_stage": [8, 16],
+                    "strides": strides or [[1, 1, 1], [2, 2, 2]],
+                    "kernel_sizes": kernels or [[3, 3, 3]] * 2,
+                    "n_blocks_per_stage": [1, 2],
+                    "n_conv_per_stage": [2, 2],
+                    "n_conv_per_stage_decoder": [2],
+                    "norm_op": "torch.nn.modules.instancenorm.InstanceNorm3d",
+                    "nonlin": "torch.nn.LeakyReLU",
+                },
+            },
+        }}}
+        p = tmp_path / f"plans_{arch_extra.rsplit('.',1)[-1]}_{config}.json"
+        p.write_text(json.dumps(plans))
+        return p
+
+    # ResEnc routes to the residual topology and runs
+    p = mk("dynamic_network_architectures.architectures.unet.ResidualEncoderUNet")
+    cfg = build_dataclass(ModelConfig, {
+        "arch": {"type": "nnunet"}, "in_channels": 1, "out_channels": 2,
+        "input_size": [16, 32, 32],
+        "nnunet": {"plans_path": str(p)},
+    })
+    model = build_model(cfg)
+    assert isinstance(model, ResidualEncoderUNet)
+    params = init_model(model, cfg, jax.random.PRNGKey(0))
+    out = jax.jit(model.apply)(params, jnp.zeros((1, 16, 32, 32, 1)))
+    assert out.shape == (1, 16, 32, 32, 2)
+
+    # unknown class -> loud error (never a silently-wrong topology)
+    p_bad = mk("some.pkg.FancyNet")
+    cfg_bad = build_dataclass(ModelConfig, {
+        "arch": {"type": "nnunet"}, "in_channels": 1, "out_channels": 2,
+        "input_size": [16, 32, 32], "nnunet": {"plans_path": str(p_bad)}})
+    import pytest
+    with pytest.raises(ValueError, match="network_class_name"):
+        build_model(cfg_bad)
+
+    # 2-D plans: (k,k)/(s,s) expand to (1,k,k)/(1,s,s)
+    p2d = mk("dynamic_network_architectures.architectures.unet.PlainConvUNet",
+             config="2d", strides=[[1, 1], [2, 2]], kernels=[[3, 3]] * 2)
+    parsed = parse_nnunet_plans(p2d, "2d")
+    assert parsed["strides"] == ((1, 1, 1), (1, 2, 2))
+    assert parsed["kernel_sizes"] == ((1, 3, 3), (1, 3, 3))
+    assert parsed["norm"] == "instance" and parsed["act"] == "leaky_relu"
+
+
 def test_prediction_crops():
     from pytorch_connectomics_tpu.inference.prediction_crops import (
         affinity_border_mask,
