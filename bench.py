@@ -149,6 +149,25 @@ def main():
     breakdown = os.environ.get("BENCH_BREAKDOWN") == "1"
     headline_patchify = os.environ.get("BENCH_ARCH", "").lower() == "patchify"
 
+    # A wedged TPU tunnel can make backend init HANG (not error) — probe it
+    # out-of-process with a timeout so the bench reports the outage instead
+    # of hanging the driver (same guard as __graft_entry__.dryrun_multichip).
+    from __graft_entry__ import _count_default_devices_subprocess
+
+    if _count_default_devices_subprocess(timeout_s=120.0) < 1:
+        print(
+            "[bench] default backend unavailable (TPU tunnel down/hung)",
+            file=sys.stderr,
+        )
+        print(json.dumps({
+            "metric": "sliding_window_inference_throughput",
+            "value": 0.0,
+            "unit": "Mvoxels/sec/chip",
+            "vs_baseline": 0.0,
+            "error": "tpu_backend_unavailable",
+        }))
+        return
+
     mvox_s = measure(headline_patchify, small, breakdown)
     out = {
         "metric": "sliding_window_inference_throughput",
