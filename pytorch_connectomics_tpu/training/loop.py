@@ -175,6 +175,13 @@ class Trainer:
     def fit(self, max_epochs: Optional[int] = None) -> Dict[str, float]:
         cfg = self.cfg
         max_epochs = max_epochs or cfg.optimization.max_epochs
+        max_steps = cfg.optimization.max_steps
+        if max_steps:
+            # step-based training (reference trainer.py:258-271): max_steps
+            # bounds the run; epochs become bookkeeping units
+            max_epochs = max(
+                max_epochs, -(-int(max_steps) // self.steps_per_epoch)
+            )
         train_pipe, val_pipe = build_pipelines(cfg)
         scalar_every = int((cfg.monitor.logging.scalar or {}).get("loss_every_n_steps", 50))
         b_shard = batch_sharding(self.mesh)
@@ -190,6 +197,8 @@ class Trainer:
         for epoch in range(start_epoch, max_epochs):
             losses = []
             for _ in range(self.steps_per_epoch):
+                if max_steps and int(self.state.step) >= int(max_steps):
+                    break
                 batch = next(it)
                 batch = shard_batch(batch, self.mesh)
                 if prof and not prof_active and int(self.state.step) >= prof[0]:
@@ -252,6 +261,9 @@ class Trainer:
             self.metrics_logger.log(int(self.state.step), epoch_metrics)
             self._save_epoch(epoch, epoch_metrics)
             self._maybe_visualize(epoch, val_pipe or train_pipe)
+            if max_steps and int(self.state.step) >= int(max_steps):
+                logger.info("max_steps %d reached", int(max_steps))
+                break
         return epoch_metrics
 
     def _maybe_visualize(self, epoch: int, pipe) -> None:

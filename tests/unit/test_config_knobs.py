@@ -180,3 +180,34 @@ train:
     cfg = load_config(p, mode="train")
     tr = Trainer(cfg, run_dir=tmp_path / "run")
     assert tr.steps_per_epoch == 8  # 32 samples / batch 4
+
+
+def test_max_steps_bounds_training(tmp_path):
+    """optimization.max_steps stops the run mid-epoch and extends past
+    max_epochs when larger (reference step-based training,
+    trainer.py:258-271)."""
+    from pytorch_connectomics_tpu.config.loader import load_config
+    from pytorch_connectomics_tpu.training.loop import Trainer
+
+    yaml = """
+experiment_name: msteps
+model:
+  arch: {type: monai_unet}
+  in_channels: 1
+  out_channels: 1
+  input_size: [8, 16, 16]
+  monai: {filters: [4, 8]}
+  loss: {losses: [{function: DiceLoss}]}
+data:
+  train: {image: "random://ms/im?shape=16x32x32", label: "random://ms/label?shape=16x32x32"}
+  dataloader: {batch_size: 8, patch_size: [8, 16, 16]}
+  label_transform: {targets: [{name: binary}]}
+train:
+  optimization: {max_epochs: 1, n_steps_per_epoch: 4, max_steps: 6}
+"""
+    p = tmp_path / "ms.yaml"
+    p.write_text(yaml)
+    cfg = load_config(p, mode="train")
+    tr = Trainer(cfg, run_dir=tmp_path / "run")
+    tr.fit()
+    assert int(tr.state.step) == 6  # 1.5 epochs: bounded by steps, not epochs
