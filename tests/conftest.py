@@ -3,8 +3,12 @@ import os
 # Force CPU with 8 virtual devices so multi-chip sharding logic is exercised
 # without TPU hardware (same trick as the driver's dryrun).
 os.environ["JAX_PLATFORMS"] = "cpu"
-# persistent compilation cache makes repeated suite runs much faster
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_cpu")
+# persistent compilation cache makes repeated suite runs much faster;
+# repo-local so it survives /tmp resets between sessions
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".cache", "jax_cpu"),
+)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
