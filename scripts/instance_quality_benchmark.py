@@ -158,8 +158,10 @@ def main():
         affinity_groups=[{"start": 0, "end": n_ch, "offsets": list(offsets)}],
     )
 
-    def apply_fn(v, x, train=False):
-        return model.apply(v, x)
+    def apply_fn(v, x, train=False, rngs=None):
+        # make_train_step passes train=True + a dropout rng stream; forward
+        # both (rngs is unused by dropout-free MedNeXt but must be accepted)
+        return model.apply(v, x, train=train, rngs=rngs)
 
     train_step = jax.jit(make_train_step(apply_fn, orch, tx))
     state = create_train_state(variables["params"], tx)
@@ -280,7 +282,8 @@ def main():
     }
     print(json.dumps(out), flush=True)
 
-    qfile = ROOT / "QUALITY.md"
+    # IQ_QUALITY_FILE overrides the tracking file (tests point it at a tmp path)
+    qfile = Path(os.environ.get("IQ_QUALITY_FILE") or ROOT / "QUALITY.md")
     header = "## Instance task (CREMI-style synthetic, affinity -> decode)"
     stamp = time.strftime("%Y-%m-%d %H:%M")
     tag = "pf" if os.environ.get("IQ_ARCH") == "patchify" else "base"

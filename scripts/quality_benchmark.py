@@ -124,8 +124,10 @@ def main():
     tx, _ = build_optimizer(opt_cfg, steps)
     orch = LossOrchestrator(cfg.loss)
 
-    def apply_fn(v, x, train=False):
-        return model.apply(v, x)
+    def apply_fn(v, x, train=False, rngs=None):
+        # make_train_step passes train=True + a dropout rng stream; forward
+        # both (rngs is unused by dropout-free MedNeXt but must be accepted)
+        return model.apply(v, x, train=train, rngs=rngs)
 
     train_step = jax.jit(make_train_step(apply_fn, orch, tx))
     state = create_train_state(variables["params"], tx)
@@ -206,7 +208,8 @@ def main():
         },
     }
     print(json.dumps(result), flush=True)
-    qfile = ROOT / "QUALITY.md"
+    # QB_QUALITY_FILE overrides the tracking file (tests point it at a tmp path)
+    qfile = Path(os.environ.get("QB_QUALITY_FILE") or ROOT / "QUALITY.md")
     stamp = time.strftime("%Y-%m-%d %H:%M")
     task_tag = f"v{task}"
     if os.environ.get("QB_ARCH") == "patchify":

@@ -76,8 +76,10 @@ def main():
     tx, _ = build_optimizer(opt_cfg, steps)
     orch = LossOrchestrator(cfg.loss)
 
-    def apply_fn(v, x, train=False):
-        return model.apply(v, x)
+    def apply_fn(v, x, train=False, rngs=None):
+        # make_train_step passes train=True + a dropout rng stream; forward
+        # both (rngs is unused by dropout-free MedNeXt but must be accepted)
+        return model.apply(v, x, train=train, rngs=rngs)
 
     train_step = jax.jit(make_train_step(apply_fn, orch, tx))
     state = create_train_state(variables["params"], tx)

@@ -12,8 +12,9 @@ REPO = Path(__file__).resolve().parents[2]
 
 
 def run(args, **kw):
+    kw.setdefault("timeout", 300)
     return subprocess.run(
-        [sys.executable] + args, cwd=REPO, capture_output=True, text=True, timeout=300, **kw
+        [sys.executable] + args, cwd=REPO, capture_output=True, text=True, **kw
     )
 
 
@@ -200,3 +201,46 @@ def test_downsample_modes_and_chunked_equivalence(vol_h5, tmp_path):
     with h5py.File(tmp_path / "l.h5") as f:
         lab = f["main"][:]
     assert set(np.unique(lab)) <= {0, 1, 2}
+
+
+def test_benchmark_script_apply_fns_accept_train_step_kwargs():
+    """make_train_step calls apply_fn(v, x, train=True, rngs={...}); every
+    benchmark script's local wrapper must accept both (a wrapper without
+    ``rngs`` crashed the blob benchmark live after dropout wiring landed)."""
+    for name in (
+        "quality_benchmark.py",
+        "blob_quality_benchmark.py",
+        "instance_quality_benchmark.py",
+        "train_bench.py",
+    ):
+        src = (REPO / "scripts" / name).read_text()
+        assert "def apply_fn(v, x, train=False, rngs=None):" in src, name
+
+
+@pytest.mark.slow
+def test_quality_benchmark_smoke_cpu(tmp_path):
+    """End-to-end quality benchmark on CPU at tiny settings: exercises the
+    real make_train_step -> sliding-window -> Jaccard path the TPU runs,
+    writing its tracking row to a tmp file instead of QUALITY.md."""
+    qfile = tmp_path / "quality.md"
+    r = run(
+        ["scripts/quality_benchmark.py"],
+        env={
+            **__import__("os").environ,
+            "QB_PLATFORM": "cpu",
+            "QB_STEPS": "2",
+            "QB_PATCH": "32",
+            "QB_BATCH": "2",
+            "QB_TRAIN_SHAPE": "32,64,64",
+            "QB_TEST_SHAPE": "32,64,64",
+            "QB_TTA": "0",
+            "QB_QUALITY_FILE": str(qfile),
+        },
+        timeout=1200,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert out["metric"] == "synthetic_v2_jaccard"
+    assert 0.0 <= out["value"] <= 1.0
+    assert qfile.exists() and "| 2 |" in qfile.read_text()
