@@ -233,6 +233,10 @@ class MedNeXtConfig:
     # embed (exact space-to-depth); 4 = overlapping (k=4, s=2), same cost
     # class, keeps more fine detail
     patchify_kernel: int = 2
+    # per-axis stem stride; [1, 2, 2] keeps z full-res (EM anisotropy):
+    # 4x voxel reduction instead of 8x — between stock and isotropic
+    # patchify on both throughput and quality
+    patchify_stride: Optional[List[int]] = None
     # head for the patchify variant: "linear" = one 2x transposed conv
     # (each output voxel is a linear readout of its patch feature);
     # "refine" = 2x transposed conv to a small full-res feature map,
@@ -564,10 +568,29 @@ class SchedulerConfig:
 
 
 @dataclass
+class DistillConfig:
+    """Knowledge distillation from a frozen teacher (training/distill.py).
+
+    TPU-native extension (no reference counterpart): the round-3 patchify
+    throughput variant trails the stock model on quality; distilling the
+    converged stock teacher into the fast student is the closing lever."""
+
+    # flax msgpack file or Orbax checkpoint dir; None disables distillation
+    teacher_checkpoint: Optional[str] = None
+    # dict merged over the student ModelConfig to build the teacher
+    # (e.g. {"mednext": {"patchify_stem": false}})
+    teacher_model: Optional[Dict[str, Any]] = None
+    alpha: float = 0.5  # total = (1-alpha)*hard + alpha*distill
+    temperature: float = 2.0
+    mode: str = "sigmoid"  # "sigmoid" soft targets | "mse" logit matching
+
+
+@dataclass
 class OptimizationConfig:
     __extra_ok__ = True
 
     profile: Optional[str] = None
+    distill: DistillConfig = field(default_factory=DistillConfig)
     optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
     scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
     max_epochs: int = 100

@@ -141,6 +141,8 @@ class MedNeXtTaskHead(nn.Module):
     # transposed-conv kernel edge for the upsample path (MedNeXt.patchify_kernel;
     # stride stays 2 — k>2 gives an overlapping readout)
     up_kernel: int = 2
+    # per-axis upsample stride (mirrors MedNeXt.patchify_stride)
+    up_stride: Tuple[int, int, int] = (2, 2, 2)
     # raw-input-guided full-res refinement (see MedNeXt.patchify_head)
     refine: bool = False
     refine_width: int = 16
@@ -155,8 +157,8 @@ class MedNeXtTaskHead(nn.Module):
             )(x)
         if self.upsample:
             k = self.up_kernel
-            pk = (1, k, k) if self.two_d else (k, k, k)
-            ps = (1, 2, 2) if self.two_d else (2, 2, 2)
+            ps = (1, 2, 2) if self.two_d else tuple(self.up_stride)
+            pk = tuple(1 if s == 1 else k for s in ps)
             if self.refine and ref is not None:
                 x = nn.ConvTranspose(
                     self.refine_width, kernel_size=pk, strides=ps,
@@ -194,6 +196,10 @@ class MedNeXt(nn.Module):
     # TPU throughput variant (schema MedNeXtConfig.patchify_stem).
     patchify_stem: bool = False
     patchify_kernel: int = 2
+    # per-axis stem stride: (1,2,2) keeps z full-res (EM anisotropy — 4x
+    # voxel reduction instead of 8x, between stock and isotropic patchify
+    # on both cost and quality). schema MedNeXtConfig.patchify_stride
+    patchify_stride: Tuple[int, int, int] = (2, 2, 2)
     # "linear" (one 2x ConvTranspose) or "refine" (full-res pointwise
     # refinement guided by the raw input — schema MedNeXtConfig.patchify_head)
     patchify_head: str = "linear"
@@ -226,8 +232,8 @@ class MedNeXt(nn.Module):
                              act_mesh=am, act_spec=asp, name="full_res_down")(x)
         elif self.patchify_stem:
             k = self.patchify_kernel
-            pk = (1, k, k) if self.two_d else (k, k, k)
-            ps = (1, 2, 2) if self.two_d else (2, 2, 2)
+            ps = (1, 2, 2) if self.two_d else tuple(self.patchify_stride)
+            pk = tuple(1 if s == 1 else k for s in ps)
             x = nn.Conv(C, pk, strides=ps, padding="SAME", dtype=self.dtype,
                         name="stem")(x)
         else:
@@ -278,8 +284,8 @@ class MedNeXt(nn.Module):
         def project(h, out_ch, name):
             if head_upsamples:
                 k = self.patchify_kernel
-                pk = (1, k, k) if self.two_d else (k, k, k)
-                ps = (1, 2, 2) if self.two_d else (2, 2, 2)
+                ps = (1, 2, 2) if self.two_d else tuple(self.patchify_stride)
+                pk = tuple(1 if s == 1 else k for s in ps)
                 if self.patchify_head == "refine":
                     w = self.patchify_head_width
                     h = nn.ConvTranspose(
@@ -304,6 +310,7 @@ class MedNeXt(nn.Module):
                     out_ch, nblocks, 2, self.kernel, self.norm, self.dtype,
                     two_d=self.two_d, upsample=head_upsamples,
                     up_kernel=self.patchify_kernel,
+                    up_stride=tuple(self.patchify_stride),
                     refine=self.patchify_head == "refine",
                     refine_width=self.patchify_head_width,
                     name=f"head_{name}"
@@ -352,6 +359,7 @@ def build_mednext(model_cfg):
         heads=heads,
         patchify_stem=bool(getattr(m, "patchify_stem", False)),
         patchify_kernel=int(getattr(m, "patchify_kernel", 2)),
+        patchify_stride=tuple(getattr(m, "patchify_stride", None) or (2, 2, 2)),
         patchify_head=str(getattr(m, "patchify_head", "linear")),
         patchify_head_width=int(getattr(m, "patchify_head_width", 16)),
         patchify_full_res_width=getattr(m, "patchify_full_res_width", None),

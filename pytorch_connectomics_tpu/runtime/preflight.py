@@ -44,6 +44,22 @@ def preflight_check(cfg: Config, mode: str = "train") -> List[str]:
         for c, ww in zip(ch.chunk_size, w):
             if c < ww:
                 raise ValueError(f"chunk_size {ch.chunk_size} smaller than window {w}")
+    # patchify stem: each spatial axis must divide by stem_stride * 2^4
+    # (4 encoder downs) or decoder skip adds fail with a shape error
+    if m.arch.type == "mednext" and getattr(m.mednext, "patchify_stem", False):
+        stride = list(getattr(m.mednext, "patchify_stride", None) or (2, 2, 2))
+        for size in filter(None, [m.input_size, w]):
+            for s, n in zip(stride, size):
+                if n % (s * 16):
+                    raise ValueError(
+                        f"patchify stem with stride {stride}: size {list(size)} "
+                        f"axis {n} must be divisible by {s * 16} "
+                        "(stem stride x 16 for the 4 encoder downsamples)"
+                    )
+    # mutex watershed over short-range-only affinities silently degrades to
+    # garbage (no repulsive edges — measured VOI 7.37 vs 0.45 with long-range,
+    # QUALITY.md): warn when no configured offset has a |component| > 1
+    warnings += _mutex_offset_issues(cfg)
     if mode == "train":
         dl = cfg.data.dataloader
         if dl.batch_size < 1:
@@ -91,6 +107,41 @@ def preflight_check(cfg: Config, mode: str = "train") -> List[str]:
     for msg in warnings:
         logger.warning("preflight: %s", msg)
     return warnings
+
+
+def _mutex_offset_issues(cfg: Config) -> List[str]:
+    """Warn on ``mutex_watershed`` decode steps whose affinity offsets are all
+    short-range: without |offset| > 1 repulsive edges the algorithm reduces to
+    plain agglomeration and over-merges badly (QUALITY.md: VOI 7.37 vs 0.45)."""
+    steps = cfg.decoding.steps or []
+    mutex_steps = [s for s in steps if (s.name or "") == "mutex_watershed"]
+    if not mutex_steps:
+        return []
+    from ..data.targets.affinity import parse_offsets
+
+    def _long_range(offs) -> bool:
+        try:
+            parsed = parse_offsets(offs)
+        except (ValueError, TypeError):
+            return True  # malformed → let the decoder raise its own error
+        return any(max(abs(c) for c in o) > 1 for o in parsed)
+
+    issues: List[str] = []
+    # offsets can come from the step kwargs or default to the affinity target's
+    for s in mutex_steps:
+        offs = (s.kwargs or {}).get("offsets")
+        if offs is None:
+            for t in cfg.data.label_transform.targets or []:
+                if t.name == "affinity":
+                    offs = (t.kwargs or {}).get("offsets")
+        if offs is not None and not _long_range(offs):
+            issues.append(
+                "mutex_watershed configured over short-range-only affinity "
+                f"offsets {list(offs)}: no repulsive (long-range) edges — "
+                "expect severe over-merging; add offsets with |component| > 1 "
+                "(e.g. [0,0,-9], [0,-9,0], [-4,0,0])"
+            )
+    return issues
 
 
 def _train_path_issues(cfg: Config) -> List[str]:

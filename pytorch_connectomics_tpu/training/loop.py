@@ -114,6 +114,15 @@ class Trainer:
                 from ..ops.augment_jax import build_device_augment_fn
 
                 augment_fn = build_device_augment_fn(cfg.data.augmentation)
+        from .distill import build_distill_spec
+
+        distill_spec = build_distill_spec(cfg.optimization.distill, cfg.model)
+        if distill_spec is not None:
+            logger.info(
+                "distillation on: teacher=%s alpha=%.2f T=%.1f",
+                cfg.optimization.distill.teacher_checkpoint,
+                distill_spec.alpha, distill_spec.temperature,
+            )
         self._train_step = jax.jit(
             make_train_step(
                 self.model.apply,
@@ -125,6 +134,7 @@ class Trainer:
                 balancing=balancing,
                 balancing_alpha=cfg.model.loss.balancing.alpha,
                 balancing_lr=cfg.model.loss.balancing.lr,
+                distill=distill_spec,
             ),
             donate_argnums=(0,),
         )

@@ -14,6 +14,8 @@ name order is filled; the rest is reported.
 from __future__ import annotations
 
 import logging
+import pickle
+import zipfile
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -21,19 +23,184 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
-def load_torch_state_dict(path: str, strip_prefixes: Tuple[str, ...] = ("model.", "module.", "network.")) -> Dict[str, np.ndarray]:
-    import torch
+# -- torch-free checkpoint reading -------------------------------------------
+#
+# A torch ``.pt/.pth/.ckpt`` (zip format, torch >= 1.6) is a zip archive of
+# ``<stem>/data.pkl`` (a pickle whose tensors are persistent-id references)
+# plus ``<stem>/data/<key>`` raw little-endian storage files. Reading it needs
+# no torch: a restricted Unpickler that resolves the storage references and
+# rebuilds numpy arrays (VERDICT r3 item 4 — torch may be absent in
+# deployment images; torch.load stays as the fallback for legacy non-zip
+# files). Reference counterpart: ``training/model_weights.py:14`` just calls
+# ``torch.load``.
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+_STORAGE_DTYPES = {
+    "FloatStorage": np.dtype("<f4"),
+    "DoubleStorage": np.dtype("<f8"),
+    "HalfStorage": np.dtype("<f2"),
+    "BFloat16Storage": np.dtype("<u2"),  # reinterpreted via ml_dtypes below
+    "LongStorage": np.dtype("<i8"),
+    "IntStorage": np.dtype("<i4"),
+    "ShortStorage": np.dtype("<i2"),
+    "CharStorage": np.dtype("<i1"),
+    "ByteStorage": np.dtype("<u1"),
+    "BoolStorage": np.dtype("?"),
+    "ComplexFloatStorage": np.dtype("<c8"),
+    "ComplexDoubleStorage": np.dtype("<c16"),
+}
+
+
+class _StorageRef:
+    __slots__ = ("dtype", "key", "numel", "is_bf16")
+
+    def __init__(self, dtype, key, numel, is_bf16=False):
+        self.dtype, self.key, self.numel, self.is_bf16 = dtype, key, numel, is_bf16
+
+
+class _StorageType:
+    """Stand-in returned by find_class for torch.<X>Storage references."""
+
+    def __init__(self, name):
+        self.name = name
+
+
+def _rebuild_tensor(storage: _StorageRef, offset, size, stride, *_args, **_kw):
+    return ("__tensor__", storage, offset, tuple(size), tuple(stride))
+
+
+def _rebuild_parameter(data, *_args, **_kw):
+    return data
+
+
+def _rebuild_from_type_v2(func, _new_type, args, _state):
+    # torch subclass rebuild wrapper: resolve the inner tensor, ignore type
+    return func(*args)
+
+
+class _TorchFreeUnpickler(pickle.Unpickler):
+    """Restricted unpickler: tensor storages + containers ONLY.
+
+    Anything else (arbitrary reduce of non-allowlisted classes) raises — the
+    torch-free path is strictly safer than ``torch.load`` with pickle."""
+
+    _ALLOWED = {
+        ("collections", "OrderedDict"),
+        ("torch._utils", "_rebuild_tensor_v2"),
+        ("torch._utils", "_rebuild_tensor"),
+        ("torch._utils", "_rebuild_parameter"),
+        ("torch._tensor", "_rebuild_from_type_v2"),
+    }
+
+    def find_class(self, module, name):
+        if (module, name) == ("collections", "OrderedDict"):
+            import collections
+
+            return collections.OrderedDict
+        if name in ("_rebuild_tensor_v2", "_rebuild_tensor"):
+            return _rebuild_tensor
+        if name == "_rebuild_parameter":
+            return _rebuild_parameter
+        if name == "_rebuild_from_type_v2":
+            return _rebuild_from_type_v2
+        if module.startswith("torch") and name.endswith("Storage"):
+            return _StorageType(name)
+        if module == "torch" and name in ("Tensor", "Size"):
+            # appear inside _rebuild_from_type_v2 metadata; never called
+            return _StorageType(name)
+        raise pickle.UnpicklingError(
+            f"torch-free reader: refusing to unpickle {module}.{name} "
+            "(only tensor storages and containers are allowed)"
+        )
+
+    def persistent_load(self, pid):
+        if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
+            raise pickle.UnpicklingError(f"unknown persistent id {pid!r}")
+        _tag, storage_type, key, _location, numel = pid
+        tname = storage_type.name if isinstance(storage_type, _StorageType) else str(storage_type)
+        if tname == "UntypedStorage":
+            # numel is in BYTES; element dtype comes from the tensor rebuild
+            return _StorageRef(np.dtype("<u1"), str(key), int(numel))
+        dt = _STORAGE_DTYPES.get(tname)
+        if dt is None:
+            raise pickle.UnpicklingError(f"unsupported storage type {tname}")
+        return _StorageRef(dt, str(key), int(numel), is_bf16=(tname == "BFloat16Storage"))
+
+
+def _materialize(obj, raw: Dict[str, bytes]):
+    """Resolve ``__tensor__`` placeholders into numpy arrays (strided view +
+    copy, so non-contiguous saves round-trip)."""
+    if isinstance(obj, tuple) and len(obj) == 5 and obj[0] == "__tensor__":
+        _t, ref, offset, size, stride = obj
+        buf = raw[ref.key]
+        arr = np.frombuffer(buf, dtype=ref.dtype)
+        itemsize = ref.dtype.itemsize
+        if size:
+            arr = np.lib.stride_tricks.as_strided(
+                arr[offset:],
+                shape=size,
+                strides=tuple(s * itemsize for s in stride),
+            ).copy()
+        else:  # 0-d
+            arr = arr[offset].copy() if arr.size else arr.copy()
+        if ref.is_bf16:
+            try:
+                import ml_dtypes
+
+                arr = arr.view(ml_dtypes.bfloat16).astype(np.float32)
+            except ImportError:  # widen manually: bf16 = high 16 bits of f32
+                arr = (arr.astype(np.uint32) << 16).view(np.float32)
+        return arr
+    if isinstance(obj, dict):
+        return type(obj)((k, _materialize(v, raw)) for k, v in obj.items())
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_materialize(v, raw) for v in obj)
+    return obj
+
+
+def read_torch_checkpoint(path: str) -> Any:
+    """Torch-free ``torch.load`` for zip-format checkpoints: returns the
+    pickled object tree with every tensor as a numpy array. Raises
+    ``UnpicklingError`` on non-tensor custom classes (restricted by design);
+    callers fall back to ``torch.load`` for legacy/exotic files."""
+    with zipfile.ZipFile(path) as zf:
+        names = zf.namelist()
+        pkl = next(n for n in names if n.endswith("data.pkl"))
+        stem = pkl[: -len("data.pkl")]
+        raw = {
+            n[len(stem) + len("data/"):]: zf.read(n)
+            for n in names
+            if n.startswith(stem + "data/")
+        }
+        import io
+
+        obj = _TorchFreeUnpickler(io.BytesIO(zf.read(pkl))).load()
+    return _materialize(obj, raw)
+
+
+def load_torch_state_dict(path: str, strip_prefixes: Tuple[str, ...] = ("model.", "module.", "network.")) -> Dict[str, np.ndarray]:
+    """Read a torch checkpoint's state dict as numpy arrays.
+
+    Torch-free zip reader first (works without torch installed); falls back
+    to ``torch.load`` for legacy serialization or pickles containing classes
+    the restricted reader refuses."""
+    try:
+        ckpt = read_torch_checkpoint(path)
+    except (zipfile.BadZipFile, pickle.UnpicklingError, KeyError, StopIteration) as e:
+        logger.info("torch-free reader failed (%s); falling back to torch.load", e)
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state = ckpt.get("state_dict", ckpt.get("model_state_dict", ckpt)) if isinstance(ckpt, dict) else ckpt
     out = {}
     for key, value in state.items():
-        if not hasattr(value, "numpy"):
+        if hasattr(value, "numpy"):  # torch tensor (fallback path)
+            value = value.detach().cpu().numpy()
+        if not isinstance(value, np.ndarray):
             continue
         for pre in strip_prefixes:
             if key.startswith(pre):
                 key = key[len(pre):]
-        out[key] = value.detach().cpu().numpy()
+        out[key] = value
     return out
 
 

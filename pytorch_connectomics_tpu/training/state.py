@@ -65,6 +65,7 @@ def make_train_step(
     balancing: Optional[str] = None,
     balancing_alpha: float = 1.5,
     balancing_lr: float = 0.025,
+    distill: Optional[Any] = None,
 ) -> Callable:
     """Returns ``train_step(state, batch) -> (state, logs)`` (pure, jittable).
 
@@ -74,6 +75,8 @@ def make_train_step(
     ``balancing="gradnorm"``: per-term weights live in ``state.balancer``
     (row 0 = weights, row 1 = initial losses) and update every step from
     loss-ratio training rates (reference ``losses/balancing.py:90``).
+    ``distill``: a ``training.distill.DistillSpec`` — runs the frozen teacher
+    forward inside the same XLA program and mixes its soft-target loss in.
     """
     gradnorm = balancing == "gradnorm"
 
@@ -93,6 +96,20 @@ def make_train_step(
             balancer_params=params.get("balancer"),
             term_weights=term_weights,
         )
+        if distill is not None:
+            from .distill import soft_target_loss
+
+            teacher_out = distill.apply_fn(
+                {"params": distill.params}, batch["image"]
+            )
+            d_loss = soft_target_loss(
+                out, teacher_out, temperature=distill.temperature,
+                mode=distill.mode,
+            )
+            logs["loss_hard"] = total
+            logs["loss_distill"] = d_loss
+            total = (1.0 - distill.alpha) * total + distill.alpha * d_loss
+            logs["loss_total"] = total
         return total, logs
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:

@@ -24,7 +24,10 @@ from pathlib import Path
 
 ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(Path(__file__).resolve().parents[1] / ".cache" / "jax"))
+# repo-local persistent cache, split by backend (CLAUDE.md): CPU runs must
+# not pollute the TPU cache dir
+_cache = "jax_cpu" if os.environ.get("QB_PLATFORM") == "cpu" else "jax"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(ROOT / ".cache" / _cache))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
@@ -91,6 +94,11 @@ def main():
             "mednext": {"size": "S", "kernel_size": 3,
                         "patchify_stem": os.environ.get("QB_ARCH") == "patchify",
                         "patchify_kernel": int(os.environ.get("QB_PATCHIFY_K", "2")),
+                        # QB_PATCHIFY_STRIDE=1,2,2: anisotropic stem (z stays
+                        # full-res; EM anisotropy argument)
+                        "patchify_stride": (
+                            [int(v) for v in os.environ["QB_PATCHIFY_STRIDE"].split(",")]
+                            if os.environ.get("QB_PATCHIFY_STRIDE") else None),
                         # QB_PATCHIFY_HEAD=refine: raw-input-guided full-res
                         # pointwise refinement head (quality-recovery lever)
                         "patchify_head": os.environ.get("QB_PATCHIFY_HEAD", "linear"),
@@ -129,7 +137,38 @@ def main():
         # both (rngs is unused by dropout-free MedNeXt but must be accepted)
         return model.apply(v, x, train=train, rngs=rngs)
 
-    train_step = jax.jit(make_train_step(apply_fn, orch, tx))
+    # QB_DISTILL_TEACHER=<msgpack>: distill a frozen stock-arch teacher into
+    # this model (QB_DISTILL_ALPHA / QB_DISTILL_TEMP / QB_DISTILL_MODE).
+    # Teacher arch = the same config with the patchify stem off.
+    distill_spec = None
+    if os.environ.get("QB_DISTILL_TEACHER"):
+        from pytorch_connectomics_tpu.training.distill import (
+            DistillSpec,
+            load_teacher_params,
+        )
+
+        t_cfg = build_dataclass(
+            ModelConfig,
+            {
+                "arch": {"type": "mednext"},
+                "in_channels": 1, "out_channels": 1,
+                "input_size": [patch] * 3,
+                "mednext": {"size": "S", "kernel_size": 3},
+                "loss": {"losses": [{"function": "BCEWithLogitsLoss"}]},
+                "compute_dtype": "bfloat16",
+            },
+        )
+        teacher = build_model(t_cfg)
+        t_params = load_teacher_params(os.environ["QB_DISTILL_TEACHER"])
+        distill_spec = DistillSpec(
+            apply_fn=lambda v, x: teacher.apply(v, x, train=False),
+            params=t_params,
+            alpha=float(os.environ.get("QB_DISTILL_ALPHA", "0.5")),
+            temperature=float(os.environ.get("QB_DISTILL_TEMP", "2.0")),
+            mode=os.environ.get("QB_DISTILL_MODE", "sigmoid"),
+        )
+
+    train_step = jax.jit(make_train_step(apply_fn, orch, tx, distill=distill_spec))
     state = create_train_state(variables["params"], tx)
 
     sample = jax.jit(
@@ -149,6 +188,19 @@ def main():
             if not np.isfinite(loss):
                 raise RuntimeError(f"non-finite loss at step {step}")
     train_s = time.time() - t0
+
+    # QB_SAVE_PARAMS=<path>: persist the trained weights (flax msgpack) so a
+    # later run can reuse them — e.g. as the distillation teacher
+    # (training/distill.py) or for decode-only sweeps. One-time ~25 MB fetch
+    # through the tunnel.
+    if os.environ.get("QB_SAVE_PARAMS"):
+        from flax import serialization
+
+        p = Path(os.environ["QB_SAVE_PARAMS"])
+        p.parent.mkdir(parents=True, exist_ok=True)
+        host_params = jax.device_get(state.params["model"])
+        p.write_bytes(serialization.to_bytes(host_params))
+        print(f"saved params -> {p} ({p.stat().st_size/1e6:.1f} MB)", flush=True)
 
     # ---- full sliding-window inference (overlap 0.5, bump) ----
     window = (patch,) * 3
@@ -220,6 +272,10 @@ def main():
             task_tag += "r"
         if os.environ.get("QB_PF_W0"):
             task_tag += f"h{os.environ['QB_PF_W0']}"
+        if os.environ.get("QB_PATCHIFY_STRIDE"):
+            task_tag += "s" + os.environ["QB_PATCHIFY_STRIDE"].replace(",", "")
+    if os.environ.get("QB_DISTILL_TEACHER"):
+        task_tag += f"/ds{os.environ.get('QB_DISTILL_ALPHA', '0.5')}"
     line = (
         f"| {stamp} | {task_tag} | {jac:.4f} | {steps} | {patch}^3 | "
         f"{'on' if tta else 'off'} | {jax.devices()[0].platform} | "
@@ -232,8 +288,8 @@ def main():
             "Jaccard) on the on-device synthetic EM task (data/synthetic_jax.py).\n"
             "Stand-in for the Lucchi++ headline (0.935) until real data can reach\n"
             "the TPU host; tracked round-over-round.\n\n"
-            "| date | jaccard | steps | patch | tta | platform | time |\n"
-            "|---|---|---|---|---|---|---|\n"
+            "| date | task | jaccard | steps | patch | tta | platform | time |\n"
+            "|---|---|---|---|---|---|---|---|\n"
         )
     with qfile.open("a") as f:
         f.write(line)

@@ -143,6 +143,67 @@ def test_preflight_checks():
     assert isinstance(preflight_check(cfg, "train"), list)
 
 
+def test_preflight_patchify_divisibility():
+    from pytorch_connectomics_tpu.config import load_config
+    from pytorch_connectomics_tpu.runtime.preflight import preflight_check
+
+    def _cfg(input_size, stride=None):
+        return load_config(raw_dict={
+            "model": {
+                "arch": {"type": "mednext"},
+                "input_size": input_size,
+                "mednext": {"size": "S", "patchify_stem": True,
+                            "patchify_stride": stride},
+                "loss": {"losses": [{"function": "DiceLoss"}]},
+            },
+            "data": {"train": {"image": "random://pf/im", "label": "random://pf/lb"},
+                     "dataloader": {"patch_size": input_size}},
+        }, mode="train")
+
+    # 64^3 divides 2*16 on every axis — ok
+    preflight_check(_cfg([64, 64, 64]), "train")
+    # 48 does not divide 32 — raises
+    with pytest.raises(ValueError, match="divisible"):
+        preflight_check(_cfg([48, 64, 64]), "train")
+    # aniso stride (1,2,2): z only needs /16 — 48 is fine on z
+    preflight_check(_cfg([48, 64, 64], stride=[1, 2, 2]), "train")
+    with pytest.raises(ValueError, match="divisible"):
+        preflight_check(_cfg([48, 64, 48], stride=[1, 2, 2]), "train")
+
+
+def test_preflight_mutex_short_range_warns():
+    from pytorch_connectomics_tpu.config import load_config
+    from pytorch_connectomics_tpu.runtime.preflight import preflight_check
+
+    def _cfg(offsets, step_offsets=None):
+        kw = {"offsets": step_offsets} if step_offsets else {}
+        return load_config(raw_dict={
+            "model": {"arch": {"type": "mednext"}, "input_size": [64, 64, 64],
+                      "out_channels": len(offsets),
+                      "loss": {"losses": [{"function": "DiceLoss"}]}},
+            "data": {
+                "train": {"image": "random://pf/im", "label": "random://pf/lb"},
+                "dataloader": {"patch_size": [64, 64, 64]},
+                "label_transform": {
+                    "targets": [{"name": "affinity",
+                                 "kwargs": {"offsets": offsets}}]},
+            },
+            "decoding": {"enabled": True,
+                         "steps": [{"name": "mutex_watershed", "kwargs": kw}]},
+        }, mode="train")
+
+    short = [[0, 0, 1], [0, 1, 0], [1, 0, 0]]
+    warns = preflight_check(_cfg(short), "train")
+    assert any("mutex_watershed" in w for w in warns)
+    # long-range offsets present -> no mutex warning
+    long_r = short + [[0, 0, -9], [0, -9, 0], [-4, 0, 0]]
+    warns = preflight_check(_cfg(long_r), "train")
+    assert not any("mutex_watershed" in w for w in warns)
+    # step-level offsets override the target's
+    warns = preflight_check(_cfg(short, step_offsets=long_r), "train")
+    assert not any("mutex_watershed" in w for w in warns)
+
+
 def test_nnunet_anisotropic_plans(tmp_path):
     """Real nnU-Net plans use anisotropic strides, non-cubic kernels, and
     per-stage conv counts — the loader must honor all three (reference
