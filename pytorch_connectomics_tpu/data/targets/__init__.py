@@ -1,5 +1,6 @@
 from .affinity import (  # noqa: F401
     affinity_channel_groups,
+    affinity_unlabeled_mask,
     affinity_valid_mask,
     max_offset_pad,
     parse_offsets,

@@ -48,20 +48,22 @@ def parse_offsets(offsets: Sequence[Union[str, Sequence[int]]]) -> List[Offset]:
     return out
 
 
-def _shifted_pair(seg: np.ndarray, off: Offset) -> Tuple[np.ndarray, np.ndarray]:
-    """Views of (seg, seg shifted by off) over the overlapping region, plus
-    the slices locating that region in the full array."""
-    sl_a = []
-    sl_b = []
+def _storage_slices(seg_shape, off: Offset, affinity_mode: str):
+    """(src, dst, storage) slice tuples for one offset. ``deepem`` stores the
+    edge at the destination (high-end) voxel, ``banis`` at the source voxel
+    (reference ``affinity.py:345-366``)."""
+    src = []
+    dst = []
     for d, o in enumerate(off):
-        n = seg.shape[d]
+        n = seg_shape[d]
         if o >= 0:
-            sl_a.append(slice(o, n))
-            sl_b.append(slice(0, n - o))
+            src.append(slice(0, n - o))
+            dst.append(slice(o, n))
         else:
-            sl_a.append(slice(0, n + o))
-            sl_b.append(slice(-o, n))
-    return seg[tuple(sl_a)], seg[tuple(sl_b)]
+            src.append(slice(-o, n))
+            dst.append(slice(0, n + o))
+    storage = dst if affinity_mode == "deepem" else src
+    return tuple(src), tuple(dst), tuple(storage)
 
 
 def seg_to_affinity(
@@ -72,23 +74,54 @@ def seg_to_affinity(
 ) -> np.ndarray:
     """Compute affinity channels, one per offset; shape ``(C, Z, Y, X)``.
 
-    ``deepem`` mode: affinity at voxel p for offset o is defined at position p
-    (the "high" end) and requires both endpoints nonzero and equal.
+    ``deepem`` stores each edge at the destination (high-end) voxel, ``banis``
+    at the source voxel; both require endpoints equal and the storage voxel
+    nonzero (reference ``affinity.py:408`` — bit-parity locked by
+    ``tests/unit/test_target_parity.py``). ``seg == -1`` marks unlabeled
+    voxels (never foreground); use :func:`affinity_unlabeled_mask` for the
+    matching validity mask.
     """
     seg = np.asarray(seg)
     if seg.ndim == 4:
         seg = seg[0]
+    if affinity_mode not in ("deepem", "banis"):
+        raise ValueError(f"unknown affinity_mode {affinity_mode!r}")
     offs = parse_offsets(offsets)
     aff = np.zeros((len(offs),) + seg.shape, dtype=dtype)
     for c, off in enumerate(offs):
-        a, b = _shifted_pair(seg, off)
-        match = (a == b) & (a > 0)
-        sl_a = []
-        for d, o in enumerate(off):
-            n = seg.shape[d]
-            sl_a.append(slice(o, n) if o >= 0 else slice(0, n + o))
-        aff[(c,) + tuple(sl_a)] = match.astype(dtype)
+        if all(o == 0 for o in off):
+            aff[c] = (seg > 0).astype(dtype)
+            continue
+        src, dst, storage = _storage_slices(seg.shape, off, affinity_mode)
+        match = (seg[src] == seg[dst]) & (seg[storage] > 0)
+        aff[(c,) + storage] = match.astype(dtype)
     return aff
+
+
+def affinity_unlabeled_mask(
+    seg: np.ndarray,
+    offsets: Sequence[Union[str, Sequence[int]]],
+    affinity_mode: str = "deepem",
+    dtype=np.float32,
+) -> np.ndarray:
+    """Per-channel validity mask: edges whose BOTH endpoints are labeled
+    (``seg != -1``) and lie inside the volume, stored at the mode's storage
+    voxel (reference ``seg_to_affinity`` mask semantics, ``affinity.py:454``).
+    Supersedes :func:`affinity_valid_mask` when the labels carry -1 ignore
+    voxels."""
+    seg = np.asarray(seg)
+    if seg.ndim == 4:
+        seg = seg[0]
+    offs = parse_offsets(offsets)
+    labeled = seg != -1
+    mask = np.zeros((len(offs),) + seg.shape, dtype=dtype)
+    for c, off in enumerate(offs):
+        if all(o == 0 for o in off):
+            mask[c] = labeled.astype(dtype)
+            continue
+        src, dst, storage = _storage_slices(seg.shape, off, affinity_mode)
+        mask[(c,) + storage] = (labeled[src] & labeled[dst]).astype(dtype)
+    return mask
 
 
 def affinity_valid_mask(

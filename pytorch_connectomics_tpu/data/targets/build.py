@@ -63,8 +63,10 @@ def _t_affinity(seg, offsets=None, affinity_mode="deepem", **kw):
 
 
 @register_target("instance_boundary")
-def _t_boundary(seg, thickness=1, mode="3d", **kw):
-    return _chan(instance_boundary_mask(seg, thickness, mode).astype(np.float32))
+def _t_boundary(seg, thickness=1, mode="3d", edge_mode=None, **kw):
+    return _chan(
+        instance_boundary_mask(seg, thickness, mode, edge_mode).astype(np.float32)
+    )
 
 
 @register_target("instance_edt")
@@ -93,8 +95,9 @@ def _t_lsd(seg, sigma=(5.0, 5.0, 5.0), **kw):
 
 
 @register_target("polarity")
-def _t_pol(seg, **kw):
-    return seg_to_polarity(seg)
+def _t_pol(seg, exclusive=False, **kw):
+    out = seg_to_polarity(seg, exclusive=exclusive)
+    return out[None].astype(np.float32) if exclusive else out
 
 
 @register_target("small_object")

@@ -134,27 +134,81 @@ def skeleton_aware_edt(
     return out
 
 
-def instance_boundary_mask(seg: np.ndarray, thickness: int = 1, mode: str = "3d") -> np.ndarray:
-    """Boundary voxels between different instances / background
-    (reference ``processing/target.py:53-178`` shift-based boundary)."""
-    seg = np.asarray(seg)
-    if seg.ndim == 4:
-        seg = seg[0]
+def _boundary_shift(seg: np.ndarray, axes, edge_mode: str) -> np.ndarray:
+    """Shift-and-compare boundary over ``axes``; both neighbors of a differing
+    pair are marked (reference ``target.py:53-120``). Edge modes:
+    ``all`` = every label change; ``seg-all`` = changes touching foreground;
+    ``seg-no-bg`` = changes between two foreground instances only."""
     boundary = np.zeros(seg.shape, dtype=bool)
-    axes = (1, 2) if mode == "2d" else (0, 1, 2)
     for ax in axes:
         a = np.swapaxes(seg, 0, ax)
         b = np.zeros_like(a, dtype=bool)
-        diff = a[1:] != a[:-1]
+        lo, hi = a[:-1], a[1:]
+        if edge_mode == "all":
+            diff = lo != hi
+        elif edge_mode == "seg-all":
+            diff = (lo != hi) & ((lo > 0) | (hi > 0))
+        elif edge_mode == "seg-no-bg":
+            diff = (lo != hi) & (lo > 0) & (hi > 0)
+        else:
+            raise ValueError(f"unknown edge_mode {edge_mode!r}")
         b[1:] |= diff
         b[:-1] |= diff
         boundary |= np.swapaxes(b, 0, ax)
-    boundary &= seg > 0
-    if thickness > 1:
-        st = ndimage.generate_binary_structure(3, 1)
-        boundary = ndimage.binary_dilation(boundary, st, iterations=thickness - 1)
-        boundary &= seg > 0
     return boundary
+
+
+def _boundary_morph(seg: np.ndarray, thickness: int, edge_mode: str) -> np.ndarray:
+    """Thickness>1 boundaries via grey erosion/dilation over a box window of
+    edge ``thickness`` (reference ``target.py:146-157``)."""
+    if edge_mode == "all":
+        eroded = ndimage.grey_erosion(seg, thickness, mode="reflect")
+        return seg != eroded
+    if edge_mode == "seg-all":
+        eroded = ndimage.grey_erosion(seg, thickness, mode="reflect")
+        return (seg > 0) & (seg != eroded)
+    if edge_mode == "seg-no-bg":
+        dilated = ndimage.grey_dilation(seg, thickness, mode="reflect")
+        masked = np.where(seg > 0, dilated, np.inf)
+        eroded = ndimage.grey_erosion(masked, thickness, mode="reflect")
+        return (seg > 0) & (dilated != eroded)
+    raise ValueError(f"unknown edge_mode {edge_mode!r}")
+
+
+def instance_boundary_mask(
+    seg: np.ndarray,
+    thickness: int = 1,
+    mode: str = "3d",
+    edge_mode: Optional[str] = None,
+) -> np.ndarray:
+    """Boundary voxels between different instances / background.
+
+    ``edge_mode=None`` keeps the historic behavior (any label change,
+    restricted to foreground, isotropic dilation for thickness>1 — what the
+    bcd decoder trains against). ``"all" | "seg-all" | "seg-no-bg"``
+    reproduce the reference bit-exactly (``processing/target.py:122-178``;
+    locked by ``tests/unit/test_target_parity.py``), including its
+    box-window grey-morphology thickness semantics."""
+    seg = np.asarray(seg)
+    if seg.ndim == 4:
+        seg = seg[0]
+    axes = (1, 2) if mode == "2d" else (0, 1, 2)
+    if edge_mode is None:
+        boundary = _boundary_shift(seg, axes, "all")
+        boundary &= seg > 0
+        if thickness > 1:
+            st = ndimage.generate_binary_structure(3, 1)
+            boundary = ndimage.binary_dilation(boundary, st, iterations=thickness - 1)
+            boundary &= seg > 0
+        return boundary
+    if thickness == 1:
+        return _boundary_shift(seg, axes, edge_mode)
+    if mode == "2d":
+        out = np.zeros(seg.shape, dtype=bool)
+        for z in range(seg.shape[0]):
+            out[z] = _boundary_morph(seg[z], thickness, edge_mode)
+        return out
+    return _boundary_morph(seg, thickness, edge_mode)
 
 
 def seg_erosion_instance(seg: np.ndarray, tsz_h=1) -> np.ndarray:

@@ -40,14 +40,17 @@ def _aggregate(arr: np.ndarray, sigma_vox, mode: str) -> np.ndarray:
         return ndimage.gaussian_filter(
             arr, sigma=sigma_vox, mode="constant", cval=0.0, truncate=_TRUNCATE
         )
-    # sphere: isotropic binary ball, normalized so a full window -> 1
+    # sphere: UNNORMALIZED binary ball over the reference's even support
+    # ``arange(-r, r)`` (reference ``lsd.py:395`` _make_sphere — parity-locked;
+    # the count normalization cancels in every ratio channel and the raw size
+    # channel is clipped to [0, 1] downstream)
     r = sigma_vox[0]
     if any(abs(s - r) > 1e-9 for s in sigma_vox):
         raise ValueError("mode='sphere' requires isotropic sigma/voxel_size")
-    r = max(1, int(round(r)))
-    grids = np.meshgrid(*([np.arange(-r, r + 1)] * arr.ndim), indexing="ij")
+    r = max(1, int(r))
+    grids = np.meshgrid(*([np.arange(-r, r)] * arr.ndim), indexing="ij")
     ball = (sum(g**2 for g in grids) <= r * r).astype(np.float32)
-    return ndimage.convolve(arr, ball / ball.sum(), mode="constant", cval=0.0)
+    return ndimage.convolve(arr, ball, mode="constant", cval=0.0)
 
 
 def _downsample(seg: np.ndarray, df: int) -> np.ndarray:
@@ -137,10 +140,13 @@ def seg_to_lsd(
             cov = _aggregate(m * c[a] * c[b], sigma_vox, mode) / count_safe - mean[a] * mean[b]
             pear.append(cov / np.sqrt(var[a] * var[b]))
 
+        # farthest weighted voxel: ~sigma for gaussian, ball radius = sigma/2
+        # for the reference's even-support sphere (reference lsd.py:170-175)
+        max_dist = sig if mode == "gaussian" else tuple(0.5 * s for s in sig)
         for slot, comp in enumerate(sel):
             if comp < n_off:
                 d = comp
-                val = (mean[d] - c[d]) / sig[d] * 0.5 + 0.5
+                val = (mean[d] - c[d]) / max_dist[d] * 0.5 + 0.5
             elif comp < n_off + n_var:
                 d = comp - n_off
                 val = var[d] / sig[d] ** 2

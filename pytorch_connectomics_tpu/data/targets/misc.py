@@ -18,14 +18,23 @@ def seg_to_binary(seg: np.ndarray, dtype=np.float32) -> np.ndarray:
     return (np.asarray(seg) > 0).astype(dtype)
 
 
-def seg_to_polarity(seg: np.ndarray, dtype=np.float32) -> np.ndarray:
-    """Synaptic polarity: 3 channels (pre, post, union). Convention follows
-    the reference (odd ids = pre, even ids = post; ``target.py:218``)."""
+def seg_to_polarity(
+    seg: np.ndarray, exclusive: bool = False, dtype=np.float32
+) -> np.ndarray:
+    """Synaptic polarity. Convention follows the reference (odd ids = pre,
+    even ids = post; ``target.py:218``; parity-locked by
+    ``tests/unit/test_target_parity.py``).
+
+    ``exclusive=False``: 3 non-exclusive channels (pre, post, union) for BCE.
+    ``exclusive=True``: single-channel int64 classes {0: bg, 1: pre, 2: post}
+    for CE."""
     seg = np.asarray(seg)
     if seg.ndim == 4:
         seg = seg[0]
     pre = (seg > 0) & (seg % 2 == 1)
     post = (seg > 0) & (seg % 2 == 0)
+    if exclusive:
+        return np.maximum(pre.astype(np.int64), 2 * post.astype(np.int64))
     return np.stack([pre, post, pre | post]).astype(dtype)
 
 
