@@ -299,7 +299,9 @@ class LossTermConfig:
 
 @dataclass
 class LossBalancingConfig:
-    method: Optional[str] = None  # uncertainty | gradnorm | None
+    # uncertainty | gradnorm (loss-ratio approx) | gradnorm_exact (measured
+    # per-term gradient norms at the trunk/head boundary) | None
+    method: Optional[str] = None
     alpha: float = 1.5
     lr: float = 0.025
 

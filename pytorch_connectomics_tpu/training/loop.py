@@ -93,7 +93,11 @@ class Trainer:
             self.tx,
             ema=cfg.monitor.ema.enabled,
             num_balancer_terms=(self.orchestrator.num_terms if balancing == "uncertainty" else 0),
-            gradnorm_terms=(self.orchestrator.num_terms if balancing == "gradnorm" else 0),
+            gradnorm_terms=(
+                self.orchestrator.num_terms
+                if balancing in ("gradnorm", "gradnorm_exact")
+                else 0
+            ),
         )
         # shardings: state replicated, batch split on data axis
         self._state_sharding = jax.tree.map(lambda _: replicated(self.mesh), self.state)

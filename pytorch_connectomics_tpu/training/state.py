@@ -75,10 +75,14 @@ def make_train_step(
     ``balancing="gradnorm"``: per-term weights live in ``state.balancer``
     (row 0 = weights, row 1 = initial losses) and update every step from
     loss-ratio training rates (reference ``losses/balancing.py:90``).
+    ``balancing="gradnorm_exact"``: same state, but the update uses MEASURED
+    per-term gradient norms at the trunk/head boundary (one loss-only
+    backward per term — see ``losses/balancing.py``).
     ``distill``: a ``training.distill.DistillSpec`` — runs the frozen teacher
     forward inside the same XLA program and mixes its soft-target loss in.
     """
-    gradnorm = balancing == "gradnorm"
+    gradnorm = balancing in ("gradnorm", "gradnorm_exact")
+    gradnorm_exact = balancing == "gradnorm_exact"
 
     def loss_fn(params, batch, term_weights, step):
         # dropout rng keyed by the step counter: deterministic, resumable,
@@ -110,6 +114,10 @@ def make_train_step(
             logs["loss_distill"] = d_loss
             total = (1.0 - distill.alpha) * total + distill.alpha * d_loss
             logs["loss_total"] = total
+        if gradnorm_exact:
+            # surface the model outputs (aux, non-differentiated) so the
+            # step can measure per-term gradient norms without a re-forward
+            logs["_out"] = jax.lax.stop_gradient(out)
         return total, logs
 
     def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -132,16 +140,42 @@ def make_train_step(
                 params["model"],
             )
         balancer = state.balancer
+        model_out = logs.pop("_out", None)
         if gradnorm and balancer is not None:
-            from ..losses.balancing import gradnorm_weights
+            from ..losses.balancing import gradnorm_exact_weights, gradnorm_weights
 
             term_losses = [logs[f"loss_{t.name}"] for t in orchestrator.terms]
             current = jnp.stack(term_losses)
             initial = jnp.where(state.step == 0, current, balancer[1])
-            new_w = gradnorm_weights(
-                term_losses, initial, balancer[0],
-                alpha=balancing_alpha, lr=balancing_lr,
-            )
+            if gradnorm_exact and model_out is not None:
+                # per-term gradient norms at the trunk/head boundary:
+                # d loss_i / d model_output — a loss-only backward per term
+                # (elementwise; no conv backward), reference semantics of
+                # balancing.py:140 (autograd.grad per loss on shared params)
+                def _term_loss_of_out(o, i):
+                    _, lg = orchestrator(
+                        o, batch.get("label"), mask=batch.get("mask"),
+                        weight=batch.get("weight"),
+                    )
+                    return lg[f"loss_{orchestrator.terms[i].name}"]
+
+                g_norms = jnp.stack([
+                    optax.global_norm(
+                        jax.grad(_term_loss_of_out)(model_out, i)
+                    )
+                    for i in range(len(orchestrator.terms))
+                ])
+                new_w = gradnorm_exact_weights(
+                    g_norms, term_losses, initial, balancer[0],
+                    alpha=balancing_alpha, lr=balancing_lr,
+                )
+                for i, t in enumerate(orchestrator.terms):
+                    logs[f"gradnorm_g_{t.name}"] = g_norms[i]
+            else:
+                new_w = gradnorm_weights(
+                    term_losses, initial, balancer[0],
+                    alpha=balancing_alpha, lr=balancing_lr,
+                )
             balancer = jnp.stack([new_w, initial])
             for i, t in enumerate(orchestrator.terms):
                 logs[f"gradnorm_w_{t.name}"] = new_w[i]

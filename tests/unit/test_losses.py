@@ -211,6 +211,73 @@ def test_gradnorm_balancing_updates_weights():
     assert float(state.balancer[1, 0]) > 0.0
 
 
+def test_gradnorm_exact_reweights_on_gradient_scale():
+    """VERDICT r3 item 6 done-criterion: two terms with EQUAL loss values but
+    ~10x different gradient norms — only the exact balancer (measured grads)
+    reweights; the loss-ratio approximation cannot tell them apart.
+
+    Construction: two MSE terms with identical per-voxel diff d but a 64x
+    different element count (1 channel vs 64 channels). Mean-squared losses
+    are equal (d^2 each) while the gradient norm of a mean-reduced MSE is
+    2*d/sqrt(N_elems) — an exact 8x gap the ratio variant cannot see.
+    """
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from pytorch_connectomics_tpu.config.schema import LossConfig, build_dataclass
+    from pytorch_connectomics_tpu.losses import LossOrchestrator
+    from pytorch_connectomics_tpu.training.state import create_train_state, make_train_step
+
+    loss_cfg = build_dataclass(
+        LossConfig,
+        {"losses": [
+            {"function": "MSELoss", "weight": 1.0, "pred_slice": "0",
+             "target_slice": "0"},
+            {"function": "MSELoss", "weight": 1.0, "pred_slice": "1:65",
+             "target_slice": "1:65"},
+        ]},
+    )
+    orch = LossOrchestrator(loss_cfg)
+
+    class Ident(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            # learnable scalar gain so there IS a model gradient
+            g = self.param("gain", nn.initializers.ones, (1,))
+            return x * g
+
+    model = Ident()
+    d = 0.1
+    x = jnp.full((1, 8, 8, 8, 65), d, jnp.float32)
+    batch = {"image": x, "label": jnp.zeros_like(x)}
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    tx = optax.sgd(0.0)  # freeze params: isolate the balancer dynamics
+
+    results = {}
+    for method in ("gradnorm", "gradnorm_exact"):
+        state = create_train_state(params, tx, gradnorm_terms=orch.num_terms)
+        step = jax.jit(make_train_step(model.apply, orch, tx, balancing=method))
+        logs = None
+        for _ in range(3):
+            state, logs = step(state, batch)
+        # equal loss values by construction
+        np.testing.assert_allclose(
+            float(logs["loss_MSELoss_0"]), float(logs["loss_MSELoss_1"]), rtol=1e-3
+        )
+        results[method] = np.asarray(state.balancer[0])
+
+    # the ratio variant sees identical losses -> weights stay equal
+    np.testing.assert_allclose(results["gradnorm"][0], results["gradnorm"][1], rtol=1e-5)
+    w = results["gradnorm_exact"]
+    # exact variant measures the 10x gradient-norm gap: the high-gradient
+    # term (channel 0, uniform) is down-weighted vs the concentrated term
+    assert w[0] < w[1], f"exact balancer did not reweight: {w}"
+    assert (w[1] - w[0]) > 0.01, f"reweighting too weak: {w}"
+
+
 def test_ds_weights_custom_vs_default():
     """Custom ds_weights override the 1/2^k defaults in the DS sum."""
     import jax.numpy as jnp
