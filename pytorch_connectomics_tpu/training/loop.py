@@ -44,6 +44,7 @@ class Trainer:
         self.cfg = cfg
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
+        self._data_check_logged = False
         if mesh is None:
             from ..parallel.mesh import fit_data_axis_to_batch
 
@@ -281,14 +282,16 @@ class Trainer:
         return epoch_metrics
 
     def _maybe_visualize(self, epoch: int, pipe) -> None:
-        """Slice-grid PNG dumps every N epochs (reference
-        ``VisualizationCallback``, ``callbacks.py:167``)."""
+        """Per-head slice-grid dumps every N epochs, with affinity-aware
+        masking/cropping, channel selection, and a one-time first-batch data
+        check (reference ``VisualizationCallback``, ``callbacks.py:167-520``;
+        grids logged through MetricsLogger to TB/W&B when enabled)."""
         images_cfg = self.cfg.monitor.logging.images or {}
         every = int(images_cfg.get("log_every_n_epochs", 0))
         if not every or (epoch + 1) % every != 0 or pipe is None:
             return
         try:
-            from .visualizer import save_visualization
+            from .visualizer import data_check_grids, save_visualization
 
             batch = pipe.make_batch(20_000_000 + epoch)
             out = self.model.apply(
@@ -296,12 +299,35 @@ class Trainer:
                 jax.device_put(batch["image"]),
                 train=False,
             )
-            if isinstance(out, dict):
-                out = out.get("out", next(iter(out.values())))
+            out = jax.device_get(out)
+            # affinity offsets from the label-transform config: grids mask
+            # invalid borders exactly like the training loss does
+            aff_offsets = None
+            for t in self.cfg.data.label_transform.targets or []:
+                if t.name == "affinity":
+                    aff_offsets = (t.kwargs or {}).get("offsets")
+            if not self._data_check_logged:
+                self._data_check_logged = True
+                from PIL import Image
+
+                dc_dir = Path(self.run_dir) / "visualizations"
+                dc_dir.mkdir(parents=True, exist_ok=True)
+                for tag, grid in data_check_grids(batch).items():
+                    Image.fromarray(grid).save(
+                        dc_dir / f"{tag.replace('/', '_')}.png"
+                    )
+                    self.metrics_logger.log_image(0, tag, grid)
             save_visualization(
-                self.run_dir, int(self.state.step), batch, np.asarray(out),
+                self.run_dir, int(self.state.step), batch, out,
                 num_slices=int(images_cfg.get("num_slices", 2)),
                 max_images=int(images_cfg.get("max_images", 4)),
+                metrics_logger=self.metrics_logger,
+                head=images_cfg.get("head", "all"),
+                channel_mode=str(images_cfg.get("channel_mode", "all")),
+                selected_channels=images_cfg.get("selected_channels"),
+                max_channels=int(images_cfg.get("max_channels", 8)),
+                slice_sampling=str(images_cfg.get("slice_sampling", "uniform")),
+                affinity_offsets=aff_offsets,
             )
         except Exception as e:  # visualization must never kill training
             logger.warning("visualization failed: %s", e)

@@ -69,8 +69,109 @@ def test_visualizer_writes_png(tmp_path):
         "label": (np.random.rand(2, 8, 16, 16, 1) > 0.5).astype(np.float32),
     }
     out = np.random.rand(2, 8, 16, 16, 1).astype(np.float32)
-    p = save_visualization(tmp_path, step=7, batch=batch, outputs=out)
+    paths = save_visualization(tmp_path, step=7, batch=batch, outputs=out)
+    assert len(paths) == 1
+    p = paths[0]
     assert p.exists() and p.suffix == ".png" and p.stat().st_size > 0
+
+
+def test_visualizer_multihead_grids(tmp_path):
+    """Reference callback semantics on a multi-head batch (callbacks.py:306):
+    head='all' renders one grid per task head; ds_* heads are excluded; a
+    named head renders only itself; dict labels route per head."""
+    from pytorch_connectomics_tpu.training.visualizer import (
+        head_grids,
+        save_visualization,
+    )
+
+    batch = {
+        "image": np.random.rand(2, 8, 16, 16, 1).astype(np.float32),
+        "label": {
+            "mask": (np.random.rand(2, 8, 16, 16, 1) > 0.5).astype(np.float32),
+            "aff": (np.random.rand(2, 8, 16, 16, 3) > 0.5).astype(np.float32),
+        },
+    }
+    outputs = {
+        "mask": np.random.randn(2, 8, 16, 16, 1).astype(np.float32),
+        "aff": np.random.randn(2, 8, 16, 16, 3).astype(np.float32),
+        "ds_0": np.random.randn(2, 4, 8, 8, 1).astype(np.float32),
+    }
+    grids = head_grids(batch, outputs, head="all")
+    assert set(grids) == {"mask", "aff"}  # ds_0 excluded
+    # the aff grid has 3 label + 3 pred channel columns vs mask's 1+1
+    assert grids["aff"].shape[1] > grids["mask"].shape[1]
+    only = head_grids(batch, outputs, head="mask")
+    assert set(only) == {"mask"}
+    paths = save_visualization(tmp_path, 3, batch, outputs, head="all")
+    assert len(paths) == 2 and all(p.exists() for p in paths)
+
+
+def test_visualizer_affinity_mask_and_crop():
+    """Affinity channels are zeroed outside the valid region and the grid is
+    cropped by the max offset in deepem mode (callbacks.py:65-160)."""
+    from pytorch_connectomics_tpu.training.visualizer import (
+        apply_affinity_visualization_mask,
+        slice_grid,
+    )
+
+    offsets = [(0, 0, 1), (0, 1, 0), (1, 0, 0)]
+    lbl = np.ones((1, 8, 16, 16, 3), np.float32)
+    pred = np.ones((1, 8, 16, 16, 3), np.float32)
+    img = np.ones((1, 8, 16, 16, 1), np.float32)
+    img2, lbl2, pred2 = apply_affinity_visualization_mask(
+        lbl, pred, offsets, crop=False, image=img
+    )
+    # deepem high-end storage: the first x-column of channel 0 is invalid
+    assert lbl2[0, :, :, 0, 0].max() == 0.0 and lbl2[0, :, :, 1, 0].min() == 1.0
+    assert pred2[0, :, 0, :, 1].max() == 0.0  # y offset -> first y row
+    assert pred2[0, 0, :, :, 2].max() == 0.0  # z offset -> first z slice
+    # crop=True trims one voxel per axis (max offset 1) from every tensor
+    img3, lbl3, pred3 = apply_affinity_visualization_mask(
+        lbl, pred, offsets, crop=True, image=img
+    )
+    assert lbl3.shape == (1, 7, 15, 15, 3) == pred3.shape
+    assert img3.shape == (1, 7, 15, 15, 1)
+    # grid composes after cropping
+    g = slice_grid(
+        {"image": img, "label": lbl}, pred, affinity_offsets=offsets
+    )
+    assert g.dtype == np.uint8 and g.size > 0
+
+
+def test_visualizer_channel_and_slice_selection():
+    from pytorch_connectomics_tpu.training.visualizer import (
+        select_channels,
+        select_slices,
+        slice_grid,
+    )
+
+    assert select_channels(10, "selected", [0, 7]) == [0, 7]
+    assert select_channels(10, "all", None, max_channels=4) == [0, 1, 2, 3]
+    np.testing.assert_array_equal(select_slices(8, 3, "consecutive"), [2, 3, 4])
+    assert len(select_slices(8, 3, "uniform")) == 3
+    batch = {
+        "image": np.random.rand(1, 8, 16, 16, 1).astype(np.float32),
+        "label": np.random.rand(1, 8, 16, 16, 5).astype(np.float32),
+    }
+    g_all = slice_grid(batch, None, channel_mode="all")
+    g_sel = slice_grid(batch, None, channel_mode="selected", selected_channels=[1])
+    assert g_sel.shape[1] < g_all.shape[1]
+
+
+def test_visualizer_data_check(tmp_path):
+    from pytorch_connectomics_tpu.training.visualizer import data_check_grids
+
+    batch = {
+        "image": np.random.rand(2, 8, 16, 16, 1).astype(np.float32),
+        "label": np.random.rand(2, 8, 16, 16, 2).astype(np.float32),
+    }
+    grids = data_check_grids(batch)
+    assert set(grids) == {
+        "data_check/input",
+        "data_check/label_channel_0",
+        "data_check/label_channel_1",
+    }
+    assert all(g.dtype == np.uint8 for g in grids.values())
 
 
 def test_instance_volume_properties(gen):
