@@ -53,7 +53,9 @@ def _fetch_latency_s(jnp):
     return sorted(lats)[1]
 
 
-def measure(patchify: bool, small: bool, breakdown: bool = False) -> float:
+def measure(
+    patchify: bool, small: bool, breakdown: bool = False, overlap: float = 0.5
+) -> float:
     """Sliding-window Mvox/s (output voxels) for one architecture recipe."""
     import jax
     import jax.numpy as jnp
@@ -97,7 +99,7 @@ def measure(patchify: bool, small: bool, breakdown: bool = False) -> float:
     # full-volume weight map is impossible through the tunnel); the device
     # setup uses the unclipped separable bump so normalization is exact
     # (the clipped stock bump is non-separable at corners).
-    stride = tuple(w // 2 for w in window)  # overlap 0.5
+    stride = tuple(max(1, int(round(w * (1.0 - overlap)))) for w in window)
     cover, imp, inv_weight = regular_cover_setup_device(vol_shape, window, stride)
 
     # volume generated on device (see module docstring)
@@ -173,28 +175,40 @@ def main():
         }))
         return
 
-    mvox_s = measure(headline_patchify, small, breakdown)
+    overlap = float(os.environ.get("BENCH_OVERLAP", "0.5"))
+    mvox_s = measure(headline_patchify, small, breakdown, overlap)
     out = {
         "metric": "sliding_window_inference_throughput",
         "value": round(mvox_s, 2),
         "unit": "Mvoxels/sec/chip",
         "vs_baseline": round(mvox_s / BASELINE_MVOX_PER_S, 3),
     }
-    if headline_patchify:
-        out["detail"] = {"arch": "mednext_s_patchify"}
-    elif os.environ.get("BENCH_VARIANTS", "1") != "0":
-        # additionally record the TPU throughput variant; a variant failure
-        # (compile OOM, tunnel hiccup) must never sink the headline number
-        try:
-            pf = measure(True, small, breakdown)
-            out["variants"] = {
-                "mednext_s_patchify": {
-                    "value": round(pf, 2),
-                    "vs_baseline": round(pf / BASELINE_MVOX_PER_S, 3),
+    if headline_patchify or overlap != 0.5:
+        out["detail"] = {
+            **({"arch": "mednext_s_patchify"} if headline_patchify else {}),
+            **({"overlap": overlap} if overlap != 0.5 else {}),
+        }
+    if not headline_patchify and os.environ.get("BENCH_VARIANTS", "1") != "0":
+        # additionally record variants; a variant failure (compile OOM,
+        # tunnel hiccup) must never sink the headline number
+        out["variants"] = {}
+        # quality-neutral reduced-overlap points (measured in QUALITY.md /
+        # docs/performance.md; the 0.5 headline stays for apples-to-apples)
+        for tag, args in {
+            "mednext_s_patchify": dict(patchify=True, overlap=overlap),
+            "overlap_0.25": dict(patchify=False, overlap=0.25),
+            "patchify_overlap_0.25": dict(patchify=True, overlap=0.25),
+        }.items():
+            if os.environ.get("BENCH_VARIANTS") == "patchify" and "overlap" in tag:
+                continue
+            try:
+                v = measure(args["patchify"], small, breakdown, args["overlap"])
+                out["variants"][tag] = {
+                    "value": round(v, 2),
+                    "vs_baseline": round(v / BASELINE_MVOX_PER_S, 3),
                 }
-            }
-        except Exception as e:  # pragma: no cover - device-environment dependent
-            print(f"[bench] patchify variant skipped: {e}", file=sys.stderr)
+            except Exception as e:  # pragma: no cover - device-dependent
+                print(f"[bench] variant {tag} skipped: {e}", file=sys.stderr)
     print(json.dumps(out))
 
 

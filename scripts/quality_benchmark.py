@@ -202,9 +202,12 @@ def main():
         p.write_bytes(serialization.to_bytes(host_params))
         print(f"saved params -> {p} ({p.stat().st_size/1e6:.1f} MB)", flush=True)
 
-    # ---- full sliding-window inference (overlap 0.5, bump) ----
+    # ---- full sliding-window inference (QB_OVERLAP, default 0.5, bump) ----
+    # overlap is a first-class reference knob (schema/inference.py:60); the
+    # window inflation it causes decides the output rate (docs/performance.md)
+    overlap = float(os.environ.get("QB_OVERLAP", "0.5"))
     window = (patch,) * 3
-    stride = tuple(w // 2 for w in window)
+    stride = tuple(max(1, int(round(w * (1.0 - overlap)))) for w in window)
     # exact on-device separable blend (the clipped stock bump is
     # non-separable; see window.regular_cover_setup_device)
     cover, imp, inv_weight = regular_cover_setup_device(test_shape, window, stride)
@@ -276,6 +279,8 @@ def main():
             task_tag += "s" + os.environ["QB_PATCHIFY_STRIDE"].replace(",", "")
     if os.environ.get("QB_DISTILL_TEACHER"):
         task_tag += f"/ds{os.environ.get('QB_DISTILL_ALPHA', '0.5')}"
+    if overlap != 0.5:
+        task_tag += f"/ov{overlap:g}"
     line = (
         f"| {stamp} | {task_tag} | {jac:.4f} | {steps} | {patch}^3 | "
         f"{'on' if tta else 'off'} | {jax.devices()[0].platform} | "

@@ -1,6 +1,7 @@
 """Smoke tests for the utility scripts (run via subprocess like a user)."""
 
 import json
+import os
 import subprocess
 import sys
 from pathlib import Path
@@ -226,7 +227,7 @@ def test_quality_benchmark_smoke_cpu(tmp_path):
     r = run(
         ["scripts/quality_benchmark.py"],
         env={
-            **__import__("os").environ,
+            **os.environ,
             "QB_PLATFORM": "cpu",
             "QB_STEPS": "2",
             "QB_PATCH": "32",
