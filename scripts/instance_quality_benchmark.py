@@ -191,9 +191,10 @@ def main():
                 raise RuntimeError(f"non-finite loss at step {step}")
     train_s = time.time() - t0
 
-    # ---- sliding-window inference (overlap 0.5, bump), C channels ----
+    # ---- sliding-window inference (IQ_OVERLAP, default 0.5, bump) ----
+    overlap = float(os.environ.get("IQ_OVERLAP", "0.5"))
     window = (patch,) * 3
-    stride = tuple(w // 2 for w in window)
+    stride = tuple(max(1, int(round(w * (1.0 - overlap)))) for w in window)
     # exact on-device separable blend (the clipped stock bump is
     # non-separable; see window.regular_cover_setup_device)
     cover, imp, inv_weight = regular_cover_setup_device(test_shape, window, stride)
@@ -293,6 +294,8 @@ def main():
         tag += "/lr"
     if elong != 1:
         tag += f"/e{elong:g}"
+    if overlap != 0.5:
+        tag += f"/ov{overlap:g}"
     wz = results["waterz"]
     cc = results["affinity_cc@0.75"]
     line = (
