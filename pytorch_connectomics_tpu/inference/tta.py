@@ -67,8 +67,14 @@ def enumerate_tta_variants(
             flips.extend(itertools.combinations((0, 1, 2), r))
     elif flip_axes == "xy":
         flips = [(), (1,), (2,), (1, 2)]
+    elif isinstance(flip_axes, str):
+        raise ValueError(
+            f"flip_axes string must be 'all' or 'xy', got {flip_axes!r} "
+            "(use a list of axis combinations, e.g. [[0]] for z-flip; "
+            "0=z, 1=y, 2=x — reference schema/inference.py:159)"
+        )
     else:
-        flips = [tuple(f) for f in ([()] + list(flip_axes))]
+        flips = [tuple(int(a) for a in f) for f in ([()] + list(flip_axes))]
     if rotation_planes is not None:
         planes = [tuple(int(a) for a in p) for p in rotation_planes]
         for p in planes:

@@ -40,10 +40,13 @@ def build_schedule(
     if name == "warmupcosinelr":
         min_lr = float(params.get("min_lr", s.min_lr))
         start = float(params.get("warmup_start_lr", s.warmup_start_lr))
+        # short runs (smoke tests, step-override CLI runs) can configure a
+        # warmup longer than the run; clamp so decay_steps stays positive
+        warm = min(max(1, warmup_steps), max(1, total_steps - 1))
         return optax.warmup_cosine_decay_schedule(
             init_value=start,
             peak_value=base_lr,
-            warmup_steps=max(1, warmup_steps),
+            warmup_steps=warm,
             decay_steps=total_steps,
             end_value=min_lr,
         )

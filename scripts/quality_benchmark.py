@@ -175,10 +175,19 @@ def main():
         lambda k: sample_patches(k, img_tr, lbl_tr, (patch,) * 3, batch)
     )
 
-    # ---- train ----
+    # ---- train (or QB_LOAD_PARAMS=<msgpack>: reuse saved weights — e.g.
+    # inference-only sweeps over overlap/TTA on identical weights) ----
     key = jax.random.PRNGKey(42)
     t0 = time.time()
     logs = {}
+    if os.environ.get("QB_LOAD_PARAMS"):
+        from pytorch_connectomics_tpu.training.distill import load_teacher_params
+
+        loaded = load_teacher_params(os.environ["QB_LOAD_PARAMS"])
+        state = state.replace(params={**state.params, "model": loaded})
+        steps = 0
+        logs = {"loss_total": jnp.zeros(())}
+        print(f"loaded params from {os.environ['QB_LOAD_PARAMS']}", flush=True)
     for step in range(steps):
         im, lb = sample(jax.random.fold_in(key, step))
         state, logs = train_step(state, {"image": im, "label": lb})
@@ -281,6 +290,8 @@ def main():
         task_tag += f"/ds{os.environ.get('QB_DISTILL_ALPHA', '0.5')}"
     if overlap != 0.5:
         task_tag += f"/ov{overlap:g}"
+    if os.environ.get("QB_LOAD_PARAMS"):
+        task_tag += "/ld"
     line = (
         f"| {stamp} | {task_tag} | {jac:.4f} | {steps} | {patch}^3 | "
         f"{'on' if tta else 'off'} | {jax.devices()[0].platform} | "
