@@ -83,7 +83,16 @@ def measure(
             "in_channels": 1,
             "out_channels": 1,
             "input_size": list(window),
-            "mednext": {"size": "S", "kernel_size": 3, "patchify_stem": patchify},
+            "mednext": {
+                "size": "S", "kernel_size": 3, "patchify_stem": patchify,
+                # BENCH_PATCHIFY_STRIDE=1,2,2 measures the anisotropic stem
+                # (z full-res; 4x voxel reduction instead of 8x)
+                "patchify_stride": (
+                    [int(v) for v in os.environ["BENCH_PATCHIFY_STRIDE"].split(",")]
+                    if patchify and os.environ.get("BENCH_PATCHIFY_STRIDE")
+                    else None
+                ),
+            },
             "loss": {"losses": [{"function": "DiceLoss"}]},
             "compute_dtype": "bfloat16",
         },
