@@ -279,21 +279,21 @@ def main():
         f"{steps} | {'on' if tta else 'off'} | {jax.devices()[0].platform} | "
         f"{train_s:.0f}s + {infer_s:.0f}s + {decode_s:.0f}s |\n"
     )
-    text = qfile.read_text() if qfile.exists() else ""
-    if header not in text:
-        with qfile.open("a") as f:
-            f.write(
-                f"\n{header}\n\n"
-                "Sparse blob instances (warped ellipsoids + unlabeled clutter):\n"
-                "train [binary, contour, distance] -> sliding window + flip TTA\n"
-                "-> native bcd watershed -> COCO AP (MitoEM headline metric),\n"
-                "aRand/VOI. bcd params picked by AP on this volume (oracle\n"
-                "sweep, decode-health tracking).\n\n"
-                "| date | arch | bcd AP | bcd VOI | bcd aRand | params | cc AP | steps | tta | platform | time |\n"
-                "|---|---|---|---|---|---|---|---|---|---|---|\n"
-            )
-    with qfile.open("a") as f:
-        f.write(line)
+    from _qb_common import insert_table_row
+
+    insert_table_row(
+        qfile,
+        "| date | arch | bcd AP | bcd VOI | bcd aRand | params | cc AP | steps | tta | platform | time |",
+        f"\n{header}\n\n"
+        "Sparse blob instances (warped ellipsoids + unlabeled clutter):\n"
+        "train [binary, contour, distance] -> sliding window + flip TTA\n"
+        "-> native bcd watershed -> COCO AP (MitoEM headline metric),\n"
+        "aRand/VOI. bcd params picked by AP on this volume (oracle\n"
+        "sweep, decode-health tracking).\n\n"
+        "| date | arch | bcd AP | bcd VOI | bcd aRand | params | cc AP | steps | tta | platform | time |\n"
+        "|---|---|---|---|---|---|---|---|---|---|---|\n",
+        line,
+    )
     print(f"total {time.time()-t_all:.0f}s; appended to QUALITY.md", flush=True)
 
 

@@ -177,10 +177,20 @@ def main():
         aff = affinity_targets(lb[..., 0].astype(jnp.int32), offsets)
         return im, aff
 
-    # ---- train ----
+    # ---- train (or IQ_LOAD_PARAMS=<msgpack>: reuse saved weights so
+    # inference-only sweeps, e.g. the overlap frontier, run on IDENTICAL
+    # weights and isolate the knob from training noise) ----
     key = jax.random.PRNGKey(42)
     t0 = time.time()
     logs = {}
+    if os.environ.get("IQ_LOAD_PARAMS"):
+        from pytorch_connectomics_tpu.training.distill import load_teacher_params
+
+        loaded = load_teacher_params(os.environ["IQ_LOAD_PARAMS"])
+        state = state.replace(params={**state.params, "model": loaded})
+        steps = 0
+        logs = {"loss_total": jnp.zeros(())}
+        print(f"loaded params from {os.environ['IQ_LOAD_PARAMS']}", flush=True)
     for step in range(steps):
         im, aff = sample(jax.random.fold_in(key, step))
         state, logs = train_step(state, {"image": im, "label": aff})
@@ -190,6 +200,17 @@ def main():
             if not np.isfinite(loss):
                 raise RuntimeError(f"non-finite loss at step {step}")
     train_s = time.time() - t0
+
+    # IQ_SAVE_PARAMS=<path>: persist the trained weights (flax msgpack) so a
+    # later inference-only run can reuse them (one-time ~25 MB tunnel fetch)
+    if os.environ.get("IQ_SAVE_PARAMS"):
+        from flax import serialization
+
+        p = Path(os.environ["IQ_SAVE_PARAMS"])
+        p.parent.mkdir(parents=True, exist_ok=True)
+        host_params = jax.device_get(state.params["model"])
+        p.write_bytes(serialization.to_bytes(host_params))
+        print(f"saved params -> {p} ({p.stat().st_size/1e6:.1f} MB)", flush=True)
 
     # ---- sliding-window inference (IQ_OVERLAP, default 0.5, bump) ----
     overlap = float(os.environ.get("IQ_OVERLAP", "0.5"))
@@ -296,6 +317,8 @@ def main():
         tag += f"/e{elong:g}"
     if overlap != 0.5:
         tag += f"/ov{overlap:g}"
+    if os.environ.get("IQ_LOAD_PARAMS"):
+        tag += "/ld"
     wz = results["waterz"]
     cc = results["affinity_cc@0.75"]
     line = (
@@ -305,22 +328,22 @@ def main():
         f"{steps} | {'on' if tta else 'off'} | {jax.devices()[0].platform} | "
         f"{train_s:.0f}s + {infer_s:.0f}s + {decode_s:.0f}s |\n"
     )
-    text = qfile.read_text() if qfile.exists() else ""
-    if header not in text:
-        with qfile.open("a") as f:
-            f.write(
-                f"\n{header}\n\n"
-                "Full instance pipeline: train affinities on the warped-Voronoi\n"
-                "cell task -> sliding window + affinity-aligned flip TTA -> native\n"
-                "waterz/CC/mutex decode -> adapted-Rand + VOI. Lower is better.\n"
-                "waterz VOI is at the best sweep threshold (chosen on this volume\n"
-                "-- an oracle sweep, tracking decode+tuner health, not held-out\n"
-                "generalization).\n\n"
-                "| date | arch | wz VOI | wz aRand | wz NERL | wz AP | wz thr | cc VOI | cc NERL | mutex VOI | steps | tta | platform | time |\n"
-                "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|\n"
-            )
-    with qfile.open("a") as f:
-        f.write(line)
+    from _qb_common import insert_table_row
+
+    insert_table_row(
+        qfile,
+        "| date | arch | wz VOI | wz aRand | wz NERL | wz AP | wz thr | cc VOI | cc NERL | mutex VOI | steps | tta | platform | time |",
+        f"\n{header}\n\n"
+        "Full instance pipeline: train affinities on the warped-Voronoi\n"
+        "cell task -> sliding window + affinity-aligned flip TTA -> native\n"
+        "waterz/CC/mutex decode -> adapted-Rand + VOI. Lower is better.\n"
+        "waterz VOI is at the best sweep threshold (chosen on this volume\n"
+        "-- an oracle sweep, tracking decode+tuner health, not held-out\n"
+        "generalization).\n\n"
+        "| date | arch | wz VOI | wz aRand | wz NERL | wz AP | wz thr | cc VOI | cc NERL | mutex VOI | steps | tta | platform | time |\n"
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|\n",
+        line,
+    )
     print(f"total {time.time()-t_all:.0f}s; appended to QUALITY.md", flush=True)
 
 

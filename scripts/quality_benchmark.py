@@ -297,18 +297,20 @@ def main():
         f"{'on' if tta else 'off'} | {jax.devices()[0].platform} | "
         f"{train_s:.0f}s + {infer_s:.0f}s |\n"
     )
-    if not qfile.exists():
-        qfile.write_text(
-            "# Quality tracking — synthetic EM mito Jaccard\n\n"
-            "Full-pipeline (train -> sliding-window 0.5-overlap bump + flip-TTA ->\n"
-            "Jaccard) on the on-device synthetic EM task (data/synthetic_jax.py).\n"
-            "Stand-in for the Lucchi++ headline (0.935) until real data can reach\n"
-            "the TPU host; tracked round-over-round.\n\n"
-            "| date | task | jaccard | steps | patch | tta | platform | time |\n"
-            "|---|---|---|---|---|---|---|---|\n"
-        )
-    with qfile.open("a") as f:
-        f.write(line)
+    from _qb_common import insert_table_row
+
+    insert_table_row(
+        qfile,
+        "| date | task | jaccard | steps | patch | tta | platform | time |",
+        "# Quality tracking — synthetic EM mito Jaccard\n\n"
+        "Full-pipeline (train -> sliding-window 0.5-overlap bump + flip-TTA ->\n"
+        "Jaccard) on the on-device synthetic EM task (data/synthetic_jax.py).\n"
+        "Stand-in for the Lucchi++ headline (0.935) until real data can reach\n"
+        "the TPU host; tracked round-over-round.\n\n"
+        "| date | task | jaccard | steps | patch | tta | platform | time |\n"
+        "|---|---|---|---|---|---|---|---|\n",
+        line,
+    )
     print(f"total {time.time()-t_all:.0f}s; appended to QUALITY.md", flush=True)
 
 

@@ -245,3 +245,35 @@ def test_quality_benchmark_smoke_cpu(tmp_path):
     assert out["metric"] == "synthetic_v2_jaccard"
     assert 0.0 <= out["value"] <= 1.0
     assert qfile.exists() and "| 2 |" in qfile.read_text()
+
+
+def test_qb_insert_table_row_targets_correct_table(tmp_path):
+    """Rows must land under their own task table, not at file end — two
+    round-4 rows were misfiled under the blob table before _qb_common."""
+    sys.path.insert(0, str(REPO / "scripts"))
+    try:
+        from _qb_common import insert_table_row
+    finally:
+        sys.path.pop(0)
+
+    q = tmp_path / "Q.md"
+    bin_hdr = "| date | task | jaccard |"
+    blob_hdr = "| date | arch | bcd AP |"
+    # fresh file: section block written with the row
+    insert_table_row(q, bin_hdr, f"# T\n\n{bin_hdr}\n|---|---|---|\n", "| d1 | v2 | 0.9 |")
+    # second table appended after the first
+    insert_table_row(q, blob_hdr, f"\n## Blob\n\n{blob_hdr}\n|---|---|---|\n", "| d1 | base | 0.3 |")
+    # new binary row must go under the BINARY table, before the blob section
+    insert_table_row(q, bin_hdr, "unused", "| d2 | v2 | 0.95 |")
+    text = q.read_text()
+    assert text.index("| d2 | v2 | 0.95 |") < text.index("## Blob")
+    # prose between rows (QUALITY.md's blend-fix blockquote) doesn't truncate
+    # the table span: the new row goes after the LAST row, past the note
+    lines = text.splitlines()
+    i = lines.index("| d1 | base | 0.3 |")
+    lines[i + 1 : i + 1] = ["> note", "| d2 | base | 0.4 |"]
+    q.write_text("\n".join(lines) + "\n")
+    insert_table_row(q, blob_hdr, "unused", "| d3 | base | 0.5 |")
+    text = q.read_text()
+    assert text.index("> note") < text.index("| d3 | base | 0.5 |")
+    assert text.index("| d2 | base | 0.4 |") < text.index("| d3 | base | 0.5 |")
