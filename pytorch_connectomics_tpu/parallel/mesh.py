@@ -18,13 +18,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(mesh_axes: Optional[Dict[str, int]] = None, devices=None) -> Mesh:
-    """Build a Mesh from ``{axis: size}`` (e.g. ``{"data": 8}``)."""
+    """Build a Mesh from ``{axis: size}`` (e.g. ``{"data": 8}``).
+
+    Multi-process: ``jax.devices()`` lists devices grouped by process, so a
+    naive prefix ``devices[:total]`` would put every mesh slot on process 0
+    and leave the other processes addressing NOTHING (their
+    ``make_array_from_process_local_data`` then fails). When the mesh uses
+    fewer devices than exist, draw ``total / process_count`` from EACH
+    process, in process order — the leading (data) axis then matches the
+    pipeline's process-major global slot order."""
     devices = devices if devices is not None else jax.devices()
     mesh_axes = dict(mesh_axes or {"data": len(devices)})
     sizes = list(mesh_axes.values())
     total = int(np.prod(sizes))
     if total > len(devices):
         raise ValueError(f"mesh {mesh_axes} needs {total} devices, have {len(devices)}")
+    nproc = jax.process_count()
+    if total < len(devices) and nproc > 1:
+        if total % nproc != 0:
+            raise ValueError(
+                f"mesh {mesh_axes} ({total} devices) not divisible by "
+                f"process_count {nproc}: every process must own an equal "
+                f"slice of the batch"
+            )
+        per_proc: Dict[int, list] = {}
+        for d in devices:
+            per_proc.setdefault(d.process_index, []).append(d)
+        k = total // nproc
+        chosen = []
+        for p in sorted(per_proc):
+            if len(per_proc[p]) < k:
+                raise ValueError(
+                    f"process {p} has {len(per_proc[p])} devices, need {k}"
+                )
+            chosen.extend(per_proc[p][:k])
+        devices = chosen
     dev_array = np.array(devices[:total]).reshape(sizes)
     return Mesh(dev_array, tuple(mesh_axes))
 
@@ -69,9 +97,22 @@ def pad_to_multiple(n: int, m: int) -> int:
 def fit_data_axis_to_batch(mesh_axes: Dict[str, int], batch_size: int, n_devices: int) -> Dict[str, int]:
     """Shrink the ``data`` axis to the largest divisor of ``batch_size`` that
     fits the device count, so per-device batches stay uniform (the reference
-    similarly auto-reduces devices vs work items, ``runtime/sharding.py:91``)."""
+    similarly auto-reduces devices vs work items, ``runtime/sharding.py:91``).
+
+    Multi-process: the data axis must additionally be a multiple of
+    ``process_count`` so every process owns an equal batch slice (see
+    ``make_mesh``)."""
     axes = dict(mesh_axes or {"data": n_devices})
     want = min(axes.get("data", n_devices), n_devices)
-    d = max(k for k in range(1, want + 1) if batch_size % k == 0)
-    axes["data"] = d
+    nproc = jax.process_count()
+    ok = [
+        k for k in range(1, want + 1)
+        if batch_size % k == 0 and (nproc == 1 or k % nproc == 0)
+    ]
+    if not ok:
+        raise ValueError(
+            f"no data-axis size <= {want} divides batch {batch_size} and "
+            f"is a multiple of process_count {nproc}"
+        )
+    axes["data"] = max(ok)
     return axes

@@ -149,3 +149,100 @@ def test_spatial_partitioned_train_step_matches_dp():
         losses[tuple(axes)] = float(logs["loss_total"])
     vals = list(losses.values())
     assert abs(vals[0] - vals[1]) < 1e-5, losses
+
+
+def test_make_mesh_spreads_devices_across_processes():
+    """With a sub-full mesh, each process must own an equal slice of the
+    data axis (a prefix pick would leave rank 1 addressing nothing —
+    ``make_array_from_process_local_data`` then fails; seen live on the
+    2-process CLI run)."""
+    from unittest import mock
+
+    import jax
+
+    from pytorch_connectomics_tpu.parallel.mesh import (
+        fit_data_axis_to_batch,
+        make_mesh,
+    )
+
+    class FakeDev:
+        def __init__(self, pid, lid):
+            self.process_index = pid
+            self.id = pid * 4 + lid
+
+        def __repr__(self):  # np.array of objects needs this for errors only
+            return f"dev(p{self.process_index},{self.id})"
+
+    devs = [FakeDev(p, l) for p in range(2) for l in range(4)]
+    with mock.patch.object(jax, "process_count", return_value=2):
+        mesh = make_mesh({"data": 2}, devices=devs)
+        picked = list(mesh.devices.flat)
+        assert [d.process_index for d in picked] == [0, 1]
+        # equal per-process split required
+        with pytest.raises(ValueError, match="divisible by"):
+            make_mesh({"data": 3}, devices=devs)
+        # fit_data_axis_to_batch respects process divisibility: batch 6 over
+        # 2 processes can't use data=3 (or 1) — only 2 or 6
+        assert fit_data_axis_to_batch({"data": 8}, 6, 8)["data"] == 6
+        assert fit_data_axis_to_batch({"data": 2}, 6, 8)["data"] == 2
+        with pytest.raises(ValueError, match="process_count"):
+            fit_data_axis_to_batch({"data": 1}, 5, 8)
+    # single-process unchanged
+    assert fit_data_axis_to_batch({"data": 8}, 6, 8)["data"] == 6
+
+
+@pytest.mark.slow
+def test_true_multiprocess_cli_train(tmp_path):
+    """TWO real ``jax.distributed`` processes (CPU backend, Gloo collectives)
+    through the production CLI: dispatch -> coordinated run dir ->
+    process-sliced pipeline -> DP mesh spanning processes -> orbax save.
+    Both ranks must finish and report identical final metrics — the
+    reference's multi-node DDP contract
+    (``connectomics/training/lightning/trainer.py:231-256``), exercised
+    end-to-end rather than mocked."""
+    import ast
+    import os
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[2]
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_PROCESS_ID")
+    }
+    env.update(
+        PYTC_PLATFORM="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+        JAX_NUM_PROCESSES="2",
+        JAX_COMPILATION_CACHE_DIR=str(root / ".cache" / "jax_cpu"),
+    )
+    procs = []
+    for pid in range(2):
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(root / "scripts" / "main.py"),
+                 "--config", str(root / "tutorials" / "minimal.yaml"),
+                 "--mode", "train", f"save_path={tmp_path / 'run'}"],
+                env={**env, "JAX_PROCESS_ID": str(pid)},
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                cwd=str(root),
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=560)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {pid} failed:\n{out[-3000:]}"
+    metrics = []
+    for out in outs:
+        line = [l for l in out.splitlines() if l.startswith("[done] train:")][-1]
+        metrics.append(ast.literal_eval(line.split("[done] train:", 1)[1].strip()))
+    assert metrics[0] == metrics[1], metrics
+    assert metrics[0]["epoch"] == 0 and "val_jaccard" in metrics[0]
