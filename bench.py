@@ -54,7 +54,8 @@ def _fetch_latency_s(jnp):
 
 
 def measure(
-    patchify: bool, small: bool, breakdown: bool = False, overlap: float = 0.5
+    patchify: bool, small: bool, breakdown: bool = False, overlap: float = 0.5,
+    patchify_stride=None,
 ) -> float:
     """Sliding-window Mvox/s (output voxels) for one architecture recipe."""
     import jax
@@ -88,7 +89,9 @@ def measure(
                 # BENCH_PATCHIFY_STRIDE=1,2,2 measures the anisotropic stem
                 # (z full-res; 4x voxel reduction instead of 8x)
                 "patchify_stride": (
-                    [int(v) for v in os.environ["BENCH_PATCHIFY_STRIDE"].split(",")]
+                    patchify_stride
+                    if patchify and patchify_stride
+                    else [int(v) for v in os.environ["BENCH_PATCHIFY_STRIDE"].split(",")]
                     if patchify and os.environ.get("BENCH_PATCHIFY_STRIDE")
                     else None
                 ),
@@ -205,13 +208,21 @@ def main():
         # docs/performance.md; the 0.5 headline stays for apples-to-apples)
         for tag, args in {
             "mednext_s_patchify": dict(patchify=True, overlap=overlap),
+            # anisotropic stem (z full-res): measured quality 0.9082@2400 on
+            # the QB v2 task vs isotropic patchify 0.805 / stock 0.9384
+            "mednext_s_patchify_aniso": dict(
+                patchify=True, overlap=overlap, patchify_stride=[1, 2, 2]
+            ),
             "overlap_0.25": dict(patchify=False, overlap=0.25),
             "patchify_overlap_0.25": dict(patchify=True, overlap=0.25),
         }.items():
             if os.environ.get("BENCH_VARIANTS") == "patchify" and "overlap" in tag:
                 continue
             try:
-                v = measure(args["patchify"], small, breakdown, args["overlap"])
+                v = measure(
+                    args["patchify"], small, breakdown, args["overlap"],
+                    patchify_stride=args.get("patchify_stride"),
+                )
                 out["variants"][tag] = {
                     "value": round(v, 2),
                     "vs_baseline": round(v / BASELINE_MVOX_PER_S, 3),
