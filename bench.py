@@ -112,18 +112,37 @@ def measure(
     # setup uses the unclipped separable bump so normalization is exact
     # (the clipped stock bump is non-separable at corners).
     stride = tuple(max(1, int(round(w * (1.0 - overlap)))) for w in window)
-    cover, imp, inv_weight = regular_cover_setup_device(vol_shape, window, stride)
+    divides = all(w % s == 0 for w, s in zip(window, stride))
+    if divides:
+        cover, imp, inv_weight = regular_cover_setup_device(vol_shape, window, stride)
 
-    # volume generated on device (see module docstring)
-    vol = jax.random.uniform(jax.random.PRNGKey(1), cover + (1,), jnp.bfloat16)
+        # volume generated on device (see module docstring)
+        vol = jax.random.uniform(jax.random.PRNGKey(1), cover + (1,), jnp.bfloat16)
 
-    def run():
-        out = _sliding_window_regular_device(
-            params, vol, imp, inv_weight,
-            apply_fn=apply_fn, window=window, stride=stride, sw_batch=sw_batch,
-            out_channels=1, acc_dtype=jnp.float32,
+        def run():
+            out = _sliding_window_regular_device(
+                params, vol, imp, inv_weight,
+                apply_fn=apply_fn, window=window, stride=stride, sw_batch=sw_batch,
+                out_channels=1, acc_dtype=jnp.float32,
+            )
+            return out.mean()
+    else:
+        # non-dividing stride (e.g. overlap 0.25 -> stride 84 at window 112):
+        # the parity decomposition doesn't exist; run the snap-grid
+        # HBM-accumulator engine via the unified entry point
+        from pytorch_connectomics_tpu.inference.window import (
+            predict_volume_device,
         )
-        return out.mean()
+
+        cover = vol_shape
+        vol = jax.random.uniform(jax.random.PRNGKey(1), vol_shape + (1,), jnp.bfloat16)
+
+        def run():
+            out = predict_volume_device(
+                params, vol, apply_fn, window, stride, sw_batch=sw_batch,
+                out_channels=1, acc_dtype=jnp.float32,
+            )
+            return out.mean()
 
     # warmup / compile (scalar fetch = hard sync; block_until_ready is not
     # reliable on the experimental axon platform)
@@ -150,9 +169,14 @@ def measure(
         out = apply_fn(params, wins)
         _ = float(jnp.sum(out.astype(jnp.float32)))
         fwd = max(1e-6, time.time() - t0 - fetch_latency)
+        from pytorch_connectomics_tpu.inference.window import compute_grid_1d
+
         n_windows = 1
         for size, w, st in zip(cover, window, stride):
-            n_windows *= (size - w) // st + 1
+            n_windows *= (
+                (size - w) // st + 1 if divides
+                else len(compute_grid_1d(size, w, st))
+            )
         processed = n_windows * float(np.prod(window))
         print(
             f"[breakdown] model fwd: {bs * np.prod(window) / fwd / 1e6:.1f} Mvox/s"

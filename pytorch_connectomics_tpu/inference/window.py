@@ -230,6 +230,12 @@ def _sliding_window_regular_device(
     Z, Y, X, Cin = volume.shape
     wz, wy, wx = window
     sz, sy, sx = stride
+    if any(w % s != 0 for w, s in zip(window, stride)):
+        raise ValueError(
+            f"parity-group engine requires stride to divide window, got "
+            f"window={window} stride={stride}; use predict_volume_device "
+            f"(falls back to the HBM-accumulator engine) for arbitrary strides"
+        )
     gz, gy, gx = wz // sz, wy // sy, wx // sx
     nz = (Z - wz) // sz + 1
     ny = (Y - wy) // sy + 1
@@ -346,6 +352,83 @@ def _regular_weight_host(
     return weight
 
 
+def _separable_bump_profiles(window, sigma_scale: float = 0.125):
+    """Per-axis UNCLIPPED Gaussian profiles (see regular_cover_setup_device
+    for why the stock clipped bump is unusable for separable blends)."""
+    sigma = max(sigma_scale * 2.0, 1e-3)
+    profiles = []
+    for n in window:
+        x = (np.arange(n) - (n - 1) / 2.0) / max(1.0, (n - 1) / 2.0)
+        profiles.append(np.exp(-0.5 * (x / sigma) ** 2))
+    return profiles
+
+
+def predict_volume_device(
+    params,
+    volume,  # (Z, Y, X, Cin) — raw shape, padding handled here
+    apply_fn: Callable,
+    window: Tuple[int, int, int],
+    stride: Tuple[int, int, int],
+    sw_batch: int,
+    out_channels: int,
+    acc_dtype=jnp.float32,
+    sigma_scale: float = 0.125,
+):
+    """Whole-volume on-device sliding-window predict with exact separable
+    bump blending, returning a (Z, Y, X, Cout) prediction. Jittable.
+
+    Engine selection: when ``stride`` divides ``window`` the dense
+    parity-group engine runs (overlap-adds are reshapes); otherwise — e.g.
+    overlap 0.25 of a 64-window = stride 48 — it falls back to the jitted
+    HBM-accumulator engine over a snap-to-edge grid (the reference's dense
+    grid semantics, ``compute_grid_1d``), normalizing by the accumulated
+    importance so blending stays exact at every overlap."""
+    vol_shape = tuple(volume.shape[:3])
+    if all(w % s == 0 for w, s in zip(window, stride)):
+        cover, imp, inv_weight = regular_cover_setup_device(
+            vol_shape, window, stride, sigma_scale
+        )
+        volp = jnp.pad(
+            volume,
+            [(0, c - s) for c, s in zip(cover, vol_shape)] + [(0, 0)],
+            mode="reflect",
+        )
+        out = _sliding_window_regular_device(
+            params, volp, imp, inv_weight, apply_fn=apply_fn, window=window,
+            stride=stride, sw_batch=sw_batch, out_channels=out_channels,
+            acc_dtype=acc_dtype,
+        )
+        return out[: vol_shape[0], : vol_shape[1], : vol_shape[2]]
+
+    # snap-to-edge grid entirely inside the volume: no padding needed
+    grids = [
+        np.asarray(compute_grid_1d(s, w, st), np.int32)
+        for s, w, st in zip(vol_shape, window, stride)
+    ]
+    origins = np.stack(
+        np.meshgrid(*grids, indexing="ij"), axis=-1
+    ).reshape(-1, 3)
+    n = origins.shape[0]
+    n_pad = _round_up(n, sw_batch)
+    valid = np.ones(n_pad, np.float32)
+    valid[n:] = 0.0
+    origins = np.concatenate(
+        [origins, np.zeros((n_pad - n, 3), np.int32)], axis=0
+    )
+    profiles = _separable_bump_profiles(window, sigma_scale)
+    imp = (
+        jnp.asarray(profiles[0], jnp.float32)[:, None, None]
+        * jnp.asarray(profiles[1], jnp.float32)[None, :, None]
+        * jnp.asarray(profiles[2], jnp.float32)[None, None, :]
+    )[..., None]
+    value, weight = _sliding_window_device(
+        params, volume, jnp.asarray(origins), imp, apply_fn=apply_fn,
+        window=window, sw_batch=sw_batch, out_channels=out_channels,
+        acc_dtype=acc_dtype, valid=jnp.asarray(valid),
+    )
+    return value / jnp.maximum(weight, jnp.asarray(1e-30, acc_dtype))
+
+
 def regular_cover_setup_device(
     vol_shape, window, stride, sigma_scale: float = 0.125
 ):
@@ -370,11 +453,7 @@ def regular_cover_setup_device(
         (max(1, -(-(s - w) // st) + 1) - 1) * st + w
         for s, w, st in zip(vol_shape, window, stride)
     )
-    sigma = max(sigma_scale * 2.0, 1e-3)
-    profiles = []
-    for n in window:
-        x = (np.arange(n) - (n - 1) / 2.0) / max(1.0, (n - 1) / 2.0)
-        profiles.append(np.exp(-0.5 * (x / sigma) ** 2))
+    profiles = _separable_bump_profiles(window, sigma_scale)
     imp = (
         jnp.asarray(profiles[0], jnp.float32)[:, None, None]
         * jnp.asarray(profiles[1], jnp.float32)[None, :, None]

@@ -78,8 +78,7 @@ def main():
     )
     from pytorch_connectomics_tpu.inference.tta import affinity_flip_align
     from pytorch_connectomics_tpu.inference.window import (
-        _sliding_window_regular_device,
-        regular_cover_setup_device,
+        predict_volume_device,
     )
     from pytorch_connectomics_tpu.losses.orchestrator import LossOrchestrator
     from pytorch_connectomics_tpu.metrics.seg import adapted_rand, voi
@@ -216,14 +215,9 @@ def main():
     overlap = float(os.environ.get("IQ_OVERLAP", "0.5"))
     window = (patch,) * 3
     stride = tuple(max(1, int(round(w * (1.0 - overlap)))) for w in window)
-    # exact on-device separable blend (the clipped stock bump is
-    # non-separable; see window.regular_cover_setup_device)
-    cover, imp, inv_weight = regular_cover_setup_device(test_shape, window, stride)
-    vol = jnp.pad(
-        img_te.astype(jnp.bfloat16),
-        [(0, cv - s) for cv, s in zip(cover, test_shape)],
-        mode="reflect",
-    )[..., None]
+    # unified on-device engine: exact separable blend; parity engine when
+    # stride divides the window, snap-grid HBM accumulator otherwise
+    vol = img_te.astype(jnp.bfloat16)[..., None]
 
     params = {"params": state.params["model"]}
 
@@ -235,13 +229,12 @@ def main():
         variants = [()]
         if tta:
             variants = [(), (0,), (1,), (2,)]
-        acc = jnp.zeros(cover + (n_ch,), jnp.float32)
+        acc = jnp.zeros(test_shape + (n_ch,), jnp.float32)
         for axes in variants:
             vv = jnp.flip(v, axes) if axes else v
-            out = _sliding_window_regular_device(
-                p, vv, imp, inv_weight, apply_fn=afn, window=window,
-                stride=stride, sw_batch=batch, out_channels=n_ch,
-                acc_dtype=jnp.float32,
+            out = predict_volume_device(
+                p, vv, afn, window, stride, sw_batch=batch,
+                out_channels=n_ch, acc_dtype=jnp.float32,
             )
             if axes:
                 out = jnp.flip(out, axes)
@@ -252,8 +245,7 @@ def main():
         return jnp.round(aff * 255.0).astype(jnp.uint8)
 
     t0 = time.time()
-    pred_q = infer(params, vol)
-    pred_q = np.asarray(pred_q[: test_shape[0], : test_shape[1], : test_shape[2], :])
+    pred_q = np.asarray(infer(params, vol))
     gt = np.asarray(lbl_te).astype(np.int64)
     infer_s = time.time() - t0
     print(f"inference + fetch: {infer_s:.0f}s", flush=True)

@@ -52,8 +52,7 @@ def main():
         synthetic_em_volume_v2,
     )
     from pytorch_connectomics_tpu.inference.window import (
-        _sliding_window_regular_device,
-        regular_cover_setup_device,
+        predict_volume_device,
     )
     from pytorch_connectomics_tpu.losses.orchestrator import LossOrchestrator
     from pytorch_connectomics_tpu.metrics.binary import jaccard_index
@@ -217,14 +216,10 @@ def main():
     overlap = float(os.environ.get("QB_OVERLAP", "0.5"))
     window = (patch,) * 3
     stride = tuple(max(1, int(round(w * (1.0 - overlap)))) for w in window)
-    # exact on-device separable blend (the clipped stock bump is
-    # non-separable; see window.regular_cover_setup_device)
-    cover, imp, inv_weight = regular_cover_setup_device(test_shape, window, stride)
-    vol = jnp.pad(
-        img_te.astype(jnp.bfloat16),
-        [(0, cv - s) for cv, s in zip(cover, test_shape)],
-        mode="reflect",
-    )[..., None]
+    # unified on-device engine: exact separable blend; parity engine when
+    # stride divides the window, snap-grid HBM accumulator otherwise
+    # (overlap 0.25/0.125 -> strides 48/56 don't divide 64)
+    vol = img_te.astype(jnp.bfloat16)[..., None]
 
     params = {"params": state.params["model"]}
 
@@ -238,11 +233,10 @@ def main():
             variants = [
                 (v, None), (jnp.flip(v, 0), 0), (jnp.flip(v, 1), 1), (jnp.flip(v, 2), 2),
             ]
-        acc = jnp.zeros(cover + (1,), jnp.float32)
+        acc = jnp.zeros(test_shape + (1,), jnp.float32)
         for vv, ax in variants:
-            out = _sliding_window_regular_device(
-                p, vv, imp, inv_weight, apply_fn=afn, window=window,
-                stride=stride, sw_batch=batch, out_channels=1,
+            out = predict_volume_device(
+                p, vv, afn, window, stride, sw_batch=batch, out_channels=1,
                 acc_dtype=jnp.float32,
             )
             if ax is not None:
@@ -251,8 +245,7 @@ def main():
         return acc / len(variants)
 
     t0 = time.time()
-    pred = infer(params, vol)
-    pred = pred[: test_shape[0], : test_shape[1], : test_shape[2], 0]
+    pred = infer(params, vol)[..., 0]
     jac = float(jaccard_index(pred, lbl_te.astype(jnp.float32), from_logits=True))
     infer_s = time.time() - t0
 

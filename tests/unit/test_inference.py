@@ -667,3 +667,80 @@ def test_sharded_variant_tta_aligns_affinity_channels():
     out = pred.predict(None, labels[..., None])
     interior = (slice(1, -1),) * 3
     np.testing.assert_allclose(out[interior], direct[interior], atol=1e-6)
+
+
+class TestPredictVolumeDevice:
+    """predict_volume_device: one entry point for every overlap — parity
+    engine when stride divides window, HBM-accumulator fallback otherwise
+    (overlap 0.25/0.125 crashed the parity engine live on the TPU with an
+    out-of-range lax.slice before the fallback existed)."""
+
+    @staticmethod
+    def _naive(vol, window, stride, f):
+        import numpy as np
+
+        from pytorch_connectomics_tpu.inference.window import (
+            _separable_bump_profiles,
+            compute_grid_1d,
+        )
+
+        profiles = _separable_bump_profiles(window)
+        imp = (
+            profiles[0][:, None, None]
+            * profiles[1][None, :, None]
+            * profiles[2][None, None, :]
+        )[..., None]
+        value = np.zeros(vol.shape[:3] + (1,), np.float64)
+        weight = np.zeros(vol.shape[:3] + (1,), np.float64)
+        grids = [
+            compute_grid_1d(s, w, st)
+            for s, w, st in zip(vol.shape[:3], window, stride)
+        ]
+        for oz in grids[0]:
+            for oy in grids[1]:
+                for ox in grids[2]:
+                    wz, wy, wx = window
+                    win = vol[oz:oz + wz, oy:oy + wy, ox:ox + wx]
+                    value[oz:oz + wz, oy:oy + wy, ox:ox + wx] += imp * f(win)
+                    weight[oz:oz + wz, oy:oy + wy, ox:ox + wx] += imp
+        return value / weight
+
+    @pytest.mark.parametrize("stride", [(4, 4, 4), (6, 6, 6), (6, 4, 7)])
+    def test_matches_naive_reference(self, stride):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from pytorch_connectomics_tpu.inference.window import (
+            predict_volume_device,
+        )
+
+        rng = np.random.default_rng(3)
+        vol = rng.random((16, 16, 16, 1)).astype(np.float32)
+        window = (8, 8, 8)
+
+        def apply_fn(params, w):
+            return w * 2.0 + 1.0
+
+        out = jax.jit(
+            lambda v: predict_volume_device(
+                {}, v, apply_fn, window, stride, sw_batch=4, out_channels=1
+            )
+        )(jnp.asarray(vol))
+        ref = self._naive(vol, window, stride, lambda w: w * 2.0 + 1.0)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
+
+    def test_parity_engine_rejects_non_dividing_stride(self):
+        import jax.numpy as jnp
+
+        from pytorch_connectomics_tpu.inference.window import (
+            _sliding_window_regular_device,
+        )
+
+        with pytest.raises(ValueError, match="stride to divide window"):
+            _sliding_window_regular_device(
+                {}, jnp.zeros((16, 16, 16, 1)), jnp.zeros((8, 8, 8, 1)),
+                jnp.zeros((16, 16, 16, 1)), apply_fn=lambda p, w: w,
+                window=(8, 8, 8), stride=(6, 6, 6), sw_batch=4,
+                out_channels=1,
+            )
