@@ -68,6 +68,35 @@ def setup_runtime_directories(cfg: Config, mode: str, args=None) -> Path:
     return Path(cfg.save_path or f"outputs/{cfg.experiment_name}") / mode
 
 
+def resolve_latest_checkpoint(cfg: Config) -> Optional[str]:
+    """Newest trained checkpoint under ``save_path`` (``last`` preferred,
+    top-k entries otherwise), or None.
+
+    Used when ``--mode test/tune/tune-test`` is invoked without
+    ``--checkpoint``: the reference silently proceeds with random weights in
+    that case (``dispatch.py:145`` falls back to an empty prediction
+    checkpoint path), which is a footgun — a full production run here
+    produced jaccard 0.022 because the test leg never restored the train
+    leg's weights. We resolve the natural train→test flow instead, and the
+    caller warns loudly if nothing is found.
+    """
+    base = Path(cfg.save_path or f"outputs/{cfg.experiment_name}")
+    if not base.exists():
+        return None
+    candidates = []
+    for ckdir in base.glob("*/checkpoints"):
+        last = ckdir / "last"
+        if (last / "state").exists():
+            candidates.append(last)
+            continue
+        for d in ckdir.iterdir():
+            if d.is_dir() and (d / "state").exists():
+                candidates.append(d)
+    if not candidates:
+        return None
+    return str(max(candidates, key=lambda p: (p / "state").stat().st_mtime))
+
+
 def _load_params_for_inference(
     cfg: Config, trainer, checkpoint: Optional[str], external_prefix: Optional[str] = None
 ):
@@ -138,6 +167,19 @@ def dispatch_runtime(args=None) -> Dict[str, Any]:
     from .preflight import preflight_check
 
     preflight_check(cfg, mode)
+    if mode in ("test", "tune", "tune-test") and not args.checkpoint:
+        auto = resolve_latest_checkpoint(cfg)
+        if auto:
+            args.checkpoint = auto
+            logger.info("auto-resolved checkpoint: %s", auto)
+        elif cfg.model.arch.type != "nnunet" or not cfg.model.nnunet.checkpoint_path:
+            logger.warning(
+                "--mode %s without --checkpoint and no trained checkpoint "
+                "found under %s: inference will run with RANDOMLY-INITIALIZED "
+                "weights",
+                mode,
+                cfg.save_path or f"outputs/{cfg.experiment_name}",
+            )
     if mode in ("train", "val"):
         # missing tutorial data: registry-driven fetch or loud instructions
         # (reference data_factory.py:372-434)

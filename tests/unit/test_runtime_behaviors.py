@@ -270,3 +270,36 @@ def test_run_dir_timestamp_coordination(tmp_path, monkeypatch):
     monkeypatch.setattr(jax, "process_index", lambda: 1)
     d1 = setup_runtime_directories(cfg, "train")
     assert d1 == d0  # non-zero rank adopted process 0's timestamp
+
+
+def test_resolve_latest_checkpoint(tmp_path):
+    """test/tune modes without --checkpoint must find the newest trained
+    checkpoint under save_path (the queue2 production run inferred with
+    random weights because nothing resolved one — jaccard 0.022)."""
+    import os
+    import time
+
+    from pytorch_connectomics_tpu.config.schema import Config
+    from pytorch_connectomics_tpu.runtime.dispatch import resolve_latest_checkpoint
+
+    cfg = Config()
+    cfg.save_path = str(tmp_path / "exp")
+    assert resolve_latest_checkpoint(cfg) is None
+
+    old = tmp_path / "exp" / "20260101_000000" / "checkpoints"
+    (old / "epoch=000-loss=1.0" / "state").mkdir(parents=True)
+    new = tmp_path / "exp" / "20260102_000000" / "checkpoints"
+    (new / "last" / "state").mkdir(parents=True)
+    now = time.time()
+    os.utime(old / "epoch=000-loss=1.0" / "state", (now - 100, now - 100))
+    os.utime(new / "last" / "state", (now, now))
+
+    got = resolve_latest_checkpoint(cfg)
+    assert got is not None and got.endswith("20260102_000000/checkpoints/last")
+
+    # newest run dir missing 'last' -> top-k entry still resolves
+    import shutil
+
+    shutil.rmtree(new / "last")
+    got = resolve_latest_checkpoint(cfg)
+    assert got is not None and "epoch=000-loss=1.0" in got

@@ -277,3 +277,96 @@ def test_qb_insert_table_row_targets_correct_table(tmp_path):
     text = q.read_text()
     assert text.index("> note") < text.index("| d3 | base | 0.5 |")
     assert text.index("| d2 | base | 0.4 |") < text.index("| d3 | base | 0.5 |")
+
+
+@pytest.mark.slow
+def test_quality_benchmark_smoke_cpu_overlap_fallback(tmp_path):
+    """Same path at overlap 0.25 (stride doesn't divide the window):
+    predict_volume_device must route to the snap-grid HBM-accumulator
+    engine — this exact configuration crashed the parity engine live on
+    the TPU before the fallback existed."""
+    qfile = tmp_path / "quality.md"
+    r = run(
+        ["scripts/quality_benchmark.py"],
+        env={
+            **os.environ,
+            "QB_PLATFORM": "cpu",
+            "QB_STEPS": "2",
+            "QB_PATCH": "32",
+            "QB_BATCH": "2",
+            "QB_TRAIN_SHAPE": "32,64,64",
+            "QB_TEST_SHAPE": "32,64,64",
+            "QB_TTA": "0",
+            "QB_OVERLAP": "0.25",
+            "QB_QUALITY_FILE": str(qfile),
+        },
+        timeout=1200,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert 0.0 <= out["value"] <= 1.0
+    assert "/ov0.25" in qfile.read_text()
+
+
+@pytest.mark.slow
+def test_instance_quality_benchmark_smoke_cpu(tmp_path):
+    """Instance QB end-to-end on CPU at tiny settings, including the
+    param save -> load round-trip used by the overlap-frontier legs
+    (identical weights across sweeps)."""
+    qfile = tmp_path / "quality.md"
+    pfile = tmp_path / "params.msgpack"
+    env = {
+        **os.environ,
+        "IQ_PLATFORM": "cpu",
+        "IQ_STEPS": "2",
+        "IQ_PATCH": "32",
+        "IQ_BATCH": "2",
+        "IQ_TRAIN_SHAPE": "32,64,64",
+        "IQ_TEST_SHAPE": "32,64,64",
+        "IQ_TTA": "0",
+        "IQ_QUALITY_FILE": str(qfile),
+    }
+    r = run(
+        ["scripts/instance_quality_benchmark.py"],
+        env={**env, "IQ_SAVE_PARAMS": str(pfile)},
+        timeout=1200,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert pfile.exists() and pfile.stat().st_size > 1000
+    # reload saved params, inference-only, non-dividing overlap
+    r2 = run(
+        ["scripts/instance_quality_benchmark.py"],
+        env={**env, "IQ_LOAD_PARAMS": str(pfile), "IQ_OVERLAP": "0.25"},
+        timeout=1200,
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    text = qfile.read_text()
+    assert "/ov0.25/ld" in text
+
+
+@pytest.mark.slow
+def test_cli_train_then_test_auto_resolves_checkpoint(tmp_path):
+    """`--mode test` without --checkpoint must restore the newest checkpoint
+    from the train leg (the round-4 production queue silently inferred with
+    random weights before this existed)."""
+    sp = str(tmp_path / "exp")
+    r = run(
+        ["scripts/main.py", "--config", "tutorials/minimal.yaml",
+         "--mode", "train", f"save_path={sp}"],
+        timeout=900,
+    )
+    assert r.returncode == 0, (r.stdout + r.stderr)[-3000:]
+    r2 = run(
+        ["scripts/main.py", "--config", "tutorials/minimal.yaml",
+         "--mode", "test", f"save_path={sp}",
+         "data.test.image=random://minimal/test_image?shape=32,64,64",
+         "data.test.label=random://minimal/test_label?shape=32,64,64",
+         "inference.window.window_size=[32,64,64]",
+         "inference.window.sw_batch_size=1"],
+        timeout=900,
+    )
+    out = r2.stdout + r2.stderr
+    assert r2.returncode == 0, out[-3000:]
+    assert "auto-resolved checkpoint" in out, out[-3000:]
+    assert "restored checkpoint" in out, out[-3000:]
