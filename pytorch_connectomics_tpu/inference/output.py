@@ -52,10 +52,18 @@ def save_prediction(
 
 
 def validate_prediction_cache(
-    path: str | Path, config_hash: Optional[str] = None
+    path: str | Path,
+    config_hash: Optional[str] = None,
+    checkpoint: Optional[str] = None,
 ) -> bool:
     """Check a cached prediction exists and (optionally) matches the config
-    hash (reference ``cache_resolver.py:22-116``)."""
+    hash and checkpoint provenance (reference ``cache_resolver.py:22-116``).
+
+    The checkpoint check matters: the config hash does NOT cover
+    ``--checkpoint`` (a CLI arg), so without it a prediction produced from
+    different weights — e.g. the pre-auto-resolve random-init footgun —
+    would be silently reused on re-run.
+    """
     p = Path(str(path).split(":")[0])
     if not p.exists():
         return False
@@ -64,5 +72,7 @@ def validate_prediction_cache(
     except Exception:
         return p.exists()  # non-h5 cache: existence is enough
     if config_hash and attrs.get("config_hash") not in ("", None, config_hash):
+        return False
+    if checkpoint and attrs.get("checkpoint") not in ("", None, str(checkpoint)):
         return False
     return True

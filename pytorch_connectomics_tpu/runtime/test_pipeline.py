@@ -118,7 +118,7 @@ def run_test_pipeline(
             if prediction.dtype == np.uint8:  # uint8 affinity convention
                 prediction = prediction.astype(np.float32) / 255.0
             prediction = np.moveaxis(prediction, 0, -1)  # stored (C,Z,Y,X)
-        elif validate_prediction_cache(pred_path, cfg_hash):
+        elif validate_prediction_cache(pred_path, cfg_hash, checkpoint or ""):
             logger.info("cache hit: %s", pred_path)
             pred_cached = True
             prediction = read_volume(str(pred_path))

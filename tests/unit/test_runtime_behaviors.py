@@ -83,6 +83,14 @@ def test_prediction_cache_hash_invalidation(tmp_path):
     # a config change must invalidate the cache
     assert not validate_prediction_cache(p, "hash-B")
     assert not validate_prediction_cache(tmp_path / "missing.h5", "hash-A")
+    # a checkpoint change must too: config hash does not cover --checkpoint
+    # (the queue2 random-weights prediction would otherwise be reused)
+    assert validate_prediction_cache(p, "hash-A", "ckpt")
+    assert not validate_prediction_cache(p, "hash-A", "other-ckpt")
+    # legacy caches with no recorded checkpoint stay valid
+    p2 = tmp_path / "legacy_prediction.h5"
+    save_prediction(p2, pred, "hash-A", "", "tag")
+    assert validate_prediction_cache(p2, "hash-A", "ckpt")
 
 
 def test_decode_only_pipeline_loads_external_prediction(tmp_path):
