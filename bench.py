@@ -239,6 +239,11 @@ def main():
             ),
             "overlap_0.25": dict(patchify=False, overlap=0.25),
             "patchify_overlap_0.25": dict(patchify=True, overlap=0.25),
+            # the shipped fast recipe (mito_lucchi_tpu_fast.yaml): aniso
+            # stem + quality-neutral overlap
+            "patchify_aniso_overlap_0.25": dict(
+                patchify=True, overlap=0.25, patchify_stride=[1, 2, 2]
+            ),
         }.items():
             if os.environ.get("BENCH_VARIANTS") == "patchify" and "overlap" in tag:
                 continue
