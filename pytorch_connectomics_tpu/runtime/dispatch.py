@@ -130,7 +130,7 @@ def _load_params_for_inference(
         logger.info("external checkpoint %s: %s", checkpoint, stats)
         return params
     if checkpoint:
-        trainer.restore(checkpoint)
+        trainer.restore(checkpoint, params_only=True)
     return trainer.inference_params
 
 

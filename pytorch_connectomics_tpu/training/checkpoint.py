@@ -117,6 +117,37 @@ class CheckpointManager:
             path.resolve(), target=jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
         )
 
+    def restore_params_only(self, path: str | Path, target_state: Any) -> Dict[str, Any]:
+        """Restore only the optimizer-independent leaves (params, step, and
+        ema_params when both sides have them).
+
+        Inference must not depend on the train stage's optimizer chain: a
+        config that sets e.g. ``gradient_clip_val`` only under ``train:``
+        produces an opt_state whose *structure* differs from the test-stage
+        template, and a full-state restore fails on the mismatch.
+        """
+        path = Path(path)
+        if (path / "state").exists():
+            path = path / "state"
+        item = {"step": target_state.step, "params": target_state.params}
+        if getattr(target_state, "ema_params", None) is not None:
+            item["ema_params"] = target_state.ema_params
+        tmpl = jax.tree.map(ocp.utils.to_shape_dtype_struct, item)
+        ptck = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+        try:
+            return ptck.restore(
+                path.resolve(), args=ocp.args.PyTreeRestore(tmpl, partial_restore=True)
+            )
+        except ValueError:
+            if "ema_params" not in tmpl:
+                raise
+            # checkpoint trained without EMA but test config enables it:
+            # fall back to raw params (callers copy params into ema slots)
+            tmpl.pop("ema_params")
+            return ptck.restore(
+                path.resolve(), args=ocp.args.PyTreeRestore(tmpl, partial_restore=True)
+            )
+
     @staticmethod
     def read_metadata(path: str | Path) -> Dict[str, Any]:
         p = Path(path)

@@ -177,12 +177,27 @@ class Trainer:
         path: str | Path,
         reset_optimizer: bool = False,
         reset_epoch: bool = False,
+        params_only: bool = False,
     ) -> None:
         fresh = self.state
-        restored = self.ckpt.restore(path, fresh)
         meta = CheckpointManager.read_metadata(path)
         check_config_hash(meta, self.cfg_hash)
-        self.state = apply_state_resets(restored, fresh, reset_optimizer, reset_epoch)
+        if params_only:
+            # inference restore: skip opt_state entirely — its structure
+            # depends on the train-stage optimizer config, which test/tune
+            # stages don't (and shouldn't) reproduce
+            got = self.ckpt.restore_params_only(path, fresh)
+            self.state = fresh.replace(
+                step=got["step"],
+                params=got["params"],
+                ema_params=got.get(
+                    "ema_params",
+                    got["params"]["model"] if fresh.ema_params is not None else None,
+                ),
+            )
+        else:
+            restored = self.ckpt.restore(path, fresh)
+            self.state = apply_state_resets(restored, fresh, reset_optimizer, reset_epoch)
         logger.info("restored checkpoint from %s (step %s)", path, int(self.state.step))
 
     # -- training ----------------------------------------------------------

@@ -141,6 +141,35 @@ def test_step_interval_checkpointing(mini_cfg, tmp_path):
     assert int(t2.state.step) == 4
 
 
+def test_params_only_restore_across_optimizer_chains(mini_cfg, tmp_path):
+    """Inference restore must not depend on the train-stage optimizer
+    structure: a checkpoint saved with gradient clipping (2-element optax
+    chain) must restore params-only into a trainer built without it (this
+    exact mismatch broke the round-4 production test leg on the TPU)."""
+    import copy
+
+    cfg1 = copy.deepcopy(mini_cfg)
+    cfg1.optimization.gradient_clip_val = 1.0
+    t1 = Trainer(cfg1, run_dir=tmp_path / "clip")
+    t1.fit(max_epochs=1)
+
+    cfg2 = copy.deepcopy(mini_cfg)
+    cfg2.optimization.gradient_clip_val = None
+    t2 = Trainer(cfg2, run_dir=tmp_path / "noclip")
+    with pytest.raises(ValueError):
+        t2.restore(t1.ckpt.last_path())  # full-state restore: mismatch
+    t2.restore(t1.ckpt.last_path(), params_only=True)
+    assert int(t2.state.step) == int(t1.state.step)
+    p1 = jax.tree.leaves(t1.state.params)[0]
+    p2 = jax.tree.leaves(t2.state.params)[0]
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
+    # EMA slots restored too (mini_cfg enables EMA)
+    if t1.state.ema_params is not None:
+        e1 = jax.tree.leaves(t1.state.ema_params)[0]
+        e2 = jax.tree.leaves(t2.state.ema_params)[0]
+        np.testing.assert_allclose(np.asarray(e1), np.asarray(e2))
+
+
 def test_checkpoint_reset_optimizer(mini_cfg, tmp_path):
     t1 = Trainer(mini_cfg, run_dir=tmp_path / "c")
     t1.fit(max_epochs=1)
