@@ -217,6 +217,18 @@ class VolumeDataset:
     def full_label(self, vi: int = 0) -> Optional[np.ndarray]:
         return self.labels[vi]
 
+    @property
+    def has_unlabeled(self) -> bool:
+        """True when any label volume carries ``-1`` unlabeled voxels —
+        gates per-channel -1-aware target masks (pipeline; reference
+        ``transforms.py:736``). Cached after the first scan."""
+        if not hasattr(self, "_has_unlabeled"):
+            self._has_unlabeled = any(
+                l is not None and l.dtype.kind in "if" and l.min() < 0
+                for l in self.labels
+            )
+        return self._has_unlabeled
+
 
 class LazyVolumeDataset:
     """Crop-on-read dataset over HDF5/zarr — volumes never fully loaded
@@ -237,6 +249,17 @@ class LazyVolumeDataset:
         self.label_paths = _as_list(labels)
         self.shapes = [probe_volume(p)[0] for p in self.image_paths]
         self._handles: Dict[str, Any] = {}
+
+    @property
+    def has_unlabeled(self) -> bool:
+        """Lazy volumes are never fully read, so gate on the label dtype:
+        a signed dtype CAN carry -1 unlabeled voxels, so masks are emitted
+        (all-ones for crops without any — harmless, just extra bytes)."""
+        if not hasattr(self, "_has_unlabeled"):
+            self._has_unlabeled = any(
+                probe_volume(p)[1].kind in "if" for p in self.label_paths
+            )
+        return self._has_unlabeled
 
     def _read(self, path: str, roi: Tuple[slice, ...]) -> np.ndarray:
         return read_volume(path, roi=roi)
@@ -270,6 +293,10 @@ class WeightedConcatDataset:
         di = int(rng.choice(len(self.datasets), p=self.probs))
         return self.datasets[di].sample(rng)
 
+    @property
+    def has_unlabeled(self) -> bool:
+        return any(getattr(d, "has_unlabeled", False) for d in self.datasets)
+
 
 class UniformConcatDataset(WeightedConcatDataset):
     def __init__(self, datasets: List[Any]):
@@ -287,6 +314,10 @@ class StratifiedConcatDataset:
         d = self.datasets[self._i % len(self.datasets)]
         self._i += 1
         return d.sample(rng)
+
+    @property
+    def has_unlabeled(self) -> bool:
+        return any(getattr(d, "has_unlabeled", False) for d in self.datasets)
 
 
 # ---------------------------------------------------------------------------

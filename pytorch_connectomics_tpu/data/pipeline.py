@@ -25,6 +25,7 @@ from .datasets import (
 )
 from .split import split_volume
 from .targets import build_target_fn
+from .targets.build import build_target_mask_fn
 
 
 def _reject_from_cfg(block) -> Optional[RejectConfig]:
@@ -143,6 +144,7 @@ class PatchPipeline:
         process_index: int = 0,
         process_count: int = 1,
         target_context=None,
+        emit_target_mask: Optional[bool] = None,
     ):
         """``batch_size`` is the GLOBAL batch. In a multi-host run each
         process assembles only its slice of slots; sample RNG is keyed by the
@@ -164,6 +166,18 @@ class PatchPipeline:
             sample_other=lambda rng: self.dataset.sample(rng),
         )
         self.target_fn = build_target_fn(target_cfg)
+        # -1-aware per-channel validity masks (reference transforms.py:736):
+        # emitted only when the DATASET carries unlabeled voxels, so the
+        # decision is batch-consistent (collate needs uniform keys) and
+        # fully-labeled runs pay no extra mask traffic
+        self.emit_target_mask = bool(
+            emit_target_mask
+            if emit_target_mask is not None
+            else getattr(dataset, "has_unlabeled", False)
+        )
+        self.target_mask_fn = (
+            build_target_mask_fn(target_cfg) if self.emit_target_mask else None
+        )
         self.target_context = tuple(int(c) for c in (target_context or ()))
         self.num_threads = max(1, num_threads)
         self.prefetch = prefetch
@@ -176,7 +190,12 @@ class PatchPipeline:
         if self.augment is not None:
             s = self.augment(s, rng)
         if self.target_fn is not None and "label" in s:
-            s["label"] = self.target_fn(s["label"])
+            raw_seg = s["label"]
+            s["label"] = self.target_fn(raw_seg)
+            if self.target_mask_fn is not None:
+                tm = self.target_mask_fn(raw_seg)
+                # file masks are (1,Z,Y,X); broadcast-multiply keeps both
+                s["mask"] = s["mask"] * tm if "mask" in s else tm
         # precomputed auxiliary targets (e.g. skeleton-aware SDT volumes,
         # reference data_factory.py:113-218) append as extra label channels
         if "label_aux" in s and "label" in s:

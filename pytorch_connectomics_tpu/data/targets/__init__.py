@@ -25,4 +25,9 @@ from .misc import (  # noqa: F401
     seg_to_small_object,
     unet3d_weight,
 )
-from .build import available_targets, build_target_fn, register_target  # noqa: F401
+from .build import (  # noqa: F401
+    available_targets,
+    build_target_fn,
+    build_target_mask_fn,
+    register_target,
+)

@@ -125,18 +125,19 @@ def affinity_unlabeled_mask(
 
 
 def affinity_valid_mask(
-    shape: Sequence[int], offsets: Sequence[Union[str, Sequence[int]]], dtype=np.float32
+    shape: Sequence[int],
+    offsets: Sequence[Union[str, Sequence[int]]],
+    dtype=np.float32,
+    affinity_mode: str = "deepem",
 ) -> np.ndarray:
-    """Per-channel mask of positions where the offset neighbor exists
-    (reference ``affinity.py:369``)."""
+    """Per-channel mask of positions where the offset neighbor exists,
+    stored at the mode's storage voxel — deepem: destination/high end,
+    banis: source (reference ``affinity.py:369``)."""
     offs = parse_offsets(offsets)
     mask = np.zeros((len(offs),) + tuple(shape), dtype=dtype)
     for c, off in enumerate(offs):
-        sl = []
-        for d, o in enumerate(off):
-            n = shape[d]
-            sl.append(slice(o, n) if o >= 0 else slice(0, n + o))
-        mask[(c,) + tuple(sl)] = 1.0
+        _src, _dst, storage = _storage_slices(tuple(shape), off, affinity_mode)
+        mask[(c,) + storage] = 1.0
     return mask
 
 

@@ -159,6 +159,48 @@ def build_target_fn(cfg: Optional[LabelTransformConfig]) -> Optional[Callable[[n
     return fn
 
 
+def build_target_mask_fn(
+    cfg: Optional[LabelTransformConfig],
+) -> Optional[Callable[[np.ndarray], np.ndarray]]:
+    """``fn(raw_seg) -> (C, Z, Y, X) float32 per-channel validity mask``
+    over the FULL stacked target layout, for datasets whose segmentation
+    carries ``-1`` unlabeled voxels (reference ``seg_to_affinity`` mask
+    semantics, ``data/processing/affinity.py:419-456``, and the
+    ignore-aware per-task masks in ``transforms.py:736-743,1069``):
+
+    - affinity spans: edge valid iff BOTH endpoints are labeled and inside
+      the volume (:func:`affinity_unlabeled_mask`, mode-aware storage);
+    - every other target channel: voxel valid iff ``seg != -1``.
+
+    Returns None when no targets are configured. The mask multiplies into
+    the batch ``mask`` tensor (pipeline), which the loss orchestrator
+    already routes per-channel; emission is gated at the dataset level
+    (``Pipeline(emit_target_mask=...)``) so fully-labeled datasets pay no
+    extra host->device traffic."""
+    spans = target_channel_spans(cfg)
+    if not spans:
+        return None
+    from .affinity import affinity_unlabeled_mask
+
+    def fn(seg: np.ndarray) -> np.ndarray:
+        s = np.asarray(seg)
+        if s.ndim == 4:
+            s = s[0]
+        labeled = (s != -1).astype(np.float32)
+        cols = []
+        for span in spans:
+            width = span["end"] - span["start"]
+            if span["name"] == "affinity":
+                offsets = span["kwargs"].get("offsets") or ["0-0-1", "0-1-0", "1-0-0"]
+                mode = span["kwargs"].get("affinity_mode", "deepem")
+                cols.append(affinity_unlabeled_mask(s, offsets, mode))
+            else:
+                cols.append(np.broadcast_to(labeled[None], (width,) + s.shape))
+        return np.ascontiguousarray(np.concatenate(cols, axis=0), dtype=np.float32)
+
+    return fn
+
+
 def target_channel_spans(
     cfg: Optional[LabelTransformConfig],
 ) -> List[Dict[str, Any]]:
@@ -201,6 +243,11 @@ def affinity_target_groups(
             continue
         offsets = span["kwargs"].get("offsets") or ["0-0-1", "0-1-0", "1-0-0"]
         groups.append(
-            {"start": span["start"], "end": span["end"], "offsets": parse_offsets(offsets)}
+            {
+                "start": span["start"],
+                "end": span["end"],
+                "offsets": parse_offsets(offsets),
+                "mode": span["kwargs"].get("affinity_mode", "deepem"),
+            }
         )
     return groups

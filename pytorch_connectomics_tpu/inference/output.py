@@ -43,7 +43,10 @@ def save_prediction(
     (reference ``artifact.py:74-141``)."""
     attrs = {
         "config_hash": config_hash,
-        "checkpoint": str(checkpoint),
+        # Predictions from randomly-initialized weights (no checkpoint) are
+        # stamped with an explicit sentinel so they can never masquerade as
+        # legacy pre-provenance caches and be reused after training.
+        "checkpoint": str(checkpoint) or "random-init",
         "head": head,
         "framework": "pytorch_connectomics_tpu",
     }
@@ -63,6 +66,18 @@ def validate_prediction_cache(
     ``--checkpoint`` (a CLI arg), so without it a prediction produced from
     different weights — e.g. the pre-auto-resolve random-init footgun —
     would be silently reused on re-run.
+
+    Semantics of the recorded ``checkpoint`` attr:
+
+    - key absent: pre-provenance cache, accepted (legacy).
+    - ``"random-init"`` (or the pre-sentinel ``""`` spelling): prediction
+      came from untrained weights — valid ONLY when the current run also has
+      no checkpoint. This closes the residual hole where a cache written
+      before training validated against any later checkpoint.
+    - anything else: must equal the current checkpoint exactly.
+
+    ``checkpoint=None`` skips the check (caller has no weight context, e.g.
+    decode-only reuse); ``checkpoint=""`` means "this run uses random init".
     """
     p = Path(str(path).split(":")[0])
     if not p.exists():
@@ -73,6 +88,11 @@ def validate_prediction_cache(
         return p.exists()  # non-h5 cache: existence is enough
     if config_hash and attrs.get("config_hash") not in ("", None, config_hash):
         return False
-    if checkpoint and attrs.get("checkpoint") not in ("", None, str(checkpoint)):
-        return False
+    if checkpoint is not None and "checkpoint" in attrs:
+        recorded = str(attrs["checkpoint"])
+        expected = str(checkpoint) or "random-init"
+        if recorded == "":  # pre-sentinel spelling of random-init
+            recorded = "random-init"
+        if recorded != expected:
+            return False
     return True

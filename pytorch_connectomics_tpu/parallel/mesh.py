@@ -53,8 +53,34 @@ def make_mesh(mesh_axes: Optional[Dict[str, int]] = None, devices=None) -> Mesh:
                 )
             chosen.extend(per_proc[p][:k])
         devices = chosen
-    dev_array = np.array(devices[:total]).reshape(sizes)
+    dev_array = arrange_devices(list(devices[:total]), mesh_axes, nproc)
     return Mesh(dev_array, tuple(mesh_axes))
+
+
+def arrange_devices(devices: list, mesh_axes: Dict[str, int], nproc: int) -> np.ndarray:
+    """Arrange a process-major device list into the mesh array so the
+    ``data`` axis is process-major REGARDLESS of its position in the axes
+    dict: reshape data-first, then move the data axis into its declared
+    slot. With ``{"space": 2, "data": 4}`` and 2 processes, the naive
+    dict-order reshape would give every data slot devices from BOTH
+    processes — each process then owns a *space* slice, and
+    ``make_array_from_process_local_data`` over the batch dim mis-assembles.
+    Single-process keeps the plain dict-order reshape (any arrangement is
+    valid; avoids relayout churn vs older meshes)."""
+    names = list(mesh_axes)
+    sizes = [mesh_axes[n] for n in names]
+    if nproc <= 1 or "data" not in mesh_axes:
+        return np.array(devices).reshape(sizes)
+    if mesh_axes["data"] % nproc != 0:
+        raise ValueError(
+            f"data axis size {mesh_axes['data']} not divisible by "
+            f"process_count {nproc}: every process must own an equal "
+            f"batch slice"
+        )
+    di = names.index("data")
+    order = [mesh_axes["data"]] + [mesh_axes[n] for n in names if n != "data"]
+    arr = np.array(devices).reshape(order)
+    return np.moveaxis(arr, 0, di)
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:

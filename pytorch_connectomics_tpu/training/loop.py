@@ -315,12 +315,12 @@ class Trainer:
                 train=False,
             )
             out = jax.device_get(out)
-            # affinity offsets from the label-transform config: grids mask
-            # invalid borders exactly like the training loss does
-            aff_offsets = None
-            for t in self.cfg.data.label_transform.targets or []:
-                if t.name == "affinity":
-                    aff_offsets = (t.kwargs or {}).get("offsets")
+            # affinity channel groups from the label-transform config (spans
+            # + parsed offsets + storage mode, defaults included): grids mask
+            # exactly the affinity channels, like the training loss does
+            from ..data.targets.build import affinity_target_groups
+
+            aff_groups = affinity_target_groups(self.cfg.data.label_transform)
             if not self._data_check_logged:
                 self._data_check_logged = True
                 from PIL import Image
@@ -342,7 +342,7 @@ class Trainer:
                 selected_channels=images_cfg.get("selected_channels"),
                 max_channels=int(images_cfg.get("max_channels", 8)),
                 slice_sampling=str(images_cfg.get("slice_sampling", "uniform")),
-                affinity_offsets=aff_offsets,
+                affinity_offsets=aff_groups,
             )
         except Exception as e:  # visualization must never kill training
             logger.warning("visualization failed: %s", e)

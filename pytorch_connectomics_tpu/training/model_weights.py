@@ -58,10 +58,20 @@ class _StorageRef:
 
 
 class _StorageType:
-    """Stand-in returned by find_class for torch.<X>Storage references."""
+    """Stand-in returned by find_class for torch.<X>Storage references.
+
+    Only ever used as the ``storage_type`` slot of a persistent id; if the
+    pickle tries to *instantiate* it (a serialized storage/tensor-class
+    object we don't model), refuse loudly so the caller's ``torch.load``
+    fallback triggers instead of returning a corrupted stand-in."""
 
     def __init__(self, name):
         self.name = name
+
+    def __call__(self, *args, **kwargs):
+        raise pickle.UnpicklingError(
+            f"torch-free reader: cannot instantiate torch class {self.name}"
+        )
 
 
 def _rebuild_tensor(storage: _StorageRef, offset, size, stride, *_args, **_kw):
@@ -104,8 +114,12 @@ class _TorchFreeUnpickler(pickle.Unpickler):
             return _rebuild_from_type_v2
         if module.startswith("torch") and name.endswith("Storage"):
             return _StorageType(name)
-        if module == "torch" and name in ("Tensor", "Size"):
-            # appear inside _rebuild_from_type_v2 metadata; never called
+        if module == "torch" and name == "Size":
+            # torch.Size is a tuple subclass; REDUCEd as Size(iterable)
+            return tuple
+        if module == "torch" and name == "Tensor":
+            # appears as _rebuild_from_type_v2 metadata (a class object,
+            # never called); _StorageType raises if it IS called
             return _StorageType(name)
         raise pickle.UnpicklingError(
             f"torch-free reader: refusing to unpickle {module}.{name} "
@@ -118,8 +132,12 @@ class _TorchFreeUnpickler(pickle.Unpickler):
         _tag, storage_type, key, _location, numel = pid
         tname = storage_type.name if isinstance(storage_type, _StorageType) else str(storage_type)
         if tname == "UntypedStorage":
-            # numel is in BYTES; element dtype comes from the tensor rebuild
-            return _StorageRef(np.dtype("<u1"), str(key), int(numel))
+            # numel is in BYTES and the element dtype lives outside the
+            # persistent id; interpreting it as u8 would yield silently
+            # wrong weights — refuse so torch.load handles it instead
+            raise pickle.UnpicklingError(
+                "torch-free reader: untyped storages are not supported"
+            )
         dt = _STORAGE_DTYPES.get(tname)
         if dt is None:
             raise pickle.UnpicklingError(f"unsupported storage type {tname}")
@@ -140,8 +158,9 @@ def _materialize(obj, raw: Dict[str, bytes]):
                 shape=size,
                 strides=tuple(s * itemsize for s in stride),
             ).copy()
-        else:  # 0-d
-            arr = arr[offset].copy() if arr.size else arr.copy()
+        else:  # 0-d: keep an ndarray (a numpy scalar would be dropped by
+            # load_torch_state_dict's isinstance(ndarray) filter)
+            arr = np.asarray(arr[offset]) if arr.size else arr.copy()
         if ref.is_bf16:
             try:
                 import ml_dtypes
@@ -185,10 +204,14 @@ def load_torch_state_dict(path: str, strip_prefixes: Tuple[str, ...] = ("model."
     the restricted reader refuses."""
     try:
         ckpt = read_torch_checkpoint(path)
-    except (zipfile.BadZipFile, pickle.UnpicklingError, KeyError, StopIteration) as e:
+    except Exception as e:  # fallback is the contract: any reader failure
+        # (bad zip, refused class, unexpected rebuild structure) defers to
+        # torch.load; without torch installed the ORIGINAL error surfaces
         logger.info("torch-free reader failed (%s); falling back to torch.load", e)
-        import torch
-
+        try:
+            import torch
+        except ImportError:
+            raise e
         ckpt = torch.load(path, map_location="cpu", weights_only=False)
     state = ckpt.get("state_dict", ckpt.get("model_state_dict", ckpt)) if isinstance(ckpt, dict) else ckpt
     out = {}

@@ -79,11 +79,16 @@ def apply_affinity_visualization_mask(
     (reference ``_apply_affinity_visualization_crop_if_needed``,
     ``callbacks.py:65-160``).
 
-    Inputs are NDHWC. Per offset-magnitude group, label and prediction
-    channels are zeroed outside the offsets' valid region; when ``crop`` and
-    mode is deepem, all tensors (incl. the image) are additionally cropped to
-    the common valid region so borders with undefined affinities disappear.
-    Returns (image, label, pred) — untouched inputs pass through.
+    Inputs are NDHWC. ``offsets`` is either a plain offset list — affinity
+    channels assumed to start at channel 0 — or the loss orchestrator's
+    channel-group list (``data.targets.build.affinity_target_groups``:
+    ``[{start, end, offsets, mode}]``), which masks ONLY the affinity spans
+    of the label layout, leaving binary/LSD/... channels untouched. Label
+    and prediction channels in each span are zeroed outside the span's valid
+    region (mode-aware: deepem stores at the high end, banis at the source);
+    when ``crop``, all tensors (incl. the image) are additionally cropped to
+    the common deepem-valid region so borders with undefined affinities
+    disappear. Returns (image, label, pred) — untouched inputs pass through.
     """
     from ..data.targets.affinity import (
         affinity_valid_mask,
@@ -91,23 +96,42 @@ def apply_affinity_visualization_mask(
         parse_offsets,
     )
 
+    offsets = list(offsets or [])
     if not offsets or (label is None and pred is None):
         return image, label, pred
     ref = label if label is not None else pred
     spatial = ref.shape[1:4]
     n_ch = ref.shape[-1]
-    offs = parse_offsets(offsets)[:n_ch]
-    # (C, Z, Y, X) valid mask -> NDHWC broadcastable (1, Z, Y, X, C)
-    valid = affinity_valid_mask(spatial, offs, dtype=np.float32)
-    valid = np.moveaxis(valid, 0, -1)[None]
+    if not isinstance(offsets[0], dict):
+        offs = parse_offsets(offsets)[:n_ch]
+        groups = [
+            {"start": 0, "end": len(offs), "offsets": offs, "mode": affinity_mode}
+        ]
+    else:
+        groups = offsets
     if label is not None:
         label = label.copy()
-        label[..., : len(offs)] = label[..., : len(offs)] * valid
     if pred is not None:
         pred = pred.copy()
-        pred[..., : len(offs)] = pred[..., : len(offs)] * valid
-    if crop and affinity_mode == "deepem":
-        pz, py, px = max_offset_pad(offs)
+    crop_pads = []
+    for g in groups:
+        offs = parse_offsets(g["offsets"])
+        mode = g.get("mode", affinity_mode)
+        s = int(g.get("start", 0))
+        e = int(g.get("end", s + len(offs)))
+        # (C, Z, Y, X) valid mask -> NDHWC broadcastable (1, Z, Y, X, C)
+        valid = affinity_valid_mask(spatial, offs, np.float32, mode)
+        valid = np.moveaxis(valid, 0, -1)[None]
+        if label is not None and e <= label.shape[-1]:
+            label[..., s:e] = label[..., s:e] * valid
+        # predictions share the label channel layout only single-head; skip
+        # spans that don't fit (multi-head per-head tensors)
+        if pred is not None and e <= pred.shape[-1]:
+            pred[..., s:e] = pred[..., s:e] * valid
+        if mode == "deepem":
+            crop_pads.append(max_offset_pad(offs))
+    if crop and crop_pads:
+        pz, py, px = (max(p[d] for p in crop_pads) for d in range(3))
         sl = (
             slice(None),
             slice(pz, spatial[0]),

@@ -246,3 +246,37 @@ def test_true_multiprocess_cli_train(tmp_path):
         metrics.append(ast.literal_eval(line.split("[done] train:", 1)[1].strip()))
     assert metrics[0] == metrics[1], metrics
     assert metrics[0]["epoch"] == 0 and "val_jaccard" in metrics[0]
+
+
+def test_make_mesh_data_axis_process_major_regardless_of_position():
+    """When 'data' is not the FIRST mesh axis, the device array must still
+    give each process a contiguous slice of the DATA axis (otherwise every
+    data slot spans processes and make_array_from_process_local_data over
+    the batch dim mis-assembles)."""
+    from unittest import mock
+
+    import jax
+
+    from pytorch_connectomics_tpu.parallel.mesh import make_mesh
+
+    class FakeDev:
+        def __init__(self, pid, lid):
+            self.process_index = pid
+            self.id = pid * 4 + lid
+
+        def __repr__(self):
+            return f"dev(p{self.process_index},{self.id})"
+
+    devs = [FakeDev(p, l) for p in range(2) for l in range(4)]
+    with mock.patch.object(jax, "process_count", return_value=2):
+        mesh = make_mesh({"space": 2, "data": 4}, devices=devs)
+        arr = mesh.devices  # shape (space=2, data=4)
+        assert arr.shape == (2, 4)
+        for d in range(4):
+            procs = {arr[s, d].process_index for s in range(2)}
+            assert procs == {0 if d < 2 else 1}, (d, procs)
+        # data axis not divisible by process count -> loud error
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="data axis"):
+            make_mesh({"space": 8, "data": 1}, devices=devs)

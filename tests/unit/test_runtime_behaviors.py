@@ -87,10 +87,21 @@ def test_prediction_cache_hash_invalidation(tmp_path):
     # (the queue2 random-weights prediction would otherwise be reused)
     assert validate_prediction_cache(p, "hash-A", "ckpt")
     assert not validate_prediction_cache(p, "hash-A", "other-ckpt")
-    # legacy caches with no recorded checkpoint stay valid
-    p2 = tmp_path / "legacy_prediction.h5"
+    # checkpoint=None skips the weight-provenance check (decode-only reuse)
+    assert validate_prediction_cache(p, "hash-A", None)
+    # a random-init prediction (saved before any training) must NOT validate
+    # once a checkpoint exists — the residual hole behind the jaccard-0.022
+    # reuse trap — but stays valid for another random-init run
+    p2 = tmp_path / "randominit_prediction.h5"
     save_prediction(p2, pred, "hash-A", "", "tag")
-    assert validate_prediction_cache(p2, "hash-A", "ckpt")
+    assert not validate_prediction_cache(p2, "hash-A", "ckpt")
+    assert validate_prediction_cache(p2, "hash-A", "")
+    # true legacy caches (no checkpoint attr at all) stay valid
+    from pytorch_connectomics_tpu.data.io import save_volume
+
+    p3 = tmp_path / "legacy_prediction.h5"
+    save_volume(str(p3), pred, attrs={"config_hash": "hash-A"})
+    assert validate_prediction_cache(p3, "hash-A", "ckpt")
 
 
 def test_decode_only_pipeline_loads_external_prediction(tmp_path):

@@ -138,6 +138,45 @@ def test_visualizer_affinity_mask_and_crop():
     assert g.dtype == np.uint8 and g.size > 0
 
 
+def test_visualizer_affinity_mask_respects_channel_groups():
+    """Mixed layouts (binary + affinity) mask ONLY the affinity span: with
+    label channels [binary, aff_x, aff_y, aff_z], the binary channel must
+    stay untouched and the z channel (index 3) must be masked — the old
+    channels-start-at-0 assumption did the opposite."""
+    from pytorch_connectomics_tpu.data.targets.build import affinity_target_groups
+    from pytorch_connectomics_tpu.training.visualizer import (
+        apply_affinity_visualization_mask,
+    )
+    from pytorch_connectomics_tpu.config.schema import (
+        LabelTargetConfig,
+        LabelTransformConfig,
+    )
+
+    cfg = LabelTransformConfig(
+        targets=[  # default affinity offsets
+            LabelTargetConfig(name="binary"),
+            LabelTargetConfig(name="affinity"),
+        ]
+    )
+    groups = affinity_target_groups(cfg)
+    assert groups and groups[0]["start"] == 1 and groups[0]["end"] == 4
+    lbl = np.ones((1, 8, 16, 16, 4), np.float32)
+    _img, lbl2, _pred = apply_affinity_visualization_mask(
+        lbl, None, groups, crop=False
+    )
+    assert lbl2[..., 0].min() == 1.0  # binary untouched
+    assert lbl2[0, :, :, 0, 1].max() == 0.0  # x-aff first column invalid
+    assert lbl2[0, :, 0, :, 2].max() == 0.0  # y-aff first row invalid
+    assert lbl2[0, 0, :, :, 3].max() == 0.0  # z-aff first slice invalid
+    # banis (source-storage) group: invalid border at the HIGH end instead
+    bgroups = [dict(groups[0], mode="banis")]
+    _i, lbl3, _p = apply_affinity_visualization_mask(lbl, None, bgroups, crop=False)
+    assert lbl3[0, :, :, -1, 1].max() == 0.0 and lbl3[0, :, :, 0, 1].min() == 1.0
+    # banis groups don't trigger the deepem crop
+    _i, lbl4, _p = apply_affinity_visualization_mask(lbl, None, bgroups, crop=True)
+    assert lbl4.shape == lbl.shape
+
+
 def test_visualizer_channel_and_slice_selection():
     from pytorch_connectomics_tpu.training.visualizer import (
         select_channels,

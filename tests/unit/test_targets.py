@@ -351,3 +351,76 @@ def test_seg_to_iou_best_match_rows():
     stack = [s0, s1, s1]
     res = segs_to_iou(lambda i: stack[i], [0, 1, 2])
     assert len(res) == 2 and tuple(res[1][1]) == (9, 9, 4, 4, 4)
+
+
+def test_build_target_mask_fn_minus1_semantics():
+    """-1-aware per-channel validity over the full target layout (reference
+    ``affinity.py:419-456`` edge mask + ``transforms.py:736`` per-task
+    masks): affinity channels need BOTH endpoints labeled; every other
+    channel needs the voxel itself labeled."""
+    from pytorch_connectomics_tpu.data.targets import build_target_mask_fn
+
+    cfg = build_dataclass(
+        LabelTransformConfig,
+        {"targets": [{"name": "binary"}, {"name": "affinity"}]},
+    )
+    fn = build_target_mask_fn(cfg)
+    seg = np.zeros((4, 8, 8), np.int32)
+    seg[:, :4, :] = 1
+    seg[:, :, 6:] = -1  # unlabeled slab at high x
+    m = fn(seg)
+    assert m.shape == (4, 4, 8, 8) and m.dtype == np.float32
+    # binary channel: exactly the labeled voxels
+    np.testing.assert_array_equal(m[0], (seg != -1).astype(np.float32))
+    # x-affinity (offset (0,0,1), deepem high-end storage at x): the edge
+    # INTO the unlabeled slab (stored at x=6) and inside it are invalid;
+    # the border column x=0 is invalid too (no neighbor)
+    assert m[1][:, :, 0].max() == 0.0
+    assert m[1][:, :, 6:].max() == 0.0
+    assert m[1][:, :, 1:6].min() == 1.0
+    # z-affinity: valid from z=1 outside the slab
+    assert m[3][0].max() == 0.0 and m[3][1:, :, :6].min() == 1.0
+    # fully-labeled seg -> all-ones except structural borders
+    m2 = fn(np.abs(seg))
+    assert m2[0].min() == 1.0 and m2[1][:, :, 1:].min() == 1.0
+
+
+def test_pipeline_emits_target_mask_only_for_unlabeled_datasets(tmp_path):
+    """Datasets carrying -1 voxels emit a per-channel batch mask (folded
+    into the loss); fully-labeled datasets emit nothing (no extra traffic,
+    identical batch keys to before)."""
+    import h5py
+
+    from pytorch_connectomics_tpu.data.datasets import VolumeDataset
+    from pytorch_connectomics_tpu.data.pipeline import PatchPipeline
+
+    rng = np.random.default_rng(0)
+    img = rng.random((6, 10, 10)).astype(np.float32)
+    lbl = np.ones((6, 10, 10), np.int32)
+    lbl[:, :, 7:] = -1
+    for name, arr in [("im.h5", img), ("lb.h5", lbl), ("lb_ok.h5", np.abs(lbl))]:
+        with h5py.File(tmp_path / name, "w") as f:
+            f["main"] = arr
+    tcfg = build_dataclass(
+        LabelTransformConfig,
+        {"targets": [{"name": "binary"}, {"name": "affinity"}]},
+    )
+    ds = VolumeDataset(str(tmp_path / "im.h5"), str(tmp_path / "lb.h5"),
+                       patch_size=(6, 10, 10))
+    assert ds.has_unlabeled
+    pipe = PatchPipeline(ds, 1, target_cfg=tcfg, train=False)
+    batch = pipe.make_batch(0)
+    assert "mask" in batch and batch["mask"].shape == (1, 6, 10, 10, 4)
+    # binary channel of the mask mirrors labeledness; label itself is the
+    # 4-channel target stack
+    np.testing.assert_array_equal(
+        batch["mask"][0, ..., 0], (lbl != -1).astype(np.float32)
+    )
+    assert batch["label"].shape[-1] == 4
+    # x-affinity mask column entering the unlabeled slab is zero
+    assert batch["mask"][0, :, :, 7:, 1].max() == 0.0
+    ds_ok = VolumeDataset(str(tmp_path / "im.h5"), str(tmp_path / "lb_ok.h5"),
+                          patch_size=(6, 10, 10))
+    assert not ds_ok.has_unlabeled
+    batch2 = PatchPipeline(ds_ok, 1, target_cfg=tcfg, train=False).make_batch(0)
+    assert "mask" not in batch2

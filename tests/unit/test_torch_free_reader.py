@@ -142,6 +142,46 @@ print('OK')
     np.testing.assert_array_equal(got, w.permute(2, 3, 4, 1, 0).numpy())
 
 
+def test_zero_dim_tensors_survive_state_dict_load(tmp_path):
+    """0-d tensors (BatchNorm num_batches_tracked, step counters) must come
+    back as 0-d ndarrays from BOTH reader paths — a numpy scalar would be
+    silently dropped by load_torch_state_dict's ndarray filter."""
+    sd = {"w": torch.randn(2, 2), "bn.num_batches_tracked": torch.tensor(42)}
+    p = _save(sd, tmp_path / "zerod.pth")
+    out = load_torch_state_dict(p)
+    assert set(out) == {"w", "bn.num_batches_tracked"}
+    nbt = out["bn.num_batches_tracked"]
+    assert isinstance(nbt, np.ndarray) and nbt.shape == () and nbt == 42
+
+
+def test_torch_size_in_metadata_unpickles_as_tuple(tmp_path):
+    """Lightning-style checkpoints carry torch.Size values in hparams; the
+    restricted reader must map them to plain tuples, not a stand-in."""
+    ckpt = {
+        "state_dict": {"w": torch.randn(3)},
+        "hparams": {"input_shape": torch.Size([1, 64, 64])},
+    }
+    p = _save(ckpt, tmp_path / "size.pth")
+    out = read_torch_checkpoint(p)
+    assert out["hparams"]["input_shape"] == (1, 64, 64)
+    assert isinstance(out["hparams"]["input_shape"], tuple)
+
+
+def test_unexpected_structure_falls_back_to_torch(tmp_path, monkeypatch):
+    """Any torch-free reader failure (not just UnpicklingError) must defer
+    to torch.load rather than propagate."""
+    import pytorch_connectomics_tpu.training.model_weights as mw
+
+    def boom(path):
+        raise TypeError("unexpected rebuild structure")
+
+    monkeypatch.setattr(mw, "read_torch_checkpoint", boom)
+    sd = {"w": torch.randn(2)}
+    p = _save(sd, tmp_path / "fb.pth")
+    out = mw.load_torch_state_dict(p)
+    np.testing.assert_array_equal(out["w"], sd["w"].numpy())
+
+
 def test_zip_layout_assumptions(tmp_path):
     """Lock the format assumption: zip members are <stem>/data.pkl plus
     <stem>/data/<key> storages (torch >= 1.6 zipfile serialization)."""
