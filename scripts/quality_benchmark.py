@@ -77,7 +77,11 @@ def main():
     # ---- data (on device) ----
     gen = synthetic_em_volume_v2 if task == 2 else synthetic_em_volume
     img_tr, lbl_tr = gen(jax.random.PRNGKey(1), train_shape)
-    img_te, lbl_te = gen(jax.random.PRNGKey(2), test_shape)
+    # QB_TEST_SEED: evaluate on a different scene (e.g. the synthetic:// URL
+    # scene of a CLI run — seed = crc32('em2'+<name sans image/label tags>))
+    img_te, lbl_te = gen(
+        jax.random.PRNGKey(int(os.environ.get("QB_TEST_SEED", "2"))), test_shape
+    )
 
     # ---- model + loss + optimizer (the Lucchi recipe, patch-size scaled) ----
     cfg = build_dataclass(
