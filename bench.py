@@ -78,6 +78,8 @@ def measure(
         # 32-divisible window; batch sweet spot is higher for the cheap fwd
         window = (64, 64, 64) if small else (96, 96, 96)
         sw_batch = int(os.environ.get("BENCH_SW_BATCH", "16"))
+        if os.environ.get("BENCH_WINDOW"):  # operating-point sweeps
+            window = tuple(int(v) for v in os.environ["BENCH_WINDOW"].split(","))
     else:
         window = (64, 64, 64) if small else (112, 112, 112)
         sw_batch = int(os.environ.get("BENCH_SW_BATCH", "8"))  # measured sweet spot

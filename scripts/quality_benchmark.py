@@ -191,8 +191,39 @@ def main():
         steps = 0
         logs = {"loss_total": jnp.zeros(())}
         print(f"loaded params from {os.environ['QB_LOAD_PARAMS']}", flush=True)
+    # QB_HOST_PIPE=1: replace on-device crop sampling with the PRODUCTION
+    # host data path (VolumeDataset over synthetic:// URLs -> PatchPipeline
+    # -> host->device transfer), keeping the QB trainer identical — a
+    # bisection probe for CLI-vs-harness quality gaps (same scene family,
+    # different plumbing).
+    host_iter = None
+    if os.environ.get("QB_HOST_PIPE") == "1" and steps > 0:
+        from pytorch_connectomics_tpu.config.schema import LabelTransformConfig
+        from pytorch_connectomics_tpu.data.datasets import VolumeDataset
+        from pytorch_connectomics_tpu.data.pipeline import PatchPipeline
+
+        zyx = ",".join(str(v) for v in train_shape)
+        hp_ds = VolumeDataset(
+            f"synthetic://em2/qbhp_image?shape={zyx}",
+            f"synthetic://em2/qbhp_label?shape={zyx}",
+            patch_size=(patch,) * 3,
+        )
+        hp_pipe = PatchPipeline(
+            hp_ds, batch, seed=0,
+            target_cfg=build_dataclass(
+                LabelTransformConfig, {"targets": [{"name": "binary"}]}
+            ),
+            train=True,
+        )
+        host_iter = hp_pipe.iterate(0)
+        print("QB_HOST_PIPE: production host pipeline feeding the QB trainer",
+              flush=True)
     for step in range(steps):
-        im, lb = sample(jax.random.fold_in(key, step))
+        if host_iter is not None:
+            b = next(host_iter)
+            im, lb = jnp.asarray(b["image"]), jnp.asarray(b["label"])
+        else:
+            im, lb = sample(jax.random.fold_in(key, step))
         state, logs = train_step(state, {"image": im, "label": lb})
         if step % 100 == 0 or step == steps - 1:
             loss = float(logs["loss_total"])  # sync point

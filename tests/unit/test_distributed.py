@@ -222,22 +222,35 @@ def test_true_multiprocess_cli_train(tmp_path):
         JAX_NUM_PROCESSES="2",
         JAX_COMPILATION_CACHE_DIR=str(root / ".cache" / "jax_cpu"),
     )
-    procs = []
-    for pid in range(2):
-        procs.append(
-            subprocess.Popen(
-                [sys.executable, str(root / "scripts" / "main.py"),
-                 "--config", str(root / "tutorials" / "minimal.yaml"),
-                 "--mode", "train", f"save_path={tmp_path / 'run'}"],
-                env={**env, "JAX_PROCESS_ID": str(pid)},
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-                cwd=str(root),
+    def launch():
+        procs = []
+        for pid in range(2):
+            procs.append(
+                subprocess.Popen(
+                    [sys.executable, str(root / "scripts" / "main.py"),
+                     "--config", str(root / "tutorials" / "minimal.yaml"),
+                     "--mode", "train", f"save_path={tmp_path / 'run'}"],
+                    env={**env, "JAX_PROCESS_ID": str(pid)},
+                    stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                    cwd=str(root),
+                )
             )
-        )
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=560)
-        outs.append(out)
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=560)
+            outs.append(out)
+        return procs, outs
+
+    procs, outs = launch()
+    if any(p.returncode != 0 for p in procs) and any(
+        "DEADLINE_EXCEEDED" in o for o in outs
+    ):
+        # gloo's KV-store timeout is a hard-coded 30 s: on this 1-core host
+        # a COLD compile cache lets one rank reach the first collective
+        # minutes before the other. The failed attempt has warmed the
+        # persistent cache (entries are written per-executable as they
+        # compile), so one retry runs symmetric-fast.
+        procs, outs = launch()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {pid} failed:\n{out[-3000:]}"
     metrics = []
