@@ -189,17 +189,32 @@ class PatchPipeline:
         s = self.dataset.sample(rng)
         if self.augment is not None:
             s = self.augment(s, rng)
+        tm = None
+        raw_seg = None
         if self.target_fn is not None and "label" in s:
             raw_seg = s["label"]
             s["label"] = self.target_fn(raw_seg)
             if self.target_mask_fn is not None:
                 tm = self.target_mask_fn(raw_seg)
-                # file masks are (1,Z,Y,X); broadcast-multiply keeps both
-                s["mask"] = s["mask"] * tm if "mask" in s else tm
         # precomputed auxiliary targets (e.g. skeleton-aware SDT volumes,
         # reference data_factory.py:113-218) append as extra label channels
         if "label_aux" in s and "label" in s:
-            s["label"] = np.concatenate([s["label"], s.pop("label_aux")], axis=0)
+            aux = s.pop("label_aux")
+            s["label"] = np.concatenate([s["label"], aux], axis=0)
+            if tm is not None:
+                # aux targets are label-derived, so unlabeled (-1) voxels are
+                # invalid there too — extend the per-channel validity mask
+                # over the aux span so its channel layout tracks the FINAL
+                # label layout (loss terms may slice into the aux channels)
+                seg = raw_seg[0] if raw_seg.ndim == 4 else raw_seg
+                labeled = (seg != -1).astype(np.float32)
+                tm = np.concatenate(
+                    [tm, np.broadcast_to(labeled[None], (aux.shape[0],) + labeled.shape)],
+                    axis=0,
+                )
+        if tm is not None:
+            # file masks are (1,Z,Y,X); broadcast-multiply keeps both
+            s["mask"] = s["mask"] * tm if "mask" in s else tm
         if any(self.target_context):
             # crop the context margin back off every array (targets computed
             # with valid long-range neighborhoods at the patch border)

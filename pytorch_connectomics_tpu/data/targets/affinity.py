@@ -56,12 +56,14 @@ def _storage_slices(seg_shape, off: Offset, affinity_mode: str):
     dst = []
     for d, o in enumerate(off):
         n = seg_shape[d]
+        # clamp so |o| >= n yields EMPTY slices instead of negative stops
+        # that wrap around and mark nonexistent neighbors as valid
         if o >= 0:
-            src.append(slice(0, n - o))
-            dst.append(slice(o, n))
+            src.append(slice(0, max(0, n - o)))
+            dst.append(slice(min(o, n), n))
         else:
-            src.append(slice(-o, n))
-            dst.append(slice(0, n + o))
+            src.append(slice(min(-o, n), n))
+            dst.append(slice(0, max(0, n + o)))
     storage = dst if affinity_mode == "deepem" else src
     return tuple(src), tuple(dst), tuple(storage)
 

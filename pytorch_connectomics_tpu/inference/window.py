@@ -384,6 +384,21 @@ def predict_volume_device(
     grid semantics, ``compute_grid_1d``), normalizing by the accumulated
     importance so blending stays exact at every overlap."""
     vol_shape = tuple(volume.shape[:3])
+    if any(s < w for s, w in zip(vol_shape, window)):
+        # grow-to-ROI pad for volumes smaller than the window (reference
+        # pad_volume_to_roi semantics; shapes are static at trace time, so
+        # this stays jittable) — without it the snap-grid fallback's
+        # window-extent dynamic_slice fails at trace time
+        volume, pads = pad_roi_jnp(volume, window)
+        out = predict_volume_device(
+            params, volume, apply_fn, window, stride, sw_batch,
+            out_channels, acc_dtype=acc_dtype, sigma_scale=sigma_scale,
+        )
+        return out[
+            pads[0][0] : pads[0][0] + vol_shape[0],
+            pads[1][0] : pads[1][0] + vol_shape[1],
+            pads[2][0] : pads[2][0] + vol_shape[2],
+        ]
     if all(w % s == 0 for w, s in zip(window, stride)):
         cover, imp, inv_weight = regular_cover_setup_device(
             vol_shape, window, stride, sigma_scale

@@ -44,18 +44,29 @@ class CompiledTerm:
     spatial_weight: Optional[str] = None
 
 
-def _offset_valid_mask(spatial: Tuple[int, int, int], offset) -> jnp.ndarray:
+def _offset_valid_mask(
+    spatial: Tuple[int, int, int], offset, mode: str = "deepem"
+) -> jnp.ndarray:
     """(Z, Y, X) validity of one affinity offset: positions whose offset
-    neighbor exists (deepem high-end convention; matches
-    ``data/targets/affinity.py::affinity_valid_mask``). Built from iotas so
-    it stays a cheap fused on-device op, not a giant HLO constant."""
+    neighbor exists, at that mode's storage voxel (``deepem`` stores the edge
+    at the destination/high-end voxel, ``banis`` at the source voxel —
+    matches ``data/targets/affinity.py::_storage_slices``). Built from iotas
+    so it stays a cheap fused on-device op, not a giant HLO constant."""
     m = jnp.ones(spatial, jnp.float32)
     for d, o in enumerate(offset):
         idx = jax.lax.broadcasted_iota(jnp.int32, spatial, d)
-        if o > 0:
-            m = m * (idx >= o)
-        elif o < 0:
-            m = m * (idx < spatial[d] + o)
+        if mode == "banis":
+            # storage = src slice: o>0 -> [0, n-o), o<0 -> [-o, n)
+            if o > 0:
+                m = m * (idx < spatial[d] - o)
+            elif o < 0:
+                m = m * (idx >= -o)
+        else:
+            # storage = dst slice: o>0 -> [o, n), o<0 -> [0, n+o)
+            if o > 0:
+                m = m * (idx >= o)
+            elif o < 0:
+                m = m * (idx < spatial[d] + o)
     return m
 
 
@@ -118,18 +129,19 @@ class LossOrchestrator:
         per_channel = [None] * len(sel)
         hit = False
         for g in self.affinity_groups:
+            mode = g.get("mode", "deepem")
             for i, c in enumerate(sel):
                 if g["start"] <= c < g["end"]:
-                    per_channel[i] = g["offsets"][c - g["start"]]
+                    per_channel[i] = (g["offsets"][c - g["start"]], mode)
                     hit = True
         if not hit:
             return None
         spatial = tuple(target.shape[1:4])
         cols = [
-            _offset_valid_mask(spatial, off)
-            if off is not None
+            _offset_valid_mask(spatial, om[0], om[1])
+            if om is not None
             else jnp.ones(spatial, jnp.float32)
-            for off in per_channel
+            for om in per_channel
         ]
         return jnp.stack(cols, axis=-1)[None]
 

@@ -139,7 +139,14 @@ def run_test_pipeline(
                 cfg.inference.chunked,
                 shard_id=cfg.system.shard_id,
                 num_shards=cfg.system.num_shards,
-                signature={"config_hash": cfg_hash},
+                # checkpoint is part of the signature so (a) the resume
+                # manifest invalidates partial chunks computed from different
+                # weights and (b) the artifact's provenance attrs let
+                # validate_prediction_cache reject it on a checkpoint change.
+                signature={
+                    "config_hash": cfg_hash,
+                    "checkpoint": str(checkpoint or "") or "random-init",
+                },
             )
             prediction = np.moveaxis(read_volume(str(pred_path)), 0, -1)
         else:

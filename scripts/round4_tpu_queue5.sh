@@ -3,8 +3,9 @@
 # legs (queue2) now that test/tune modes auto-resolve the trained checkpoint
 # (runtime/dispatch.py::resolve_latest_checkpoint) — the first pass ran them
 # with RANDOM weights (jaccard 0.022 / VOI 6.5, see CLAUDE.md round-4
-# findings). Stale pre-fix output dirs are deleted first: their prediction
-# caches record checkpoint="" and validate as legacy.
+# findings). Stale pre-fix output dirs are deleted first for a clean rerun
+# (their checkpoint="" attrs now normalize to random-init and would be
+# auto-invalidated anyway once a real checkpoint exists).
 # Then: aniso (1,2,2) patchify-stem QB at 9600/24000 steps to map the fast
 # recipe's quality plateau (stock plateaus 0.9636@24k; pfs122 is 0.9082@2400).
 cd /root/repo

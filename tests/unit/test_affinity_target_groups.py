@@ -90,3 +90,54 @@ def test_orchestrator_without_groups_unchanged():
     tgt = jnp.zeros((1, 4, 4, 4, 2))
     total, logs = orch(pred, tgt)
     np.testing.assert_allclose(float(total), 1.0)
+
+
+def test_offset_valid_mask_banis_matches_numpy_reference():
+    """banis mode stores edges at the SOURCE voxel — the orchestrator's
+    on-device mask must mirror affinity_valid_mask(mode='banis'), not the
+    deepem high-end convention (advisor round-4 finding)."""
+    shape = (5, 6, 7)
+    for off in [(0, 0, 1), (1, 0, 0), (0, 0, -3), (2, -1, 4), (0, 0, 8)]:
+        want = affinity_valid_mask(shape, [off], affinity_mode="banis")[0]
+        got = np.asarray(_offset_valid_mask(shape, off, "banis"))
+        np.testing.assert_array_equal(got, want)
+        if any(off) and all(abs(o) < n for o, n in zip(off, shape)):
+            # conventions must actually differ for nonzero in-range offsets
+            # ((0,0,8) exceeds x=7: both are all-invalid — and the clamped
+            # _storage_slices no longer wraps to a bogus valid band)
+            assert not np.array_equal(got, np.asarray(_offset_valid_mask(shape, off)))
+
+
+def test_orchestrator_banis_group_masks_source_end():
+    """With a banis-mode affinity group, the invalid border sits at the HIGH
+    end of each offset axis (source-voxel storage): corrupting predictions
+    there must not change the loss, while the deepem-side border is live."""
+    cfg = build_dataclass(
+        LabelTransformConfig,
+        {
+            "targets": [
+                {"name": "binary"},
+                {
+                    "name": "affinity",
+                    "kwargs": {"offsets": ["0-0-8"], "affinity_mode": "banis"},
+                },
+            ]
+        },
+    )
+    groups = affinity_target_groups(cfg)
+    assert groups[0]["mode"] == "banis"
+    loss_cfg = build_dataclass(
+        LossConfig,
+        {"losses": [{"function": "MSELoss", "target_slice": "1:2", "pred_slice": "1:2"}]},
+    )
+    orch = LossOrchestrator(loss_cfg, affinity_groups=groups)
+    n, z, y, x = 1, 4, 8, 12
+    pred = jax.random.normal(jax.random.PRNGKey(0), (n, z, y, x, 2))
+    tgt = jax.random.uniform(jax.random.PRNGKey(1), (n, z, y, x, 2))
+    base, _ = orch(pred, tgt)
+    # banis invalid region for offset (0,0,8): x >= 12-8 = 4
+    same, _ = orch(pred.at[:, :, :, 4:, 1].add(100.0), tgt)
+    np.testing.assert_allclose(float(base), float(same), rtol=1e-6)
+    # x=0 is VALID under banis (it was invalid under deepem)
+    changed, _ = orch(pred.at[:, :, :, 0, 1].add(100.0), tgt)
+    assert abs(float(changed) - float(base)) > 1e-3

@@ -744,3 +744,53 @@ class TestPredictVolumeDevice:
                 window=(8, 8, 8), stride=(6, 6, 6), sw_batch=4,
                 out_channels=1,
             )
+
+
+def test_chunked_artifact_carries_checkpoint_provenance(tmp_path):
+    """The chunked-inference artifact must participate in the checkpoint
+    provenance check exactly like whole-volume predictions (advisor round-4
+    finding: it previously validated as a legacy cache for ANY weights)."""
+    from pytorch_connectomics_tpu.data.io import save_volume
+    from pytorch_connectomics_tpu.inference.output import validate_prediction_cache
+
+    vol = (np.random.rand(8, 16, 16) * 255).astype(np.uint8)
+    src = str(tmp_path / "s.h5")
+    save_volume(src, vol)
+    eng = SlidingWindowEngine(identity_apply, (8, 16, 16), sw_batch_size=1)
+    cfg = build_dataclass(ChunkedConfig, {"enabled": True, "chunk_size": [8, 16, 16]})
+    out = run_chunked_inference(
+        TTAPredictor(eng), None, LazyVolumeAccessor(src), tmp_path / "o.h5",
+        cfg, out_channels=1,
+        signature={"config_hash": "cfg_h", "checkpoint": "ckpt_a"},
+    )
+    assert validate_prediction_cache(out, "cfg_h", "ckpt_a")
+    assert not validate_prediction_cache(out, "cfg_h", "ckpt_b")
+    assert not validate_prediction_cache(out, "cfg_h", "")  # random-init run
+    assert not validate_prediction_cache(out, "other_cfg", "ckpt_a")
+    # empty-checkpoint signature stamps the random-init sentinel
+    out2 = run_chunked_inference(
+        TTAPredictor(eng), None, LazyVolumeAccessor(src), tmp_path / "o2.h5",
+        cfg, out_channels=1,
+        signature={"config_hash": "cfg_h", "checkpoint": ""},
+    )
+    assert validate_prediction_cache(out2, "cfg_h", "")
+    assert not validate_prediction_cache(out2, "cfg_h", "ckpt_a")
+
+
+def test_predict_volume_device_pads_small_volume_snap_grid():
+    """Volumes smaller than the window must be grow-to-ROI padded in the
+    snap-grid fallback too (advisor round-4 finding: the jitted
+    dynamic_slice previously failed at trace time)."""
+    import jax.numpy as jnp
+
+    from pytorch_connectomics_tpu.inference.window import predict_volume_device
+
+    rng = np.random.default_rng(3)
+    vol = rng.random((6, 12, 20), dtype=np.float32)[..., None]
+    # stride does not divide window -> snap-grid fallback; z/y < window
+    out = predict_volume_device(
+        None, jnp.asarray(vol), identity_apply,
+        window=(8, 16, 16), stride=(6, 12, 12), sw_batch=2, out_channels=1,
+    )
+    assert out.shape == (6, 12, 20, 1)
+    np.testing.assert_allclose(np.asarray(out), vol, atol=1e-5)

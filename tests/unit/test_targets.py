@@ -424,3 +424,40 @@ def test_pipeline_emits_target_mask_only_for_unlabeled_datasets(tmp_path):
     assert not ds_ok.has_unlabeled
     batch2 = PatchPipeline(ds_ok, 1, target_cfg=tcfg, train=False).make_batch(0)
     assert "mask" not in batch2
+
+
+def test_pipeline_target_mask_covers_label_aux_channels(tmp_path):
+    """label_aux channels concatenate onto the label AFTER the -1-validity
+    mask is built; the mask must be padded so its channel layout tracks the
+    FINAL label layout (advisor round-4 finding: loss terms slicing into the
+    aux span otherwise got a silently-clamped, misaligned mask)."""
+    import h5py
+
+    from pytorch_connectomics_tpu.data.datasets import VolumeDataset
+    from pytorch_connectomics_tpu.data.pipeline import PatchPipeline
+
+    rng = np.random.default_rng(0)
+    img = rng.random((6, 10, 10)).astype(np.float32)
+    lbl = np.ones((6, 10, 10), np.int32)
+    lbl[:, :, 7:] = -1
+    aux = rng.random((6, 10, 10)).astype(np.float32)
+    for name, arr in [("im.h5", img), ("lb.h5", lbl), ("aux.h5", aux)]:
+        with h5py.File(tmp_path / name, "w") as f:
+            f["main"] = arr
+    tcfg = build_dataclass(
+        LabelTransformConfig,
+        {"targets": [{"name": "binary"}, {"name": "affinity"}]},
+    )
+    ds = VolumeDataset(
+        str(tmp_path / "im.h5"), str(tmp_path / "lb.h5"),
+        label_aux=str(tmp_path / "aux.h5"), patch_size=(6, 10, 10),
+    )
+    batch = PatchPipeline(ds, 1, target_cfg=tcfg, train=False).make_batch(0)
+    # label = 4 target channels + 1 aux channel; mask tracks all 5
+    assert batch["label"].shape[-1] == 5
+    assert batch["mask"].shape == (1, 6, 10, 10, 5)
+    # aux channel's mask is the labeled-voxel mask (aux targets are
+    # label-derived, so unlabeled voxels are invalid there too)
+    np.testing.assert_array_equal(
+        batch["mask"][0, ..., 4], (lbl != -1).astype(np.float32)
+    )
