@@ -14,11 +14,12 @@ has >10 GB/s PCIe, so host IO is not the steady-state bottleneck there).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail",
 "variants"}. The headline (BENCH_RECIPE=fast, default) is the SHIPPED
 production recipe — MedNeXt-S anisotropic (1,2,2) patchify stem + overlap
-0.25 exact separable blending (tutorials/mito_lucchi_tpu_fast.yaml) —
+0.125 exact separable blending (tutorials/mito_lucchi_tpu_fast.yaml) —
 quality-qualified against the stock recipe on the tracked benchmark
-(QUALITY.md: 0.9572 vs 0.9636 binary Jaccard at the 24k-step budget at the
-shipped operating point; overlap quality-neutral at converged weights,
-instance VOI slightly better at ov0.25). The reference-parity stock
+(QUALITY.md: 0.9582 vs 0.9636 binary Jaccard at the 24k-step budget at the
+shipped operating point; overlap quality-neutral at converged weights —
+ov0.125 beats ov0.25's 0.9572 — and instance VOI is best at ov0.125,
+0.9418 vs 0.9521 at ov0.5). The reference-parity stock
 recipe (stock stem, overlap 0.5) is always recorded under
 variants.stock_reference_recipe for apples-to-apples comparison;
 BENCH_RECIPE=stock makes it the headline. BENCH_VARIANTS=0 skips variants.
@@ -213,13 +214,14 @@ def main():
     # Headline recipe (BENCH_RECIPE):
     #   fast (default) — the SHIPPED recipe (tutorials/mito_lucchi_tpu_fast
     #     .yaml): MedNeXt-S with the anisotropic (1,2,2) patchify stem and
-    #     overlap 0.25 exact separable blending. Quality-qualified on the
-    #     tracked benchmark (QUALITY.md): binary QB 0.9586@24k-step budget
-    #     vs stock 0.9636@24k (-0.005, the measured cost of the recipe);
-    #     overlap 0.25 is quality-neutral at converged weights (binary
-    #     0.9619 vs 0.9636; instance VOI 0.9425 vs 0.9521 — slightly
-    #     better). Same task, same output, measured-equal quality — the
-    #     production operating point.
+    #     overlap 0.125 exact separable blending. Quality-qualified on the
+    #     tracked benchmark (QUALITY.md): binary QB 0.9582@24k-step budget
+    #     at this exact operating point vs stock 0.9636@24k (-0.005, the
+    #     measured cost of the recipe); overlap is quality-neutral at
+    #     converged weights (ov0.125 0.9582 > ov0.25 0.9572; instance VOI
+    #     0.9418 at ov0.125 vs 0.9521 at ov0.5 — slightly better). Same
+    #     task, same output, measured-equal quality — the production
+    #     operating point.
     #   stock — reference-parity recipe (stock stem, overlap 0.5, 112^3),
     #     the apples-to-apples number vs the A100 baseline; always also
     #     recorded as a variant under the fast headline.
@@ -228,7 +230,7 @@ def main():
         recipe = "patchify_iso"
     overlap_env = os.environ.get("BENCH_OVERLAP")
     headline = {
-        "fast": dict(patchify=True, overlap=0.25, patchify_stride=[1, 2, 2]),
+        "fast": dict(patchify=True, overlap=0.125, patchify_stride=[1, 2, 2]),
         "stock": dict(patchify=False, overlap=0.5),
         "patchify_iso": dict(patchify=True, overlap=0.5),
     }[recipe]
@@ -259,10 +261,11 @@ def main():
                 {
                     "quality_evidence": (
                         "QUALITY.md 2026-08-19: this exact recipe (aniso "
-                        "patchify stem + ov0.25) scores 0.9572 at the "
+                        "patchify stem + ov0.125) scores 0.9582 at the "
                         "24k-step budget vs stock-recipe 0.9636 on the "
-                        "tracked binary task (-0.006); instance VOI is "
-                        "slightly BETTER at ov0.25 (0.9425 vs 0.9521)"
+                        "tracked binary task (-0.005), BETTER than ov0.25"
+                        " (0.9572); instance VOI is best at ov0.125 "
+                        "(0.9418 vs 0.9425 ov0.25 / 0.9521 ov0.5)"
                     )
                 }
                 if recipe == "fast" else {}
@@ -284,9 +287,9 @@ def main():
             "patchify_aniso_overlap_0.5": dict(
                 patchify=True, overlap=0.5, patchify_stride=[1, 2, 2]
             ),
-            # quality-neutral at converged weights (QUALITY.md ov0.125 rows)
-            "patchify_aniso_overlap_0.125": dict(
-                patchify=True, overlap=0.125, patchify_stride=[1, 2, 2]
+            # previous (r4) shipped operating point
+            "patchify_aniso_overlap_0.25": dict(
+                patchify=True, overlap=0.25, patchify_stride=[1, 2, 2]
             ),
         }.items():
             if args == headline:

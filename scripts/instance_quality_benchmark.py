@@ -20,7 +20,8 @@ train -> infer -> decode -> evaluate instance pipeline round-over-round.
 
 Env knobs: IQ_STEPS (600), IQ_PATCH (64), IQ_BATCH (8), IQ_TRAIN_SHAPE
 (64,256,256), IQ_TEST_SHAPE (64,128,128), IQ_CELLS_PER_MVOX (180),
-IQ_TTA (1), IQ_PLATFORM (e.g. cpu), IQ_ARCH=patchify.
+IQ_TTA (1), IQ_PLATFORM (e.g. cpu), IQ_ARCH=patchify,
+IQ_PATCHIFY_STRIDE=1,2,2 (aniso stem — the shipped fast recipe).
 Prints one JSON line and appends to QUALITY.md's instance table.
 """
 
@@ -128,6 +129,11 @@ def main():
                 "size": "S",
                 "kernel_size": 3,
                 "patchify_stem": os.environ.get("IQ_ARCH") == "patchify",
+                # IQ_PATCHIFY_STRIDE=1,2,2: anisotropic stem (z stays
+                # full-res — the shipped fast recipe), mirrors QB knob
+                "patchify_stride": (
+                    [int(v) for v in os.environ["IQ_PATCHIFY_STRIDE"].split(",")]
+                    if os.environ.get("IQ_PATCHIFY_STRIDE") else None),
             },
             "loss": {
                 "losses": [
@@ -303,6 +309,8 @@ def main():
     header = "## Instance task (CREMI-style synthetic, affinity -> decode)"
     stamp = time.strftime("%Y-%m-%d %H:%M")
     tag = "pf" if os.environ.get("IQ_ARCH") == "patchify" else "base"
+    if os.environ.get("IQ_PATCHIFY_STRIDE"):
+        tag += "s" + os.environ["IQ_PATCHIFY_STRIDE"].replace(",", "")
     if os.environ.get("IQ_OFFSETS") == "long":
         tag += "/lr"
     if elong != 1:
