@@ -18,8 +18,9 @@ production recipe — MedNeXt-S anisotropic (1,2,2) patchify stem + overlap
 quality-qualified against the stock recipe on the tracked benchmark
 (QUALITY.md: 0.9582 vs 0.9636 binary Jaccard at the 24k-step budget at the
 shipped operating point; overlap quality-neutral at converged weights —
-ov0.125 beats ov0.25's 0.9572 — and instance VOI is best at ov0.125,
-0.9418 vs 0.9521 at ov0.5). The reference-parity stock
+ov0.125 beats ov0.25's 0.9572 — and this recipe's instance waterz VOI is
+overlap-neutral too: 0.9822 at ov0.125 vs 0.9751 at ov0.5, 2400-step
+chain). The reference-parity stock
 recipe (stock stem, overlap 0.5) is always recorded under
 variants.stock_reference_recipe for apples-to-apples comparison;
 BENCH_RECIPE=stock makes it the headline. BENCH_VARIANTS=0 skips variants.
@@ -264,8 +265,10 @@ def main():
                         "patchify stem + ov0.125) scores 0.9582 at the "
                         "24k-step budget vs stock-recipe 0.9636 on the "
                         "tracked binary task (-0.005), BETTER than ov0.25"
-                        " (0.9572); instance VOI is best at ov0.125 "
-                        "(0.9418 vs 0.9425 ov0.25 / 0.9521 ov0.5)"
+                        " (0.9572); instance waterz VOI for this recipe "
+                        "is overlap-neutral too (0.9822 at ov0.125 vs "
+                        "0.9751 at ov0.5, 2400-step chain; stock-arch "
+                        "0.9521)"
                     )
                 }
                 if recipe == "fast" else {}
