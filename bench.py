@@ -298,6 +298,15 @@ def main():
             "patchify_aniso_overlap_0.25": dict(
                 patchify=True, overlap=0.25, patchify_stride=[1, 2, 2]
             ),
+            # r5 frontier probes on converged weights (QUALITY.md):
+            # ov0.0625 = 0.9561 (-0.002 vs shipped); ov0 = 0.9444 — a REAL
+            # -0.014 quality drop (no blending), so 5.5x is NOT shippable
+            "patchify_aniso_overlap_0.0625": dict(
+                patchify=True, overlap=0.0625, patchify_stride=[1, 2, 2]
+            ),
+            "patchify_aniso_overlap_0": dict(
+                patchify=True, overlap=0.0, patchify_stride=[1, 2, 2]
+            ),
         }.items():
             if args == headline:
                 continue

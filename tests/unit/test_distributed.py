@@ -242,14 +242,18 @@ def test_true_multiprocess_cli_train(tmp_path):
         return procs, outs
 
     procs, outs = launch()
-    if any(p.returncode != 0 for p in procs) and any(
-        "DEADLINE_EXCEEDED" in o for o in outs
-    ):
+    for _attempt in range(3):
+        if not (
+            any(p.returncode != 0 for p in procs)
+            and any("DEADLINE_EXCEEDED" in o for o in outs)
+        ):
+            break
         # gloo's KV-store timeout is a hard-coded 30 s: on this 1-core host
-        # a COLD compile cache lets one rank reach the first collective
-        # minutes before the other. The failed attempt has warmed the
-        # persistent cache (entries are written per-executable as they
-        # compile), so one retry runs symmetric-fast.
+        # a COLD compile cache (or heavy background load — e.g. a TPU bench
+        # queue sharing the core) lets one rank reach the first collective
+        # minutes before the other. Failed attempts warm the persistent
+        # cache (entries are written per-executable as they compile), so
+        # retries run progressively more symmetric-fast.
         procs, outs = launch()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {pid} failed:\n{out[-3000:]}"
