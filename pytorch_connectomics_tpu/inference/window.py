@@ -132,7 +132,10 @@ def _pad_grid_with_valid(grid: np.ndarray, multiple: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("apply_fn", "window", "sw_batch", "out_channels", "acc_dtype"),
+    static_argnames=(
+        "apply_fn", "window", "sw_batch", "out_channels", "acc_dtype",
+        "accumulate_weight",
+    ),
 )
 def _sliding_window_device(
     params,
@@ -145,6 +148,7 @@ def _sliding_window_device(
     out_channels: int,
     acc_dtype=jnp.float32,
     valid=None,  # (N,) f32: 1.0 real window, 0.0 batch-padding duplicate
+    accumulate_weight: bool = True,
 ):
     """One XLA program: scan over window batches, vmapped forward, blended
     scatter-add into HBM accumulators.
@@ -152,10 +156,18 @@ def _sliding_window_device(
     Padding duplicates must carry ``valid=0``: a duplicate adds its
     importance to BOTH value and weight, which does NOT cancel where other
     windows overlap — it biases the weighted mean toward the duplicated
-    window (the bug behind sharded-vs-single prediction drift)."""
+    window (the bug behind sharded-vs-single prediction drift).
+
+    ``accumulate_weight=False`` skips the on-device weight accumulator
+    (returning ``(value, None)``) for callers that can normalize in closed
+    form: when the origin list is a Cartesian product of per-axis grids and
+    the importance map is a separable product of 1-D profiles, the summed
+    weight factorizes as W(z,y,x) = Wz(z)·Wy(y)·Wx(x)
+    (:func:`_snap_grid_inv_weight_1d`), so the second scatter-add stream —
+    half the accumulator read-modify-write traffic — is pure waste."""
     zyx = volume.shape[:3]
     value = jnp.zeros(zyx + (out_channels,), acc_dtype)
-    weight = jnp.zeros(zyx + (1,), acc_dtype)
+    weight = jnp.zeros(zyx + (1,), acc_dtype) if accumulate_weight else jnp.zeros((), acc_dtype)
     wz, wy, wx = window
     n = origins.shape[0]
     n_batches = n // sw_batch
@@ -183,10 +195,11 @@ def _sliding_window_device(
             idx = (o[0], o[1], o[2], 0)
             cur_v = jax.lax.dynamic_slice(value, idx, (wz, wy, wx, out_channels))
             value = jax.lax.dynamic_update_slice(value, cur_v + ok * preds[i], idx)
-            cur_w = jax.lax.dynamic_slice(weight, idx, (wz, wy, wx, 1))
-            weight = jax.lax.dynamic_update_slice(
-                weight, cur_w + ok * imp.astype(acc_dtype), idx
-            )
+            if accumulate_weight:
+                cur_w = jax.lax.dynamic_slice(weight, idx, (wz, wy, wx, 1))
+                weight = jax.lax.dynamic_update_slice(
+                    weight, cur_w + ok * imp.astype(acc_dtype), idx
+                )
             return value, weight
 
         value, weight = jax.lax.fori_loop(0, sw_batch, scatter, (value, weight))
@@ -195,7 +208,7 @@ def _sliding_window_device(
     (value, weight), _ = jax.lax.scan(
         body, (value, weight), (batched_origins, batched_valid)
     )
-    return value, weight
+    return value, (weight if accumulate_weight else None)
 
 
 def _parity_group_layout(n: int, g: int) -> List[int]:
@@ -363,6 +376,24 @@ def _separable_bump_profiles(window, sigma_scale: float = 0.125):
     return profiles
 
 
+def _snap_grid_inv_weight_1d(
+    size: int, window: int, stride: int, profile: np.ndarray
+) -> np.ndarray:
+    """Closed-form per-axis accumulated blend weight for a snap-to-edge grid.
+
+    The snap grid is a Cartesian product of per-axis origin lists
+    (:func:`compute_window_grid`) and the separable importance map is a
+    product of 1-D profiles, so the accumulated full-volume weight
+    factorizes: W(z,y,x) = Wz(z)·Wy(y)·Wx(x) with
+    Wa(t) = sum over grid origins o of profile[t - o]. Returns 1/Wa as
+    float32 (length ``size``) — three tiny vectors replace the full-volume
+    on-device weight accumulator."""
+    acc = np.zeros(size, np.float64)
+    for o in compute_grid_1d(size, window, stride):
+        acc[o : o + window] += profile
+    return (1.0 / np.maximum(acc, 1e-30)).astype(np.float32)
+
+
 def predict_volume_device(
     params,
     volume,  # (Z, Y, X, Cin) — raw shape, padding handled here
@@ -436,12 +467,27 @@ def predict_volume_device(
         * jnp.asarray(profiles[1], jnp.float32)[None, :, None]
         * jnp.asarray(profiles[2], jnp.float32)[None, None, :]
     )[..., None]
-    value, weight = _sliding_window_device(
+    # separable imp over a Cartesian origin grid: the accumulated weight
+    # factorizes per axis, so skip the on-device weight accumulator (half
+    # the scatter read-modify-write traffic) and normalize in closed form
+    value, _ = _sliding_window_device(
         params, volume, jnp.asarray(origins), imp, apply_fn=apply_fn,
         window=window, sw_batch=sw_batch, out_channels=out_channels,
         acc_dtype=acc_dtype, valid=jnp.asarray(valid),
+        accumulate_weight=False,
     )
-    return value / jnp.maximum(weight, jnp.asarray(1e-30, acc_dtype))
+    inv = [
+        jnp.asarray(
+            _snap_grid_inv_weight_1d(s, w, st, p), acc_dtype
+        )
+        for s, w, st, p in zip(vol_shape, window, stride, profiles)
+    ]
+    return (
+        value
+        * inv[0][:, None, None, None]
+        * inv[1][None, :, None, None]
+        * inv[2][None, None, :, None]
+    )
 
 
 def regular_cover_setup_device(
