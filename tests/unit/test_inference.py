@@ -730,6 +730,50 @@ class TestPredictVolumeDevice:
         ref = self._naive(vol, window, stride, lambda w: w * 2.0 + 1.0)
         np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-5, atol=2e-5)
 
+    def test_host_weight_matches_device_accumulator(self):
+        """_snap_weight_host must equal the on-device weight accumulator it
+        replaces (value-only scatter + closed-form normalization, r5) —
+        including for snap=False grids, whose nominal overshoot origins are
+        clamped by dynamic_update_slice on device."""
+        import jax.numpy as jnp
+
+        from pytorch_connectomics_tpu.inference.window import (
+            _pad_grid_with_valid,
+            _sliding_window_device,
+            _snap_weight_host,
+            compute_window_grid,
+        )
+
+        shape, window, stride = (14, 15, 16), (8, 8, 8), (5, 6, 7)
+        imp = importance_map(window, "bump")  # clipped -> NON-separable
+        vol = jnp.zeros(shape + (1,), jnp.float32)
+        for snap in (True, False):
+            grid = compute_window_grid(shape, window, stride=stride, snap=snap)
+            grid, valid = _pad_grid_with_valid(grid, 4)
+            _, weight = _sliding_window_device(
+                None, vol, jnp.asarray(grid), jnp.asarray(imp[..., None]),
+                apply_fn=identity_apply, window=window, sw_batch=4,
+                out_channels=1, valid=jnp.asarray(valid),
+                accumulate_weight=True,
+            )
+            host = _snap_weight_host(shape, window, stride, imp, snap)
+            np.testing.assert_allclose(
+                np.asarray(weight)[..., 0], host, rtol=1e-5, atol=1e-6,
+                err_msg=f"snap={snap}",
+            )
+
+    def test_identity_engine_non_dividing_stride_snap_false(self):
+        """The manager's snap-grid path (value-only scatter + host weight)
+        must reconstruct under an identity model at snap=False too."""
+        rng = np.random.default_rng(7)
+        vol = rng.random((11, 13, 17), dtype=np.float32)
+        eng = SlidingWindowEngine(
+            identity_apply, (8, 8, 8), stride=(5, 6, 7), sw_batch_size=3,
+            snap_to_edge=False,
+        )
+        out = eng(None, vol, out_channels=1)
+        np.testing.assert_allclose(out[..., 0], vol, atol=1e-5)
+
     def test_parity_engine_rejects_non_dividing_stride(self):
         import jax.numpy as jnp
 
