@@ -62,7 +62,7 @@ def _fetch_latency_s(jnp):
 
 def measure(
     patchify: bool, small: bool, breakdown: bool = False, overlap: float = 0.5,
-    patchify_stride=None,
+    patchify_stride=None, window_override=None,
 ) -> float:
     """Sliding-window Mvox/s (output voxels) for one architecture recipe."""
     import jax
@@ -85,6 +85,8 @@ def measure(
     else:
         window = (64, 64, 64) if small else (112, 112, 112)
         sw_batch = int(os.environ.get("BENCH_SW_BATCH", "8"))  # measured sweet spot
+    if window_override and not small:
+        window = tuple(window_override)
 
     cfg = build_dataclass(
         ModelConfig,
@@ -307,6 +309,15 @@ def main():
             "patchify_aniso_overlap_0": dict(
                 patchify=True, overlap=0.0, patchify_stride=[1, 2, 2]
             ),
+            # window shape tuned to the Lucchi++ test geometry: a 128-wide
+            # y window snaps 1024 exactly at ov0.125 (9 windows, stride 112
+            # -> 1.125x y-inflation vs 1.219 at 96), cutting total window
+            # inflation 1.60x -> 1.47x. Same overlap fraction and blend —
+            # the overlap-frontier quality argument applies unchanged.
+            "patchify_aniso_ov0.125_win96x128x96": dict(
+                patchify=True, overlap=0.125, patchify_stride=[1, 2, 2],
+                window=(96, 128, 96),
+            ),
         }.items():
             if args == headline:
                 continue
@@ -316,6 +327,7 @@ def main():
                 v = measure(
                     args["patchify"], small, breakdown, args["overlap"],
                     patchify_stride=args.get("patchify_stride"),
+                    window_override=args.get("window"),
                 )
                 out["variants"][tag] = {
                     "value": round(v, 2),
