@@ -18,8 +18,9 @@ production recipe — MedNeXt-S anisotropic (1,2,2) patchify stem, overlap
 (tutorials/mito_lucchi_tpu_fast.yaml) — quality-qualified against the
 stock recipe on the tracked benchmark (QUALITY.md: 0.9582 vs 0.9636 binary
 Jaccard at the 24k-step budget at the shipped operating point; overlap
-quality-neutral at converged weights — ov0.125 beats ov0.25's 0.9572 —
-and this recipe's instance waterz VOI is best at ov0.125: 0.9822 vs
+quality-neutral at converged weights — binary is best at ov0.125 (0.9582
+vs 0.9572 at ov0.25, 0.9586 at ov0.5) and instance waterz VOI
+(lower=better) sits inside the overlap noise band: 0.9822 at ov0.125 vs
 0.9751 at ov0.5 / 1.0031 at ov0.25 / 0.9989 at ov0.0625). The
 reference-parity stock
 recipe (stock stem, overlap 0.5) is always recorded under
@@ -272,11 +273,13 @@ def main():
                         "(aniso patchify stem + ov0.125) scores 0.9582 at "
                         "the 24k-step budget vs stock-recipe 0.9636 on the"
                         " tracked binary task (-0.005), BETTER than ov0.25"
-                        " (0.9572); instance waterz VOI is best at this "
-                        "overlap (0.9822 vs 0.9751 at ov0.5, 1.0031 at "
-                        "ov0.25, 0.9989 at ov0.0625; stock-arch 0.9521). "
-                        "The y=128 window is inference-geometry tuning "
-                        "only (same overlap fraction and exact blend)"
+                        " (0.9572); instance waterz VOI (lower=better) is "
+                        "inside the overlap noise band at this point "
+                        "(0.9822 vs 0.9751 at ov0.5, 1.0031 at ov0.25, "
+                        "0.9989 at ov0.0625; stock-arch 0.9521@ov0.5 "
+                        "improving to 0.9418@ov0.125). The y=128 window is"
+                        " inference-geometry tuning only (same overlap "
+                        "fraction and exact blend)"
                     )
                 }
                 if recipe == "fast" else {}
@@ -325,6 +328,10 @@ def main():
             if args == headline:
                 continue
             if os.environ.get("BENCH_VARIANTS") == "patchify" and not args["patchify"]:
+                continue
+            if small and args.get("window"):
+                # window overrides are ignored at the small smoke geometry —
+                # measuring would duplicate the headline under a wrong tag
                 continue
             try:
                 v = measure(

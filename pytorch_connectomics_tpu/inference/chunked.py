@@ -145,18 +145,26 @@ def run_chunked_inference(
                 chunks=(1, *[min(int(c), s) for c, s in zip(h5_chunks[1:], vol_shape)]),
                 compression="gzip" if chunk_cfg.output_mode == "stitch_h5" else None,
             )
-        # Stamp provenance attrs so the chunked artifact participates in
-        # validate_prediction_cache's config-hash/checkpoint check exactly
-        # like whole-volume predictions (it would otherwise validate as a
-        # legacy cache for ANY weights).
+        # Provenance attrs make the chunked artifact participate in
+        # validate_prediction_cache's config-hash/checkpoint check like
+        # whole-volume predictions (it would otherwise validate as a legacy
+        # cache for ANY weights). Whole-volume artifacts only gain attrs
+        # AFTER inference finishes; mirror that ordering here — a sentinel
+        # checkpoint is stamped up front so a half-written file from a
+        # crashed run can never positively validate as a complete cache
+        # (the real attrs land only once _run_chunks returns; the crashed
+        # run resumes through the manifest on the next invocation).
+        ds.attrs["checkpoint"] = "__incomplete__"
+        _run_chunks(predictor, params, accessor, ds, chunks, manifest, n_out)
         for k, v in (signature or {}).items():
             if isinstance(v, (str, int, float, bool, np.integer, np.floating)):
                 ds.attrs[k] = v
         if signature and "checkpoint" in signature:
             ds.attrs["checkpoint"] = str(signature["checkpoint"]) or "random-init"
+        else:
+            del ds.attrs["checkpoint"]
         if "framework" not in ds.attrs:
             ds.attrs["framework"] = "pytorch_connectomics_tpu"
-        _run_chunks(predictor, params, accessor, ds, chunks, manifest, n_out)
     return output_path
 
 

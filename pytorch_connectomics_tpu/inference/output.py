@@ -74,6 +74,9 @@ def validate_prediction_cache(
       came from untrained weights — valid ONLY when the current run also has
       no checkpoint. This closes the residual hole where a cache written
       before training validated against any later checkpoint.
+    - ``"__incomplete__"``: a chunked run crashed mid-write — NEVER valid
+      (not even for decode-only ``checkpoint=None`` callers); the re-run
+      resumes through the chunk manifest and restamps real attrs.
     - anything else: must equal the current checkpoint exactly.
 
     ``checkpoint=None`` skips the check (caller has no weight context, e.g.
@@ -86,6 +89,8 @@ def validate_prediction_cache(
         attrs = read_h5_attrs(str(path))
     except Exception:
         return p.exists()  # non-h5 cache: existence is enough
+    if str(attrs.get("checkpoint", "")) == "__incomplete__":
+        return False  # chunked artifact from a crashed mid-write run
     if config_hash and attrs.get("config_hash") not in ("", None, config_hash):
         return False
     if checkpoint is not None and "checkpoint" in attrs:

@@ -330,60 +330,23 @@ def _sliding_window_regular_device(
 def _regular_weight_host(
     vol_shape, window, stride, imp: np.ndarray
 ) -> np.ndarray:
-    """Host-side sum-of-importance map (static given shapes).
-
-    Because the window origins form a product grid, a separable importance
-    map gives a separable weight: W(z,y,x) = Wz(z)·Wy(y)·Wx(x) with
-    Wd(t) = sum_o axis_d(t - o). Non-separable maps (distance blending)
-    fall back to the direct accumulation."""
-    Z, Y, X = vol_shape
-    shape = (Z, Y, X)
-    # separability: center-voxel profiles pd reproduce a separable map via
-    # outer(pz,py,px) == imp * imp[c]^2
-    c = tuple(w // 2 for w in imp.shape)
-    profiles = [imp[:, c[1], c[2]], imp[c[0], :, c[2]], imp[c[0], c[1], :]]
-    center = float(imp[c])
-    sep = np.multiply.outer(np.multiply.outer(*profiles[:2]), profiles[2]) / max(center, 1e-12) ** 2
-    if center > 0 and np.allclose(sep, imp, rtol=1e-4, atol=1e-6):
-        weights_1d = []
-        for d, (n, w, s) in enumerate(zip(shape, imp.shape, stride)):
-            wd = np.zeros(n, np.float64)
-            for o in range(0, n - w + 1, s):
-                wd[o : o + w] += profiles[d]
-            weights_1d.append(wd)
-        return (
-            np.multiply.outer(np.multiply.outer(weights_1d[0], weights_1d[1]), weights_1d[2])
-            / max(center, 1e-12) ** 2
-        )
-    weight = np.zeros(shape, np.float64)
-    wz, wy, wx = imp.shape
-    sz, sy, sx = stride
-    for oz in range(0, Z - wz + 1, sz):
-        for oy in range(0, Y - wy + 1, sy):
-            for ox in range(0, X - wx + 1, sx):
-                weight[oz : oz + wz, oy : oy + wy, ox : ox + wx] += imp
-    return weight
-
-
-def _snap_weight_host(
-    vol_shape, window, stride, imp: np.ndarray, snap: bool = True
-) -> np.ndarray:
-    """Host-side accumulated importance over the snap-to-edge grid
-    (:func:`compute_window_grid` semantics). Like
-    :func:`_regular_weight_host` but for grids whose stride does not divide
-    the window. The weight is data-independent given shapes, so computing it
-    once on the host lets the device engine skip its weight accumulator —
-    half the scatter read-modify-write traffic (measured 74.4 -> 98.3
-    Mvox/s output at the shipped fast-recipe operating point,
-    scripts/tpu_engine_probe.py). Separable maps factorize per axis; the
-    stock clipped bump falls back to direct accumulation."""
-    # mirror the device engine's dynamic_update_slice clamping: a snap=False
-    # grid can nominally overshoot size - window, but the device scatter
-    # clamps the origin in-bounds (duplicates kept — the device adds twice)
+    """Host-side sum-of-importance map for the regular (dividing-stride)
+    grid. Because the window origins form a product grid, a separable
+    importance map gives a separable weight: W(z,y,x) = Wz(z)·Wy(y)·Wx(x)
+    with Wd(t) = sum_o axis_d(t - o); non-separable maps (distance
+    blending) take the direct accumulation (see :func:`_grid_weight_host`)."""
     grids = [
-        [min(o, s - w) for o in compute_grid_1d(s, w, st, snap)]
-        for s, w, st in zip(vol_shape, window, stride)
+        list(range(0, n - w + 1, s))
+        for n, w, s in zip(vol_shape, imp.shape, stride)
     ]
+    return _grid_weight_host(tuple(vol_shape), grids, imp)
+
+
+def _grid_weight_host(vol_shape, grids, imp: np.ndarray) -> np.ndarray:
+    """Accumulated importance over an explicit per-axis origin-list grid.
+    Separable maps (tested via center profiles) factorize per axis; others
+    take the direct accumulation. Shared core of
+    :func:`_regular_weight_host` / :func:`_snap_weight_host`."""
     c = tuple(w // 2 for w in imp.shape)
     profiles = [imp[:, c[1], c[2]], imp[c[0], :, c[2]], imp[c[0], c[1], :]]
     center = float(imp[c])
@@ -411,6 +374,47 @@ def _snap_weight_host(
             for ox in grids[2]:
                 weight[oz : oz + wz, oy : oy + wy, ox : ox + wx] += imp
     return weight
+
+
+def _snap_weight_host(
+    vol_shape, window, stride, imp: np.ndarray, snap: bool = True
+) -> np.ndarray:
+    """Host-side accumulated importance over the snap-to-edge grid
+    (:func:`compute_window_grid` semantics) — the independent test oracle
+    for :func:`_inv_weight_scatter_device`."""
+    # mirror the device engine's dynamic_update_slice clamping: a snap=False
+    # grid can nominally overshoot size - window, but the device scatter
+    # clamps the origin in-bounds (duplicates kept — the device adds twice)
+    grids = [
+        [min(o, s - w) for o in compute_grid_1d(s, w, st, snap)]
+        for s, w, st in zip(vol_shape, window, stride)
+    ]
+    return _grid_weight_host(vol_shape, grids, imp)
+
+
+@functools.partial(jax.jit, static_argnames=("vol_shape", "window"))
+def _inv_weight_scatter_device(origins, imp, vol_shape, window):
+    """1 / accumulated importance, computed ON DEVICE with one scatter-only
+    pass over the (unpadded) origin grid. The weight is data-independent
+    given shapes, so the sliding-window engines compute it once per
+    (shape, grid) — eagerly, with concrete inputs, so the result is a
+    concrete device array even when requested while an outer jit/shard_map
+    trace is being built — and run value-only scatter afterwards (half the
+    accumulator read-modify-write traffic; measured 74.4 -> 98.3 Mvox/s at
+    the shipped operating point, scripts/tpu_engine_probe.py). No
+    full-volume host->device upload is involved (the dev tunnel moves
+    ~1 MB/s; a host-built weight map would be minutes per volume)."""
+    wz, wy, wx = window
+    weight = jnp.zeros(tuple(vol_shape) + (1,), jnp.float32)
+    imp = imp.astype(jnp.float32)
+
+    def body(wbuf, o):
+        idx = (o[0], o[1], o[2], 0)
+        cur = jax.lax.dynamic_slice(wbuf, idx, (wz, wy, wx, 1))
+        return jax.lax.dynamic_update_slice(wbuf, cur + imp, idx), None
+
+    weight, _ = jax.lax.scan(body, weight, origins)
+    return 1.0 / jnp.maximum(weight, 1e-8)
 
 
 def _separable_bump_profiles(window, sigma_scale: float = 0.125):
@@ -666,8 +670,8 @@ class SlidingWindowEngine:
             out_channels = self.probe_out_channels(params, vol.shape[-1])
         # pad origin list to a sw_batch multiple; padding duplicates carry
         # valid=0 so they don't bias the blend (see _sliding_window_device)
+        invw = self._snap_inv_weight(vol.shape[:3], grid)
         grid, valid = _pad_grid_with_valid(grid, self.sw_batch)
-        invw = self._snap_inv_weight(vol.shape[:3], stride)
         value, _ = _sliding_window_device(
             params,
             jnp.asarray(vol),
@@ -722,8 +726,8 @@ class SlidingWindowEngine:
             )
             return out[:Z, :Y, :X]
         grid = compute_window_grid((Z, Y, X), self.window, self.overlap, self.stride, self.snap)
+        invw = self._snap_inv_weight((Z, Y, X), grid)
         grid, valid = _pad_grid_with_valid(grid, self.sw_batch)
-        invw = self._snap_inv_weight((Z, Y, X), stride)
         value, _ = _sliding_window_device(
             params, vol, jnp.asarray(grid), self.imp,
             apply_fn=self.apply_fn, window=self.window, sw_batch=self.sw_batch,
@@ -732,22 +736,33 @@ class SlidingWindowEngine:
         )
         return (value * invw).astype(jnp.float32)
 
-    def _snap_inv_weight(self, vol_shape, stride):
-        """Cached (1/weight) for the snap-grid engine: the accumulated
-        importance is data-independent given shapes, so it is computed once
-        on the host and the device engine runs value-only scatter (see
-        :func:`_snap_weight_host`)."""
-        key = ("snap", tuple(vol_shape), tuple(stride), bool(self.snap))
-        if getattr(self, "_invw_key", None) != key:
-            weight = _snap_weight_host(
-                tuple(vol_shape), self.window, stride,
-                np.asarray(self.imp)[..., 0], self.snap,
-            )
-            self._invw = jnp.asarray(
-                (1.0 / np.maximum(weight, 1e-8))[..., None], jnp.float32
-            )
-            self._invw_key = key
-        return self._invw
+    def _snap_inv_weight(self, vol_shape, grid: np.ndarray):
+        """Cached 1/weight for the snap-grid engine, computed ON DEVICE from
+        the UNPADDED (N,3) origin grid (:func:`_inv_weight_scatter_device`).
+        The cache holds concrete device arrays only: the jitted scatter is
+        invoked with concrete inputs, so it executes eagerly even while an
+        outer jit/shard_map trace is active (caching a value produced from
+        trace-side ops here would leak a tracer and crash the SECOND
+        predict on the same engine — regression caught in round-5 review)."""
+        cache = getattr(self, "_invw_cache", None)
+        if cache is None:
+            cache = self._invw_cache = {}
+        key = (tuple(vol_shape), grid.tobytes())
+        invw = cache.get(key)
+        if invw is None:
+            # ensure_compile_time_eval: execute the scatter NOW and get a
+            # concrete device array even when an outer jit/shard_map trace
+            # is active (a bare jitted call would be inlined into the outer
+            # trace and the cache would hold a leaked tracer)
+            with jax.ensure_compile_time_eval():
+                invw = _inv_weight_scatter_device(
+                    jnp.asarray(np.ascontiguousarray(grid)),
+                    self.imp, tuple(int(s) for s in vol_shape), self.window,
+                )
+            if len(cache) >= 8:  # bound HBM held by cached maps
+                cache.pop(next(iter(cache)))
+            cache[key] = invw
+        return invw
 
     def _effective_stride(self) -> Tuple[int, int, int]:
         if self.stride is not None:
@@ -826,6 +841,7 @@ class SlidingWindowEngine:
         if out_channels is None:
             out_channels = self.probe_out_channels(params, vol.shape[-1])
         n_dev = mesh.devices.size
+        invw = self._snap_inv_weight(vol.shape[:3], grid)
         grid, valid = _pad_grid_with_valid(grid, self.sw_batch * n_dev)
 
         apply_fn = self.apply_fn
@@ -864,8 +880,10 @@ class SlidingWindowEngine:
         grid_dev = jax.device_put(jnp.asarray(grid), shard)
         valid_dev = jax.device_put(jnp.asarray(valid), shard)
         value = jax.jit(sharded)(params, vol_dev, grid_dev, valid_dev)
-        invw = self._snap_inv_weight(vol.shape[:3], self._effective_stride())
-        out = np.asarray((value * invw).astype(jnp.float32))
+        # normalize on host: invw is committed to the default device while
+        # value is mesh-replicated (mixed placements can't be multiplied),
+        # and the result is materialized host-side right after anyway
+        out = np.asarray(value, dtype=np.float32) * np.asarray(invw, dtype=np.float32)
         sl = tuple(slice(p[0], p[0] + s) for p, s in zip(pads, orig_shape))
         return out[sl]
 

@@ -309,7 +309,9 @@ def main():
     header = "## Instance task (CREMI-style synthetic, affinity -> decode)"
     stamp = time.strftime("%Y-%m-%d %H:%M")
     tag = "pf" if os.environ.get("IQ_ARCH") == "patchify" else "base"
-    if os.environ.get("IQ_PATCHIFY_STRIDE"):
+    # the stride suffix only applies when the patchify stem is actually
+    # built — IQ_PATCHIFY_STRIDE is a no-op for the stock arch
+    if os.environ.get("IQ_PATCHIFY_STRIDE") and os.environ.get("IQ_ARCH") == "patchify":
         tag += "s" + os.environ["IQ_PATCHIFY_STRIDE"].replace(",", "")
     if os.environ.get("IQ_OFFSETS") == "long":
         tag += "/lr"

@@ -315,6 +315,56 @@ def test_tta_variant_sharding_matches_sequential():
     np.testing.assert_allclose(par, seq, atol=1e-4)
 
 
+def test_tta_variant_sharding_repeated_predicts_non_dividing_stride():
+    """Round-5 crash regression: the engine's cached inverse-weight map must
+    stay a CONCRETE device array when device_pass runs under the TTA
+    variants-sharded jit/shard_map trace — a cache entry produced from
+    trace-side ops leaks a tracer and the SECOND predict on the same engine
+    raises UnexpectedTracerError. Non-dividing stride forces the snap-grid
+    path (the shipped ov0.125 recipe's path)."""
+    from pytorch_connectomics_tpu.parallel import make_mesh
+
+    vol = np.random.rand(10, 18, 18).astype(np.float32)
+    # stride (5,7,7) does not divide window (8,16,16) -> snap-grid engine
+    eng = SlidingWindowEngine(
+        smooth_apply, (8, 16, 16), stride=(5, 7, 7), sw_batch_size=1
+    )
+    tta_cfg = build_dataclass(
+        TTAConfig, {"enabled": True, "flip_axes": "all", "ensemble_mode": "mean"}
+    )
+    mesh = make_mesh({"data": 8})
+    pred = TTAPredictor(eng, tta_cfg, mesh=mesh)
+    first = pred.predict(None, vol)
+    second = pred.predict(None, vol)  # crashed pre-fix (leaked tracer)
+    np.testing.assert_allclose(first, second, atol=1e-6)
+    seq = TTAPredictor(eng, tta_cfg).predict(None, vol)  # serial reuse too
+    np.testing.assert_allclose(seq, first, atol=1e-4)
+
+
+def test_device_inv_weight_matches_host_oracle():
+    """_inv_weight_scatter_device (the engine's on-device weight pass) must
+    equal the independent host accumulation for snap grids."""
+    import jax.numpy as jnp
+
+    from pytorch_connectomics_tpu.inference.window import (
+        _inv_weight_scatter_device,
+        _snap_weight_host,
+        compute_window_grid,
+    )
+
+    shape, window, stride = (14, 15, 16), (8, 8, 8), (5, 6, 7)
+    imp = importance_map(window, "bump")  # clipped -> NON-separable
+    grid = compute_window_grid(shape, window, stride=stride)
+    inv = _inv_weight_scatter_device(
+        jnp.asarray(grid), jnp.asarray(imp[..., None]), shape, window
+    )
+    host = _snap_weight_host(shape, window, stride, imp)
+    np.testing.assert_allclose(
+        np.asarray(inv)[..., 0], 1.0 / np.maximum(host, 1e-8),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_tta_explicit_transforms_list():
     """tta.transforms gives explicit variant dicts (reference
     schema/inference.py:165); identity is prepended, dupes dropped,
@@ -819,6 +869,31 @@ def test_chunked_artifact_carries_checkpoint_provenance(tmp_path):
     )
     assert validate_prediction_cache(out2, "cfg_h", "")
     assert not validate_prediction_cache(out2, "cfg_h", "ckpt_a")
+
+    # a run that CRASHES mid-write must leave an artifact that can never
+    # positively validate (round-5 review: attrs used to be stamped before
+    # any chunk was computed, so a half-empty file looked like a full cache)
+    from pytorch_connectomics_tpu.inference import chunked as chunked_mod
+
+    def _boom(*a, **k):
+        raise RuntimeError("boom")
+
+    real_run = chunked_mod._run_chunks
+    chunked_mod._run_chunks = _boom
+    out3 = tmp_path / "o3.h5"
+    try:
+        with pytest.raises(RuntimeError, match="boom"):
+            run_chunked_inference(
+                TTAPredictor(eng), None, LazyVolumeAccessor(src), out3, cfg,
+                out_channels=1,
+                signature={"config_hash": "cfg_h", "checkpoint": "ckpt_a"},
+            )
+    finally:
+        chunked_mod._run_chunks = real_run
+    assert out3.exists()
+    assert not validate_prediction_cache(out3, "cfg_h", "ckpt_a")
+    assert not validate_prediction_cache(out3, "cfg_h", "")
+    assert not validate_prediction_cache(out3)  # decode-only caller too
 
 
 def test_predict_volume_device_pads_small_volume_snap_grid():
