@@ -376,6 +376,19 @@ def _grid_weight_host(vol_shape, grids, imp: np.ndarray) -> np.ndarray:
     return weight
 
 
+def _regular_grid_origins(cover, window, stride) -> np.ndarray:
+    """(N, 3) int32 origin list of the dividing-stride product grid over the
+    padded full-coverage shape — the same origins the dense parity-group
+    engine visits. Feeds :func:`_inv_weight_scatter_device` so the regular
+    engine paths also skip the host-built full-volume weight map (no
+    full-volume host->device upload, no trace-time volume-sized constant)."""
+    grids = [
+        np.arange(0, c - w + 1, s, dtype=np.int32)
+        for c, w, s in zip(cover, window, stride)
+    ]
+    return np.stack(np.meshgrid(*grids, indexing="ij"), axis=-1).reshape(-1, 3)
+
+
 def _snap_weight_host(
     vol_shape, window, stride, imp: np.ndarray, snap: bool = True
 ) -> np.ndarray:
@@ -715,9 +728,9 @@ class SlidingWindowEngine:
                     self.padding_mode
                 ]
                 vol = jnp.pad(vol, [(0, e) for e in extra] + [(0, 0)], mode=np_mode)
-            imp_np = np.asarray(self.imp)[..., 0]
-            weight = _regular_weight_host(tuple(cover), self.window, stride, imp_np)
-            invw = jnp.asarray((1.0 / np.maximum(weight, 1e-8))[..., None], jnp.float32)
+            invw = self._snap_inv_weight(
+                tuple(cover), _regular_grid_origins(cover, self.window, stride)
+            )
             out = _sliding_window_regular_device(
                 params, vol, self.imp, invw,
                 apply_fn=self.apply_fn, window=self.window, stride=tuple(stride),
@@ -792,19 +805,15 @@ class SlidingWindowEngine:
                 [(0, e) for e in extra] + [(0, 0)],
                 mode=np_mode,
             )
-        imp_np = np.asarray(self.imp)[..., 0]
-        key = (tuple(vol.shape[:3]), tuple(stride))
-        if getattr(self, "_invw_key", None) != key:
-            weight = _regular_weight_host(vol.shape[:3], self.window, stride, imp_np)
-            self._invw = jnp.asarray(
-                (1.0 / np.maximum(weight, 1e-8))[..., None], jnp.float32
-            )
-            self._invw_key = key
+        invw = self._snap_inv_weight(
+            tuple(vol.shape[:3]),
+            _regular_grid_origins(vol.shape[:3], self.window, stride),
+        )
         out = _sliding_window_regular_device(
             params,
             jnp.asarray(vol),
             self.imp,
-            self._invw,
+            invw,
             apply_fn=self.apply_fn,
             window=self.window,
             stride=tuple(stride),

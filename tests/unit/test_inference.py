@@ -365,6 +365,31 @@ def test_device_inv_weight_matches_host_oracle():
     )
 
 
+def test_device_inv_weight_regular_grid_matches_host_oracle():
+    """The regular (dividing-stride) engine paths now also compute their
+    blend normalizer on device (_regular_grid_origins ->
+    _inv_weight_scatter_device); it must equal the host accumulation."""
+    import jax.numpy as jnp
+
+    from pytorch_connectomics_tpu.inference.window import (
+        _inv_weight_scatter_device,
+        _regular_grid_origins,
+        _regular_weight_host,
+    )
+
+    cover, window, stride = (12, 20, 16), (8, 8, 8), (4, 4, 4)
+    imp = importance_map(window, "bump")  # clipped -> NON-separable
+    origins = _regular_grid_origins(cover, window, stride)
+    inv = _inv_weight_scatter_device(
+        jnp.asarray(origins), jnp.asarray(imp[..., None]), cover, window
+    )
+    host = _regular_weight_host(cover, window, stride, imp)
+    np.testing.assert_allclose(
+        np.asarray(inv)[..., 0], 1.0 / np.maximum(host, 1e-8),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_tta_explicit_transforms_list():
     """tta.transforms gives explicit variant dicts (reference
     schema/inference.py:165); identity is prepended, dupes dropped,
